@@ -1,13 +1,31 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the operator inventory (SURVEY §2) as runnable queries; each
+  * key with an `oracleSql` entry is hash-checked against DuckDB at sf0.01 by
+  * the driver. Keys without oracle SQL get a rows-only check (engine-specific
+  * results: HLL sketches, LSH plane buckets).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * TPC-H Q1 shape — scan → filter → groupBy/agg → sort (SURVEY §7.2 M0). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("agg_tpch_q1")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    QueriesAgg.queries ++ QueriesJoin.queries ++ QueriesWindow.queries ++
+      QueriesScalar.queries ++ QueriesReshape.queries ++ QueriesText.queries
+
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
+    * same parquet tables. Omitted keys → driver records rows-only checks. */
+  def oracleSql: Map[String, String] =
+    QueriesAgg.oracle ++ QueriesJoin.oracle ++ QueriesWindow.oracle ++
+      QueriesScalar.oracle ++ QueriesReshape.oracle ++ QueriesText.oracle
 }

@@ -1,0 +1,255 @@
+package graft.dsl
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.StructType
+
+/** Polars-shaped lazy frame over a Spark [[DataFrame]].
+  *
+  * The reference's `LazyFrame` (crates/polars-lazy/src/frame/mod.rs) holds a
+  * `DslPlan` + optimizer flags; Spark's `DataFrame` is already a lazy logical
+  * plan handled by Catalyst, so this wrapper adds only the polars API surface
+  * (select / with_columns / group_by / join / unique / explode / unpivot /
+  * concat / asof ...) and ordering discipline — it never materializes until a
+  * terminal action (`collect`, `sinkParquet`, ...).
+  *
+  * Row-order discipline (SURVEY §7.1): Spark frames are unordered; every
+  * order-sensitive polars op (shift/cum/head/unique-keep-first/with_row_index)
+  * takes explicit order columns here instead of relying on implicit row order.
+  */
+final class LazyFrame(val df: DataFrame) {
+
+  def spark: SparkSession = df.sparkSession
+  def schema: StructType = df.schema
+  def columns: Seq[String] = df.columns.toSeq
+
+  // ---- projection ---------------------------------------------------------
+
+  def select(exprs: Column*): LazyFrame = LazyFrame(df.select(exprs: _*))
+  def selectNames(names: String*): LazyFrame =
+    LazyFrame(df.select(names.map(col): _*))
+
+  /** polars `with_columns`: add/replace columns, keeping the rest. */
+  def withColumns(cols: (String, Column)*): LazyFrame =
+    LazyFrame(df.withColumns(cols.toMap))
+
+  def withColumn(name: String, c: Column): LazyFrame =
+    LazyFrame(df.withColumn(name, c))
+
+  def drop(names: String*): LazyFrame = LazyFrame(df.drop(names: _*))
+
+  def rename(mapping: (String, String)*): LazyFrame =
+    LazyFrame(df.withColumnsRenamed(mapping.toMap))
+
+  /** Column multi-select by predicate over the schema (polars selectors,
+    * cs.numeric() etc. — reference crates/polars-plan/src/dsl/selector.rs). */
+  def selectBy(pred: org.apache.spark.sql.types.StructField => Boolean): LazyFrame =
+    LazyFrame(df.select(df.schema.fields.filter(pred).map(f => col(f.name)): _*))
+
+  // ---- filter / slice -----------------------------------------------------
+
+  def filter(cond: Column): LazyFrame = LazyFrame(df.filter(cond))
+  def where(cond: Column): LazyFrame = filter(cond)
+
+  def limit(n: Int): LazyFrame = LazyFrame(df.limit(n))
+  def head(n: Int): LazyFrame = limit(n)
+
+  /** polars slice(offset, len) — requires an explicit order for determinism. */
+  def slice(offset: Long, len: Long, orderBy: Seq[Column]): LazyFrame = {
+    val w = Window.orderBy(orderBy: _*)
+    LazyFrame(
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") > offset && col("__rn") <= offset + len)
+        .drop("__rn"))
+  }
+
+  // ---- sort ---------------------------------------------------------------
+
+  def sort(exprs: Column*): LazyFrame = LazyFrame(df.orderBy(exprs: _*))
+
+  def sortBy(name: String, descending: Boolean = false, nullsLast: Boolean = false): LazyFrame = {
+    val c = (descending, nullsLast) match {
+      case (false, false) => col(name).asc_nulls_first
+      case (false, true)  => col(name).asc_nulls_last
+      case (true, false)  => col(name).desc_nulls_first
+      case (true, true)   => col(name).desc_nulls_last
+    }
+    LazyFrame(df.orderBy(c))
+  }
+
+  /** polars top_k: Catalyst plans orderBy+limit as TakeOrderedAndProject —
+    * no full sort at scale. */
+  def topK(k: Int, by: Column*): LazyFrame =
+    LazyFrame(df.orderBy(by.map(_.desc): _*).limit(k))
+
+  def bottomK(k: Int, by: Column*): LazyFrame =
+    LazyFrame(df.orderBy(by.map(_.asc): _*).limit(k))
+
+  // ---- group by -----------------------------------------------------------
+
+  def groupBy(keys: Column*): GroupBy = new GroupBy(df, keys)
+  def groupByNames(keys: String*): GroupBy = new GroupBy(df, keys.map(col))
+
+  /** Time-bucketed group-by (polars group_by_dynamic,
+    * crates/polars-time/src/group_by/dynamic.rs). every==period → tumbling;
+    * every<period → hopping. Returns keys `_window_start`/`_window_end`. */
+  def groupByDynamic(ts: Column, every: String, period: Option[String] = None,
+                     extraKeys: Seq[Column] = Nil): GroupBy = {
+    val win = period match {
+      case Some(p) if p != every => window(ts, p, every)
+      case _                     => window(ts, every)
+    }
+    val tagged = df.withColumn("__w", win)
+      .withColumn("_window_start", col("__w.start"))
+      .withColumn("_window_end", col("__w.end"))
+      .drop("__w")
+    new GroupBy(tagged, col("_window_start") +: col("_window_end") +: extraKeys)
+  }
+
+  // ---- joins --------------------------------------------------------------
+
+  def join(other: LazyFrame, on: Seq[String], how: String = "inner"): LazyFrame =
+    LazyFrame(df.join(other.df, on, how))
+
+  def joinOn(other: LazyFrame, cond: Column, how: String = "inner"): LazyFrame =
+    LazyFrame(df.join(other.df, cond, how))
+
+  /** Broadcast the (small) right side — polars has no cluster notion; at
+    * 100 TB this is the difference between a map-side join and a shuffle. */
+  def joinBroadcast(other: LazyFrame, on: Seq[String], how: String = "inner"): LazyFrame =
+    LazyFrame(df.join(broadcast(other.df), on, how))
+
+  def crossJoin(other: LazyFrame): LazyFrame = LazyFrame(df.crossJoin(other.df))
+
+  def semiJoin(other: LazyFrame, on: Seq[String]): LazyFrame =
+    LazyFrame(df.join(other.df, on, "left_semi"))
+
+  def antiJoin(other: LazyFrame, on: Seq[String]): LazyFrame =
+    LazyFrame(df.join(other.df, on, "left_anti"))
+
+  /** polars join_where (arbitrary inequality predicates,
+    * crates/polars-plan/src/dsl/plan.rs:85). Catalyst extracts any equi-parts;
+    * pure-inequality falls to BNLJ — keep the build side small/broadcast. */
+  def joinWhere(other: LazyFrame, predicates: Column): LazyFrame =
+    LazyFrame(df.join(other.df, predicates, "inner"))
+
+  /** As-of join — see [[graft.ops.AsOf]] for the union+window implementation. */
+  def joinAsof(other: LazyFrame, leftOn: String, rightOn: String,
+               by: Seq[String] = Nil, strategy: String = "backward",
+               tolerance: Option[Column] = None): LazyFrame =
+    LazyFrame(graft.ops.AsOf.join(df, other.df, leftOn, rightOn, by, strategy, tolerance))
+
+  // ---- distinct -----------------------------------------------------------
+
+  /** polars unique(keep=any) — subset-based distinct. */
+  def unique(subset: Seq[String] = Nil): LazyFrame =
+    LazyFrame(if (subset.isEmpty) df.dropDuplicates() else df.dropDuplicates(subset))
+
+  /** polars unique(keep=first/last/none) needs an explicit order column in
+    * Spark (SURVEY §2.1 Distinct row). */
+  def uniqueKeep(subset: Seq[String], keep: String, orderCol: Column): LazyFrame =
+    LazyFrame(graft.ops.Unique.keep(df, subset, keep, orderCol))
+
+  // ---- reshape ------------------------------------------------------------
+
+  def explodeCol(name: String, outer: Boolean = false): LazyFrame = {
+    val e = if (outer) explode_outer(col(name)) else explode(col(name))
+    LazyFrame(df.withColumn(name, e))
+  }
+
+  /** polars unnest: struct column → top-level columns. */
+  def unnest(name: String): LazyFrame = {
+    val others = df.columns.filterNot(_ == name).map(col)
+    LazyFrame(df.select(others :+ col(s"$name.*"): _*))
+  }
+
+  /** polars unpivot/melt → Spark 4 native unpivot. */
+  def unpivot(ids: Seq[String], values: Seq[String],
+              variableName: String = "variable", valueName: String = "value"): LazyFrame =
+    LazyFrame(df.unpivot(ids.map(col).toArray, values.map(col).toArray, variableName, valueName))
+
+  /** polars pivot → native groupBy.pivot. `values` must be enumerable;
+    * passing them explicitly avoids a distinct-scan job. */
+  def pivot(index: Seq[String], on: String, values: Seq[Any], agg: Column): LazyFrame =
+    LazyFrame(df.groupBy(index.map(col): _*).pivot(on, values).agg(agg))
+
+  // ---- concat -------------------------------------------------------------
+
+  /** Vertical concat (polars concat how=vertical/diagonal). */
+  def vstack(others: LazyFrame*): LazyFrame =
+    LazyFrame(others.foldLeft(df)((a, b) => a.unionByName(b.df, allowMissingColumns = true)))
+
+  /** Horizontal concat: zip by row position — needs explicit per-frame order.
+    * (polars executors/hconcat.rs). */
+  def hstack(other: LazyFrame, leftOrder: Column, rightOrder: Column): LazyFrame =
+    LazyFrame(graft.ops.HConcat.byOrder(df, other.df, leftOrder, rightOrder))
+
+  def intersect(other: LazyFrame): LazyFrame = LazyFrame(df.intersect(other.df))
+  def except(other: LazyFrame): LazyFrame = LazyFrame(df.except(other.df))
+
+  // ---- nulls / nans -------------------------------------------------------
+
+  def fillNull(value: Any, subset: Seq[String] = Nil): LazyFrame =
+    LazyFrame(if (subset.isEmpty) df.na.fill(Map(df.columns.map(_ -> value): _*))
+              else df.na.fill(Map(subset.map(_ -> value): _*)))
+
+  def fillNan(value: Double, subset: Seq[String]): LazyFrame = {
+    val fixed = subset.foldLeft(df)((d, c) =>
+      d.withColumn(c, when(isnan(col(c)), lit(value)).otherwise(col(c))))
+    LazyFrame(fixed)
+  }
+
+  def dropNulls(subset: Seq[String] = Nil): LazyFrame =
+    LazyFrame(if (subset.isEmpty) df.na.drop() else df.na.drop(subset))
+
+  // ---- row index ----------------------------------------------------------
+
+  /** polars with_row_index — requires explicit order (SURVEY §7.1). */
+  def withRowIndex(name: String = "index", orderBy: Seq[Column]): LazyFrame =
+    LazyFrame(df.withColumn(name,
+      row_number().over(Window.orderBy(orderBy: _*)).cast("long") - 1))
+
+  // ---- caching / terminal -------------------------------------------------
+
+  def cache(): LazyFrame = LazyFrame(df.cache())
+
+  /** polars collect() — in Spark the frame IS lazy; this just returns the
+    * underlying DataFrame for an action. */
+  def collect(): DataFrame = df
+  def collectRows(): Array[Row] = df.collect()
+  def count(): Long = df.count()
+
+  def sinkParquet(path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  def sinkCsv(path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def sinkJson(path: String): Unit = df.write.mode("overwrite").json(path)
+
+  def explainFormatted(): String = {
+    val qe = df.queryExecution
+    qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+}
+
+object LazyFrame {
+  def apply(df: DataFrame): LazyFrame = new LazyFrame(df)
+
+  def scanParquet(spark: SparkSession, path: String): LazyFrame =
+    LazyFrame(spark.read.parquet(path))
+
+  def scanCsv(spark: SparkSession, path: String, header: Boolean = true,
+              inferSchema: Boolean = true): LazyFrame =
+    LazyFrame(spark.read.option("header", header.toString)
+      .option("inferSchema", inferSchema.toString).csv(path))
+
+  def scanNdjson(spark: SparkSession, path: String): LazyFrame =
+    LazyFrame(spark.read.json(path))
+
+  def scanLines(spark: SparkSession, path: String): LazyFrame =
+    LazyFrame(spark.read.text(path))
+}

@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+
+/** The polars scalar-function surface (SURVEY §2.9) where Spark lacks a
+  * 1:1 builtin. Everything here composes codegen'd
+  * `org.apache.spark.sql.functions` — no UDFs, so whole-stage codegen and
+  * pushdown stay intact. Direct 1:1 mappings (upper, year, abs, ...) are NOT
+  * re-exported: users call Spark functions directly.
+  */
+package object functions {
+
+  // ---- math / binning -----------------------------------------------------
+
+  /** polars clip (crates/polars-ops: FunctionExpr::Clip). */
+  def clip(c: Column, lo: Column, hi: Column): Column = least(greatest(c, lo), hi)
+
+  /** polars cut: bin a numeric column by break points; produces the label of
+    * the half-open interval (-inf, b1], (b1, b2], ... like polars' default
+    * left-exclusive/right-inclusive (crates/polars-ops/src/series/ops/cut.rs). */
+  def cut(c: Column, breaks: Seq[Double], labels: Seq[String]): Column = {
+    require(labels.size == breaks.size + 1, "labels must be breaks+1")
+    val first = when(c <= lit(breaks.head), lit(labels.head))
+    val mid = breaks.indices.drop(1).foldLeft(first) { (acc, i) =>
+      acc.when(c <= lit(breaks(i)), lit(labels(i)))
+    }
+    mid.otherwise(lit(labels.last))
+  }
+
+  /** polars floor-div semantics (Operator::FloorDivide). */
+  def floorDiv(a: Column, b: Column): Column = floor(a / b).cast("long")
+
+  /** Percent change vs previous row over a window (polars pct_change). */
+  def pctChange(c: Column, w: WindowSpec): Column = c / lag(c, 1).over(w) - 1
+
+  /** First difference (polars diff, crates/polars-ops/src/series/ops/diff.rs). */
+  def diff(c: Column, w: WindowSpec): Column = c - lag(c, 1).over(w)
+
+  // ---- cumulative / run-length -------------------------------------------
+
+  def cumSum(c: Column, w: WindowSpec): Column =
+    sum(c).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+  def cumMin(c: Column, w: WindowSpec): Column =
+    min(c).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+  def cumMax(c: Column, w: WindowSpec): Column =
+    max(c).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+  def cumCount(c: Column, w: WindowSpec): Column =
+    count(c).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+  /** cum_prod via exp/sum/log with sign tracking omitted (positive inputs). */
+  def cumProdPositive(c: Column, w: WindowSpec): Column =
+    exp(sum(log(c)).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+
+  /** polars is_first_distinct along an order. */
+  def isFirstDistinct(c: Column, orderBy: Column): Column =
+    row_number().over(Window.partitionBy(c).orderBy(orderBy)) === 1
+
+  // ---- fills / interpolation ----------------------------------------------
+
+  /** Forward fill along an order (polars fill_null(strategy="forward")). */
+  def forwardFill(c: Column, w: WindowSpec): Column =
+    last(c, ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+  /** Backward fill along an order. */
+  def backwardFill(c: Column, w: WindowSpec): Column =
+    first(c, ignoreNulls = true)
+      .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+
+  // ---- EWM ---------------------------------------------------------------
+
+  /** polars ewm_mean(alpha, adjust=true): y_i = Σ_j (1-α)^(i-j) x_j / Σ_j w.
+    * Computed with the scale-safe ratio trick over two running sums — the
+    * naive (1-a)^i term under/overflows, so we fold over the ordered list of
+    * trailing values per row via the `aggregate` HOF instead. Bounded windows
+    * only (use `span` rows back) to stay O(n·span) not O(n²). */
+  def ewmMeanRows(c: Column, w: WindowSpec, span: Int, alpha: Double): Column = {
+    val vals = collect_list(c).over(w.rowsBetween(-(span - 1), Window.currentRow))
+    // weights are (1-a)^(n-1-j) for j-th element of the trailing list
+    val n = size(vals)
+    val num = aggregate(
+      zip_with(vals, sequence(lit(0), n - 1), (v, i) =>
+        v * pow(lit(1 - alpha), (n - 1 - i).cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    val den = aggregate(
+      transform(sequence(lit(0), n - 1), i =>
+        pow(lit(1 - alpha), (n - 1 - i).cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    num / den
+  }
+
+  // ---- horizontal (row-wise across columns) --------------------------------
+
+  def sumHorizontal(cols: Column*): Column =
+    cols.map(c => coalesce(c, lit(0))).reduce(_ + _)
+  def minHorizontal(cols: Column*): Column = least(cols: _*)
+  def maxHorizontal(cols: Column*): Column = greatest(cols: _*)
+  def meanHorizontal(cols: Column*): Column = {
+    val nonNullCount = cols.map(c => when(c.isNotNull, 1).otherwise(0)).reduce(_ + _)
+    sumHorizontal(cols: _*) / nonNullCount
+  }
+  def anyHorizontal(cols: Column*): Column = cols.reduce(_ || _)
+  def allHorizontal(cols: Column*): Column = cols.reduce(_ && _)
+
+  /** polars fold/reduce over columns (FunctionExpr::Fold). */
+  def foldColumns(zero: Column, op: (Column, Column) => Column, cols: Seq[Column]): Column =
+    cols.foldLeft(zero)(op)
+
+  // ---- NaN-aware min/max (polars propagates NaN in min/max unless nan_min) --
+
+  def nanSafeMin(c: Column): Column = min(when(!isnan(c), c))
+  def nanSafeMax(c: Column): Column = max(when(!isnan(c), c))
+
+  // ---- strings -------------------------------------------------------------
+
+  /** polars str.zfill. */
+  def zfill(c: Column, width: Int): Column = lpad(c, width, "0")
+
+  /** polars str.count_matches (regex) → Spark regexp_count. */
+  def countMatches(c: Column, pattern: String): Column = regexp_count(c, lit(pattern))
+
+  /** polars str.replace_many (Aho-Corasick multi-pattern) — composed as a
+    * chained replace; fine for small pattern sets, custom Expression later. */
+  def replaceMany(c: Column, pairs: Seq[(String, String)]): Column =
+    pairs.foldLeft(c) { case (acc, (from, to)) => replace(acc, lit(from), lit(to)) }
+
+  /** polars str.strip_chars (both ends, char set). */
+  def stripChars(c: Column, chars: String): Column = {
+    val esc = java.util.regex.Pattern.quote(chars).replace("\\", "\\\\")
+    regexp_replace(regexp_replace(c, s"^[$esc]+", ""), s"[$esc]+$$", "")
+  }
+
+  // ---- lists / vectors ------------------------------------------------------
+
+  /** Sum of element-wise products — the hot loop of similarity search.
+    * Uses zip_with + aggregate (codegen'd HOFs), doubles throughout. */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  def cosineSimilarity(a: Column, b: Column): Column =
+    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** polars list.eval(expr) — general per-element expression. */
+  def listEval(c: Column, f: Column => Column): Column = transform(c, f)
+
+  def listSum(c: Column): Column =
+    aggregate(c, lit(0.0), (acc, v) => acc + coalesce(v.cast("double"), lit(0.0)))
+
+  def listMean(c: Column): Column = listSum(c) / size(c)
+
+  // ---- temporal -------------------------------------------------------------
+
+  /** Count of business days (Mon-Fri) in [start, end) —
+    * polars business_day_count (crates/polars-ops business.rs), closed-form. */
+  def businessDayCount(start: Column, end: Column): Column = {
+    val d = datediff(end, start)
+    // dayofweek: 1=Sunday..7=Saturday; map to 0=Monday..6=Sunday
+    val dowStart = (dayofweek(start) + 5) % 7
+    val fullWeeks = floorDiv(d, lit(7))
+    val rem = d % 7
+    // remainder (≤6 days): count weekdays by enumerating offsets
+    val remDays = when(rem > 0,
+      size(filter(sequence(lit(0), rem - 1), i => ((dowStart + i) % 7) < 5)))
+      .otherwise(lit(0))
+    fullWeeks * 5 + remDays
+  }
+
+  /** Epoch microseconds — stable numeric key for range windows over time. */
+  def epochMicros(ts: Column): Column = unix_micros(ts)
+}

@@ -1,0 +1,92 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{cosineSimilarity, dotProduct, l2Norm}
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the (small) query set
+  * against the (huge) corpus, one pass, no shuffle of the corpus beyond the
+  * final per-query top-k aggregation. This is the correct 100 TB baseline:
+  * the corpus never self-joins.
+  *
+  * Scale path: IVF-style bucketing — assign each vector to its nearest of C
+  * centroids (broadcast), search only matching buckets (nprobe=1 here);
+  * recall/latency trade like FAISS-IVF. Centroids come from a sampled
+  * k-means|| style seed or are caller-provided.
+  */
+object Similarity {
+
+  /** Brute-force top-k: for each query vector, the k nearest corpus vectors
+    * by cosine. `queries` is expected to be small → broadcast. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, qidCol: String,
+                     k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(qidCol), col(vecCol).as("__qvec")))
+    val scored = corpus.select(col(idCol), col(vecCol))
+      .crossJoin(q)
+      .withColumn("cosine", round(cosineSimilarity(col(vecCol), col("__qvec")), 4))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("cosine").desc, col(idCol).asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col(qidCol), col(idCol), col("cosine"), col("__rn").as("rank"))
+  }
+
+  /** Assign each vector to its nearest centroid id (IVF cell). Centroids are
+    * a Seq of (id, vector) — broadcast as a literal array, evaluated with
+    * codegen'd HOFs, no UDF. */
+  def assignToCentroid(vec: Column, centroids: Seq[(Int, Array[Double])]): Column = {
+    val cents = array(centroids.map { case (id, v) =>
+      struct(lit(id).as("cid"), array(v.map(lit): _*).as("cvec"))
+    }: _*)
+    val scored = transform(cents, c =>
+      struct((-dotProduct(vec, c.getField("cvec")) /
+        (l2Norm(vec) * l2Norm(c.getField("cvec")))).as("negsim"),
+        c.getField("cid").as("cid")))
+    array_min(scored).getField("cid")
+  }
+
+  /** IVF search: bucket corpus and queries by nearest centroid, search only
+    * within the bucket (nprobe=1). Equi-join on cell id → shuffle-bounded. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, qidCol: String,
+              centroids: Seq[(Int, Array[Double])], k: Int): DataFrame = {
+    val c = corpus.withColumn("__cell", assignToCentroid(col(vecCol), centroids))
+    val q = broadcast(queries
+      .withColumn("__cell", assignToCentroid(col(vecCol), centroids))
+      .select(col(qidCol), col("__cell"), col(vecCol).as("__qvec")))
+    val scored = c.join(q, Seq("__cell"))
+      .withColumn("cosine", round(cosineSimilarity(col(vecCol), col("__qvec")), 4))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("cosine").desc, col(idCol).asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col(qidCol), col(idCol), col("cosine"), col("__rn").as("rank"))
+  }
+
+  /** Random-hyperplane LSH bucket id (b planes → b-bit signature) for
+    * embedding-cosine near-dup detection: vectors in the same bucket are
+    * near-duplicate candidates. Planes are deterministic literals. */
+  def lshBucket(vec: Column, planes: Seq[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      when(dotProduct(vec, array(p.map(lit): _*)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Embedding near-duplicate pairs: same LSH bucket AND cosine ≥ threshold.
+    * Bucket equi-join keeps the candidate set shuffle-bounded. */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+                        planes: Seq[Array[Double]], threshold: Double): DataFrame = {
+    val b = df.select(col(idCol), col(vecCol), lshBucket(col(vecCol), planes).as("__bucket"))
+    val l = b.select(col(idCol).as("id_a"), col(vecCol).as("__va"), col("__bucket"))
+    val r = b.select(col(idCol).as("id_b"), col(vecCol).as("__vb"), col("__bucket"))
+    l.join(r, Seq("__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(cosineSimilarity(col("__va"), col("__vb")), 4))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of join (polars join_asof, reference
+  * crates/polars-ops/src/frame/join/asof/mod.rs:262-270 — strategies
+  * Backward/Forward/Nearest, optional `by` grouping and tolerance).
+  *
+  * Spark has no native as-of join. Implementation: the union + running-window
+  * trick — tag both sides, union on (by, key), and carry the most recent
+  * right-side row forward with `last(_, ignoreNulls)` over an ordered window.
+  *
+  * Scale properties: ONE shuffle on the `by` keys (or a single range
+  * repartition when `by` is empty), no O(n·m) probing, no broadcast
+  * requirement — both sides can be 100 TB. Skewed `by` keys hit the same
+  * window-skew limits as any Spark window (mitigate upstream with salting if
+  * one group dominates).
+  */
+object AsOf {
+
+  def join(left: DataFrame, right: DataFrame, leftOn: String, rightOn: String,
+           by: Seq[String], strategy: String, tolerance: Option[Column]): DataFrame =
+    strategy match {
+      case "backward" => directional(left, right, leftOn, rightOn, by, tolerance, forward = false)
+      case "forward"  => directional(left, right, leftOn, rightOn, by, tolerance, forward = true)
+      case "nearest"  => nearest(left, right, leftOn, rightOn, by, tolerance)
+      case other      => throw new IllegalArgumentException(s"unknown asof strategy: $other")
+    }
+
+  private def directional(left: DataFrame, right: DataFrame, leftOn: String,
+                          rightOn: String, by: Seq[String], tolerance: Option[Column],
+                          forward: Boolean): DataFrame = {
+    val rightCols = right.columns.filterNot(c => c == rightOn || by.contains(c)).toSeq
+    val keyT = left.schema(leftOn).dataType
+
+    // common shape: (by..., __k, __tag, leftCols..., __r_<rightCols>...)
+    val l = left
+      .withColumn("__k", col(leftOn).cast(keyT))
+      .withColumn("__tag", lit(1))
+      .withColumns(rightCols.map(c => s"__r_$c" -> lit(null).cast(right.schema(c).dataType)).toMap)
+      .withColumn("__rk", lit(null).cast(keyT))
+    val leftCols = left.columns.filterNot(by.contains).toSeq
+    val r = right
+      .withColumn("__k", col(rightOn).cast(keyT))
+      .withColumn("__tag", lit(0))
+      .withColumns(rightCols.map(c => s"__r_$c" -> col(c)).toMap)
+      .withColumn("__rk", col(rightOn))
+      .drop(rightCols: _*)
+      .withColumns(leftCols.map(c => c -> lit(null).cast(left.schema(c).dataType)).toMap)
+
+    val cols = (by ++ leftCols ++ Seq("__k", "__tag", "__rk") ++ rightCols.map(c => s"__r_$c")).map(col)
+    val unioned = l.select(cols: _*).unionByName(r.select(cols: _*))
+
+    // backward: right rows at the same key match (right sorts before left via
+    // tag); forward: mirror by negating the sort.
+    val ord =
+      if (forward) Seq(col("__k").desc, col("__tag").asc)
+      else Seq(col("__k").asc, col("__tag").asc)
+    val w = (if (by.nonEmpty) Window.partitionBy(by.map(col): _*) else Window.partitionBy())
+      .orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = rightCols.foldLeft(
+      unioned.withColumn("__mk", last(col("__rk"), ignoreNulls = true).over(w))
+    ) { (d, c) => d.withColumn(s"__m_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w)) }
+
+    val withinTol = tolerance match {
+      case None => lit(true)
+      case Some(tol) =>
+        val dist = if (forward) col("__mk").cast("double") - col("__k").cast("double")
+                   else col("__k").cast("double") - col("__mk").cast("double")
+        dist <= tol.cast("double")
+    }
+
+    val out = matched.filter(col("__tag") === 1)
+    // surface the matched right key under its original name (when distinct
+    // from the left key) — callers and oracles need it for tolerance checks
+    val keyOut =
+      if (rightOn != leftOn && !by.contains(rightOn) && !leftCols.contains(rightOn))
+        Seq(when(col("__mk").isNotNull && withinTol, col("__mk")).as(rightOn))
+      else Nil
+    val proj =
+      (by ++ leftCols).map(col) ++ keyOut ++
+      rightCols.map(c => when(col("__mk").isNotNull && withinTol, col(s"__m_$c")).as(c))
+    out.select(proj: _*)
+  }
+
+  private def nearest(left: DataFrame, right: DataFrame, leftOn: String,
+                      rightOn: String, by: Seq[String], tolerance: Option[Column]): DataFrame = {
+    // Run backward and forward passes, then keep whichever matched key is
+    // closer (tie → backward, matching polars' preference for the earlier row).
+    val rightCols = right.columns.filterNot(c => c == rightOn || by.contains(c)).toSeq
+    val lid = left.withColumn("__lid", monotonically_increasing_id())
+
+    def pass(suffix: String, forward: Boolean): DataFrame = {
+      val renamed = rightCols.foldLeft(right.withColumn(s"__key$suffix", col(rightOn))) {
+        (d, c) => d.withColumnRenamed(c, s"$c$suffix")
+      }
+      directional(lid, renamed, leftOn, rightOn, by, tolerance, forward)
+    }
+
+    val bwd = pass("__b", forward = false)
+    val fwdCols = (Seq("__lid", s"__key__f") ++ rightCols.map(c => s"${c}__f")).map(col)
+    val fwd = pass("__f", forward = true).select(fwdCols: _*)
+
+    val joined = bwd.join(fwd, Seq("__lid"), "left")
+    val lk = col(leftOn).cast("double")
+    val db = abs(lk - col("__key__b").cast("double"))
+    val df_ = abs(col("__key__f").cast("double") - lk)
+    val useB = col("__key__b").isNotNull && (col("__key__f").isNull || db <= df_)
+    val keyOut =
+      if (rightOn != leftOn && !by.contains(rightOn) && !left.columns.contains(rightOn))
+        Seq(when(useB, col("__key__b")).otherwise(col("__key__f")).as(rightOn))
+      else Nil
+    val proj =
+      (by ++ left.columns.filterNot(by.contains)).map(col) ++ keyOut ++
+      rightCols.map(c => when(useB, col(s"${c}__b")).otherwise(col(s"${c}__f")).as(c))
+    joined.select(proj: _*)
+  }
+}

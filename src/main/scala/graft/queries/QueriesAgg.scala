@@ -1,0 +1,224 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.dsl.LazyFrame
+import graft.queries.util._
+
+/** Aggregation / group-by battery (SURVEY §2.5). Every query pairs with a
+  * DuckDB oracle; doubles are rounded so cross-engine float summation order
+  * can't flip the hash. All outputs carry a total deterministic ORDER BY.
+  */
+object QueriesAgg {
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q1 — the M0 flagship slice: scan → filter → groupBy/agg → sort.
+    "agg_tpch_q1" -> ((s, d) =>
+      lf(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .sort(col("l_returnflag"), col("l_linestatus")).collect()),
+
+    // h2oai q2 shape: sum by two keys.
+    "agg_sum_two_keys" -> ((s, d) =>
+      lf(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .sort(col("l_returnflag"), col("l_linestatus")).collect()),
+
+    "agg_stats" -> ((s, d) =>
+      lf(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(min(col("o_totalprice")), 2).as("min_price"),
+          round(max(col("o_totalprice")), 2).as("max_price"),
+          round(avg(col("o_totalprice")), 4).as("avg_price"),
+          round(stddev_samp(col("o_totalprice")), 4).as("std_price"),
+          round(var_samp(col("o_totalprice")), 4).as("var_price"),
+          count(lit(1)).as("n"))
+        .sort(col("o_orderpriority")).collect()),
+
+    "agg_count_distinct" -> ((s, d) =>
+      lf(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("ndv_part"),
+          countDistinct(col("l_suppkey")).as("ndv_supp"),
+          count(lit(1)).as("n"))
+        .sort(col("l_returnflag")).collect()),
+
+    // HLL sketch — engine-specific estimate, no SQL oracle (rows-only check).
+    "agg_approx_ndv" -> ((s, d) =>
+      lf(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_ndv"))
+        .sort(col("l_returnflag")).collect()),
+
+    "agg_median_quantile" -> ((s, d) =>
+      lf(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(median(col("l_quantity")), 4).as("med_qty"),
+          round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90_price"),
+          round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25_price"))
+        .sort(col("l_returnflag")).collect()),
+
+    // arbitrary expression inside agg: col.filter(cond).sum() polars-style.
+    "agg_conditional" -> ((s, d) =>
+      lf(s, d, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(
+          round(sum(when(col("l_discount") > 0.05, col("l_extendedprice"))), 2).as("disc_price"),
+          count(when(col("l_quantity") >= 25, lit(1))).as("n_bulk"),
+          round(avg(when(col("l_returnflag") === "R", col("l_quantity"))), 4).as("avg_returned_qty"))
+        .sort(col("l_linestatus")).collect()),
+
+    // min_by/max_by with a unique ordering key → deterministic.
+    "agg_minmax_by" -> ((s, d) =>
+      lf(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          max_by(col("o_orderkey"), col("o_totalprice") * lit(1000000) + col("o_orderkey")).as("max_price_key"),
+          min_by(col("o_orderkey"), col("o_totalprice") * lit(1000000) + col("o_orderkey")).as("min_price_key"))
+        .sort(col("o_orderpriority")).collect()),
+
+    // grouping sets — free upside vs reference (polars rejects ROLLUP).
+    "agg_rollup" -> ((s, d) =>
+      LazyFrame(t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n")))
+        .sort(col("l_returnflag"), col("l_linestatus")).collect()),
+
+    // implode (collect_list) with deterministic order → string for hashing.
+    "agg_implode" -> ((s, d) =>
+      lf(s, d, "orders")
+        .filter(col("o_custkey") <= 50)
+        .groupBy(col("o_custkey"))
+        .agg(concat_ws(",", sort_array(collect_list(col("o_orderkey")))).as("order_keys"),
+          count(lit(1)).as("n"))
+        .sort(col("o_custkey")).collect()),
+
+    // mode with deterministic tie-break (most frequent, then smallest value).
+    "agg_mode" -> ((s, d) => {
+      val counts = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus")).count()
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("count").desc, col("l_linestatus").asc)
+      counts.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("l_returnflag"), col("l_linestatus").as("mode_status"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // group_by_dynamic → tumbling window() (SURVEY §2.5 time group-by).
+    "agg_dynamic_1h" -> ((s, d) =>
+      lf(s, d, "events")
+        .groupByDynamic(col("ts"), "1 hour")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .sort(col("_window_start")).collect()
+        .select(col("_window_start"), col("n"), col("sum_value"))),
+
+    // per-group skew/kurtosis (reference reduce kernels skew_kurtosis).
+    "agg_skew_kurt" -> ((s, d) =>
+      lf(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(skewness(col("l_extendedprice")), 4).as("skew_price"),
+          round(kurtosis(col("l_extendedprice")), 4).as("kurt_price"))
+        .sort(col("l_returnflag")).collect())
+  )
+
+  val oracle: Map[String, String] = Map(
+    "agg_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_extendedprice),4) AS avg_price,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY 1, 2""".stripMargin,
+
+    "agg_sum_two_keys" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_price
+        |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "agg_stats" ->
+      """SELECT o_orderpriority, round(min(o_totalprice),2) AS min_price,
+        | round(max(o_totalprice),2) AS max_price,
+        | round(avg(o_totalprice),4) AS avg_price,
+        | round(stddev_samp(o_totalprice),4) AS std_price,
+        | round(var_samp(o_totalprice),4) AS var_price,
+        | count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS ndv_part,
+        | count(DISTINCT l_suppkey) AS ndv_supp, count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_median_quantile" ->
+      """SELECT l_returnflag, round(median(l_quantity),4) AS med_qty,
+        | round(quantile_cont(l_extendedprice, 0.9),4) AS p90_price,
+        | round(quantile_cont(l_extendedprice, 0.25),4) AS p25_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_conditional" ->
+      """SELECT l_linestatus,
+        | round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice END),2) AS disc_price,
+        | count(CASE WHEN l_quantity >= 25 THEN 1 END) AS n_bulk,
+        | round(avg(CASE WHEN l_returnflag = 'R' THEN l_quantity END),4) AS avg_returned_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_minmax_by" ->
+      """SELECT o_orderpriority,
+        | max_by(o_orderkey, o_totalprice*1000000 + o_orderkey) AS max_price_key,
+        | min_by(o_orderkey, o_totalprice*1000000 + o_orderkey) AS min_price_key
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
+        | count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+
+    "agg_implode" ->
+      """SELECT o_custkey, string_agg(o_orderkey, ',' ORDER BY o_orderkey) AS order_keys,
+        | count(*) AS n
+        |FROM orders WHERE o_custkey <= 50 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_mode" ->
+      """WITH c AS (
+        | SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem GROUP BY 1,2)
+        |SELECT l_returnflag, l_linestatus AS mode_status FROM (
+        | SELECT l_returnflag, l_linestatus,
+        |  row_number() OVER (PARTITION BY l_returnflag ORDER BY cnt DESC, l_linestatus) AS rn
+        | FROM c) WHERE rn = 1 ORDER BY 1""".stripMargin,
+
+    "agg_dynamic_1h" ->
+      """SELECT date_trunc('hour', ts) AS _window_start, count(*) AS n,
+        | round(sum(value),4) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // DuckDB skewness/kurtosis are sample-corrected; Spark's are population
+    // moments — invert the bias correction (kurtosis_pop matches directly).
+    "agg_skew_kurt" ->
+      """SELECT l_returnflag,
+        | round(skewness(l_extendedprice) * (count(*) - 2)
+        |   / sqrt(count(*) * (count(*) - 1.0)), 4) AS skew_price,
+        | round(kurtosis_pop(l_extendedprice), 4) AS kurt_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,229 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.queries.util._
+import graft.text.{Dedup, TextAnalysis => TA}
+import graft.ml.Similarity
+import graft.multimodal.Multimodal
+
+/** Training-data pipeline battery: dedup (exact / MinHash-LSH / SimHash /
+  * n-gram Jaccard), similarity search over embeddings, text analysis
+  * (token counts, language-ID, quality, fingerprints), multimodal plumbing.
+  * The md5-based hashing keeps every deterministic step DuckDB-checkable.
+  */
+object QueriesText {
+
+  // deterministic random hyperplanes for embedding LSH (seed-free: fixed).
+  private val planes: Seq[Array[Double]] = Seq(7, 13, 29).map { p =>
+    Array.tabulate(64)(i => math.sin((i + 1) * p).toDouble)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "text_token_stats" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TA.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("n_chars_calc"),
+        TA.subwordCount(col("text")).as("n_subwords"))
+        .orderBy(col("doc_id"))),
+
+    "text_quality" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TA.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    "text_langid" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"), col("lang"),
+        TA.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    "text_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TA.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    "dedup_minhash_sig" -> ((s, d) =>
+      t(s, d, "documents").filter(col("doc_id") < 100).select(
+        col("doc_id"),
+        element_at(Dedup.minhashSignature(col("text"), 3, 4), 1).as("mh0"),
+        element_at(Dedup.minhashSignature(col("text"), 3, 4), 2).as("mh1"))
+        .orderBy(col("doc_id"))),
+
+    // LSH candidates + exact Jaccard verification — rows-only at full
+    // pipeline level would hide bugs, so the oracle replicates the whole
+    // MinHash+LSH+Jaccard pipeline in SQL.
+    "dedup_near_pairs" -> ((s, d) =>
+      Dedup.nearDuplicates(t(s, d, "documents"), "doc_id", "text",
+        w = 3, k = 4, b = 2, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "dedup_simhash" -> ((s, d) =>
+      t(s, d, "documents").filter(col("doc_id") < 200).select(
+        col("doc_id"),
+        Dedup.simhash(col("text"), 16).as("simhash"))
+        .orderBy(col("doc_id"))),
+
+    "sim_bruteforce_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queriesDf = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") >= 3), queriesDf,
+        "vec_id", "embedding", "query_id", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // LSH-bucketed embedding near-dups: rows-only (plane literals are huge
+    // in SQL); correctness covered by the scalatest spec + bruteforce oracle.
+    "sim_lsh_pairs" -> ((s, d) =>
+      Similarity.embeddingNearDups(t(s, d, "embeddings"), "vec_id", "embedding",
+        planes, threshold = 0.3)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "multimodal_frames" -> ((s, d) => {
+      val assets = Multimodal.asAssets(
+        t(s, d, "documents").select(col("doc_id"), col("text"), col("n_chars")),
+        "doc_id", "text", "video")
+        .withColumn("meta", struct(lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height"), lit(null).cast("int").as("sample_rate"),
+          (col("asset_id") % 20 * 1000 + 500).cast("long").as("duration_ms"),
+          lit("fake").as("codec")))
+      Multimodal.sampleFrames(assets, everyMs = 500L)
+        .select(col("asset_id"), col("ts_ms"), col("frame_idx"))
+        .orderBy(col("asset_id"), col("ts_ms"))
+    })
+  )
+
+  private val tokensSql = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')"
+  private def shinglesSql(w: Int) =
+    s"""(CASE WHEN len($tokensSql) >= $w
+       | THEN [array_to_string(($tokensSql)[i:i+${w - 1}], ' ')
+       |       FOR i IN generate_series(1, len($tokensSql) - ${w - 1})]
+       | ELSE [array_to_string($tokensSql, ' ')] END)""".stripMargin
+
+  private def minhashSql(i: Int, w: Int) =
+    s"list_min(list_transform(${shinglesSql(w)}, s -> md5('$i' || ':' || s)))"
+
+  val oracle: Map[String, String] = Map(
+    "text_token_stats" ->
+      """SELECT doc_id,
+        | CASE WHEN trim(text) = '' THEN 0
+        |      ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) END AS n_tokens,
+        | CAST(length(text) AS INTEGER) AS n_chars_calc,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id, round(
+        | (CASE WHEN length(text) < 10 THEN 0.0 WHEN length(text) > 20000 THEN 0.3 ELSE 1.0 END) * 0.3
+        | + (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(length(text), 1.0)) * 0.3
+        | + (CASE WHEN length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / greatest(length(text), 1.0) > 0.2
+        |    THEN 0.0 ELSE 1.0 - length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / greatest(length(text), 1.0) END) * 0.2
+        | + (CASE WHEN length(text) / greatest(CASE WHEN trim(text) = '' THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END, 1)
+        |     BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.2 END) * 0.2, 4) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_langid" -> {
+      def ratio(words: Seq[String]) =
+        s"""(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+           |  t -> t IN (${words.map(w => s"'$w'").mkString(",")})))
+           | / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1))""".stripMargin
+      val en = ratio(TA.stopwordsEn); val es = ratio(TA.stopwordsEs)
+      val de = ratio(TA.stopwordsDe); val fr = ratio(TA.stopwordsFr)
+      s"""SELECT doc_id, lang,
+         | CASE
+         |  WHEN length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))
+         |    / greatest(length(text), 1) > 0.05 THEN 'zh'
+         |  WHEN greatest($en, $es, $de, $fr) = 0 THEN 'und'
+         |  WHEN $en = greatest($en, $es, $de, $fr) THEN 'en'
+         |  WHEN $es = greatest($en, $es, $de, $fr) THEN 'es'
+         |  WHEN $de = greatest($en, $es, $de, $fr) THEN 'de'
+         |  ELSE 'fr' END AS lang_pred
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+        |  list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> ''))), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+        |JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+        | ON d.doc_id = k.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "dedup_minhash_sig" ->
+      s"""SELECT doc_id, ${minhashSql(0, 3)} AS mh0, ${minhashSql(1, 3)} AS mh1
+         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+
+    "dedup_near_pairs" -> {
+      // replicate: sig k=4 (i=0..3), bands b=2 (r=2), candidates, jaccard>=0.5
+      val sigs = (0 to 3).map(i => s"${minhashSql(i, 3)} AS mh$i").mkString(", ")
+      s"""WITH sig AS (
+         | SELECT doc_id, $sigs, ${shinglesSql(3)} AS sh FROM documents),
+         |banded AS (
+         | SELECT doc_id, 0 AS band_id, md5(mh0 || '|' || mh1) AS band_hash, sh FROM sig
+         | UNION ALL
+         | SELECT doc_id, 1, md5(mh2 || '|' || mh3), sh FROM sig),
+         |cand AS (
+         | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         | FROM banded a JOIN banded b
+         |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         |  AND a.doc_id < b.doc_id),
+         |verified AS (
+         | SELECT id_a, id_b,
+         |  round(len(list_distinct(list_intersect(sa.sh, sb.sh)))
+         |   / (len(list_distinct(sa.sh)) + len(list_distinct(sb.sh))
+         |      - len(list_distinct(list_intersect(sa.sh, sb.sh)))), 4) AS jaccard
+         | FROM cand
+         | JOIN sig sa ON sa.doc_id = id_a
+         | JOIN sig sb ON sb.doc_id = id_b)
+         |SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "dedup_simhash" -> {
+      // 16-bit simhash: per bit, majority vote over distinct tokens
+      // (nested list lambdas — correlated subqueries crash DuckDB here)
+      val th = s"list_transform(list_distinct($tokensSql), t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)"
+      s"""SELECT doc_id,
+         | CAST(list_sum(list_transform(generate_series(0,15), i ->
+         |   CASE WHEN list_sum(list_transform($th,
+         |     h -> CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |    THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS simhash
+         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+    },
+
+    "sim_bruteforce_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 3),
+        | c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 3),
+        | scored AS (
+        |  SELECT q.query_id, c.vec_id,
+        |   round(list_dot_product(c.cv, q.qv)
+        |     / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+        |  FROM c CROSS JOIN q)
+        |SELECT query_id, vec_id, cosine, rank FROM (
+        | SELECT query_id, vec_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |   ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+        | FROM scored)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "multimodal_frames" ->
+      """SELECT doc_id AS asset_id, unnest(generate_series(0, dur, 500)) AS ts_ms,
+        | CAST(unnest(generate_series(0, dur, 500)) / 500 AS BIGINT) AS frame_idx
+        |FROM (SELECT doc_id, doc_id % 20 * 1000 + 500 AS dur FROM documents)
+        |ORDER BY asset_id, ts_ms""".stripMargin
+  )
+}

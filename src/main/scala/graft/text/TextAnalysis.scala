@@ -1,0 +1,87 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  * All pure Column compositions (codegen'd, no UDFs) so they run inside
+  * whole-stage codegen over 100 TB of documents.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. Empty/blank text → 0. */
+  def tokenCount(text: Column): Column =
+    when(trim(text) === "", lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count: alnum runs + individual punctuation marks — a
+    * cheap, deterministic proxy for tokenizer counts (≈ GPT-style regex
+    * families). RE2-safe pattern (no lookarounds) so oracles can mirror it. */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Stopword hit ratio over a given stopword list — building block for
+    * language-ID and quality scoring. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val hits = size(filter(toks, t => t.isin(stopwords.map(lit(_).cast("string")): _*)))
+    hits.cast("double") / greatest(size(toks), lit(1)).cast("double")
+  }
+
+  // Small built-in stopword inventories for the n-gram/stopword language
+  // heuristic (public common-word lists).
+  val stopwordsEn = Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "on")
+  val stopwordsEs = Seq("el", "la", "de", "que", "y", "en", "los", "del", "se", "las")
+  val stopwordsDe = Seq("der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist")
+  val stopwordsFr = Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "une")
+
+  /** Language-ID heuristic: highest stopword ratio wins; CJK detection by
+    * unicode-range density first. Returns a 2-letter code, "und" if unsure. */
+  def langId(text: Column): Column = {
+    val cjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+    val en = stopwordRatio(text, stopwordsEn)
+    val es = stopwordRatio(text, stopwordsEs)
+    val de = stopwordRatio(text, stopwordsDe)
+    val fr = stopwordRatio(text, stopwordsFr)
+    val best = greatest(en, es, de, fr)
+    when(cjk > 0.05, lit("zh"))
+      .when(best === lit(0.0), lit("und"))
+      .when(en === best, lit("en"))
+      .when(es === best, lit("es"))
+      .when(de === best, lit("de"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Quality score in [0,1]: combines length band, punctuation sanity,
+    * alpha ratio and mean word length — the standard cheap pre-filters in
+    * web-scale corpus cleaning. */
+  def qualityScore(text: Column): Column = {
+    val n = length(text).cast("double")
+    val toks = greatest(tokenCount(text), lit(1)).cast("double")
+    val alpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") / greatest(n, lit(1.0))
+    val punct = length(regexp_replace(text, "[^.,;:!?]", "")).cast("double") / greatest(n, lit(1.0))
+    val meanWordLen = n / toks
+    val lenScore = when(n < 10, lit(0.0)).when(n > 20000, lit(0.3)).otherwise(lit(1.0))
+    val punctScore = when(punct > 0.2, lit(0.0)).otherwise(lit(1.0) - punct)
+    val wordLenScore = when(meanWordLen.between(2.0, 12.0), lit(1.0)).otherwise(lit(0.2))
+    round((lenScore * 0.3 + alpha * 0.3 + punctScore * 0.2 + wordLenScore * 0.2), 4)
+  }
+
+  /** Document fingerprint (OpenRefine-style key collision fingerprint):
+    * lowercase → tokenize → distinct → sort → md5. Deterministic and
+    * oracle-reproducible; used for near-exact dedup of reordered text. */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(
+      filter(split(lower(trim(text)), "\\s+"), t => t =!= ""))), " "))
+
+  /** Rolling-hash shingle fingerprints: md5 per w-token shingle, minimum
+    * kept — a cheap content-defined signature. */
+  def minShingleHash(text: Column, w: Int): Column = {
+    val toks = filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
+    val n = size(toks)
+    val shingles = transform(sequence(lit(0), greatest(n - w, lit(0))),
+      i => array_join(slice(toks, i + 1, lit(w)), " "))
+    array_min(transform(shingles, s => md5(s)))
+  }
+}

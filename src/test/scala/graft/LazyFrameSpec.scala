@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dsl.LazyFrame
+
+class LazyFrameSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def lf = LazyFrame(Seq(
+    ("a", 1, 10.0), ("a", 2, 20.0), ("b", 3, 30.0), ("b", 4, 40.0), ("c", 5, 50.0)
+  ).toDF("k", "i", "v"))
+
+  test("select/filter/withColumns/rename compose lazily") {
+    val out = lf.filter(col("i") > 1)
+      .withColumns("v2" -> (col("v") * 2))
+      .rename("k" -> "key")
+      .selectNames("key", "v2")
+    assert(out.columns == Seq("key", "v2"))
+    assert(out.count() == 4)
+  }
+
+  test("groupBy.agg + sort + limit") {
+    val out = lf.groupBy(col("k")).agg(sum(col("v")).as("s"))
+      .sort(col("s").desc).limit(2).collect().as[(String, Double)].collect().toSeq
+    assert(out == Seq(("b", 70.0), ("c", 50.0)))
+  }
+
+  test("topK plans TakeOrderedAndProject (no full sort at scale)") {
+    val plan = lf.topK(2, col("v")).explainFormatted()
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("unique/uniqueKeep/vstack/intersect") {
+    val dup = lf.vstack(lf)
+    assert(dup.count() == 10)
+    assert(dup.unique().count() == 5)
+    assert(lf.uniqueKeep(Seq("k"), "first", col("i")).count() == 3)
+  }
+
+  test("withRowIndex is 0-based along the order") {
+    val idx = lf.withRowIndex("idx", Seq(col("i").desc))
+      .filter(col("idx") === 0).selectNames("k").collect().as[String].head()
+    assert(idx == "c")
+  }
+
+  test("unpivot/pivot round-trip shape") {
+    val long = lf.unpivot(Seq("k"), Seq("i", "v"), "m", "val")
+    assert(long.count() == 10)
+    val wide = lf.pivot(Seq("k"), "i", Seq(1, 2, 3, 4, 5), sum(col("v")))
+    assert(wide.columns.toSet == Set("k", "1", "2", "3", "4", "5"))
+  }
+
+  test("slice respects offset/len along explicit order") {
+    val rows = lf.slice(1, 2, Seq(col("i"))).selectNames("i")
+      .collect().as[Int].collect().sorted.toSeq
+    assert(rows == Seq(2, 3))
+  }
+
+  test("scan pushes filters and prunes columns to parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("graft").toString
+    lf.sinkParquet(dir)
+    val scanned = LazyFrame.scanParquet(spark, dir)
+      .filter(col("i") > 3).selectNames("k")
+    val plan = scanned.explainFormatted()
+    assert(plan.contains("PushedFilters: [IsNotNull(i), GreaterThan(i,3)]"))
+    assert(plan.contains("ReadSchema: struct<k:string,i:int>"))
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{HConcat, Rle, Unique, Upsample}
+import graft.{functions => gf}
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("unique keep=first/last/none honor the order column") {
+    val df = Seq(("a", 1, "x"), ("a", 2, "y"), ("b", 3, "z"))
+      .toDF("k", "ord", "v")
+    assert(Unique.keep(df, Seq("k"), "first", col("ord"))
+      .select("v").as[String].collect().sorted.toSeq == Seq("x", "z"))
+    assert(Unique.keep(df, Seq("k"), "last", col("ord"))
+      .select("v").as[String].collect().sorted.toSeq == Seq("y", "z"))
+    assert(Unique.keep(df, Seq("k"), "none", col("ord"))
+      .select("v").as[String].collect().toSeq == Seq("z"))
+  }
+
+  test("rle_id increments on value change, rle collapses runs") {
+    val df = Seq((1, "a"), (2, "a"), (3, "b"), (4, "a"), (5, "a"))
+      .toDF("ord", "v")
+    val ids = Rle.withRunId(df, col("v"), Nil, Seq(col("ord")))
+      .orderBy("ord").select("run_id").as[Long].collect().toSeq
+    assert(ids == Seq(0L, 0L, 1L, 2L, 2L))
+    val runs = Rle.rle(df, col("v"), Nil, Seq(col("ord")))
+      .orderBy("run_id").select("value", "len").as[(String, Long)].collect().toSeq
+    assert(runs == Seq(("a", 2L), ("b", 1L), ("a", 2L)))
+  }
+
+  test("hconcat zips by row position") {
+    val a = Seq(1, 2, 3).toDF("x")
+    val b = Seq("a", "b", "c").toDF("y")
+    val z = HConcat.byOrder(a, b, col("x"), col("y"))
+      .orderBy("x").as[(Int, String)].collect().toSeq
+    assert(z == Seq((1, "a"), (2, "b"), (3, "c")))
+  }
+
+  test("upsample densifies the time grid per group") {
+    val df = Seq(("g", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      ("g", java.sql.Timestamp.valueOf("2024-01-01 03:00:00"), 2.0))
+      .toDF("k", "ts", "v")
+    val up = Upsample.upsample(df, "ts", "interval 1 hour", Seq("k"))
+    assert(up.count() == 4)
+    assert(up.filter(col("v").isNull).count() == 2)
+  }
+
+  test("cut bins left-exclusive right-inclusive; clip bounds") {
+    val df = Seq(-1.0, 0.0, 1.0, 2.5, 9.9).toDF("x")
+    val buckets = df.select(gf.cut(col("x"), Seq(0.0, 2.0), Seq("lo", "mid", "hi")))
+      .as[String].collect().toSeq
+    assert(buckets == Seq("lo", "lo", "mid", "hi", "hi"))
+    val clipped = df.select(gf.clip(col("x"), lit(0.0), lit(2.0)))
+      .as[Double].collect().toSeq
+    assert(clipped == Seq(0.0, 0.0, 1.0, 2.0, 2.0))
+  }
+
+  test("businessDayCount counts Mon-Fri in [start, end)") {
+    // 2024-01-01 (Mon) .. 2024-01-08 (Mon): 5 business days
+    val df = Seq(("2024-01-01", "2024-01-08"), ("2024-01-06", "2024-01-08"))
+      .toDF("a", "b")
+      .select(gf.businessDayCount(col("a").cast("date"), col("b").cast("date")).as("n"))
+    assert(df.as[Long].collect().toSeq == Seq(5L, 0L))
+  }
+
+  test("ewmMeanRows matches the closed-form weights") {
+    val df = Seq((1, 1.0), (2, 2.0), (3, 3.0)).toDF("ord", "x")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("ord")
+    val got = df.select(gf.ewmMeanRows(col("x"), w, span = 3, alpha = 0.5))
+      .as[Double].collect().toSeq
+    // adjust=true: y2 = (0.5*1 + 2)/1.5 ; y3 = (0.25*1 + 0.5*2 + 3)/1.75
+    assert(math.abs(got(1) - (0.5 * 1 + 2) / 1.5) < 1e-12)
+    assert(math.abs(got(2) - (0.25 * 1 + 0.5 * 2 + 3) / 1.75) < 1e-12)
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.{Dedup, TextAnalysis}
+import graft.ml.Similarity
+import graft.multimodal.Multimodal
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup keeps smallest id per distinct text") {
+    val df = Seq((1L, "hello world"), (2L, "hello world"), (3L, "other"))
+      .toDF("id", "text")
+    val kept = Dedup.exact(df, "id", "text").select("id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
+  test("jaccard: identical=1, disjoint=0") {
+    val df = Seq(("a b c d", "a b c d", "x y z w")).toDF("t1", "t2", "t3")
+    val (same, diff) = df.select(
+      Dedup.jaccard(col("t1"), col("t2"), 2),
+      Dedup.jaccard(col("t1"), col("t3"), 2)).as[(Double, Double)].head()
+    assert(same == 1.0 && diff == 0.0)
+  }
+
+  test("minhash LSH finds a near-duplicate pair") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val df = Seq((1L, base), (2L, base + " extra"), (3L, "completely different words here nothing shared at all ever"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.nearDuplicates(df, "doc_id", "text", w = 2, k = 8, b = 4,
+      threshold = 0.3).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical texts share signature; hamming=0") {
+    val df = Seq(("same words here", "same words here", "other stuff there"))
+      .toDF("a", "b", "c")
+    val (hAB, hAC) = df.select(
+      Dedup.hammingDistance(Dedup.simhash(col("a")), Dedup.simhash(col("b"))),
+      Dedup.hammingDistance(Dedup.simhash(col("a")), Dedup.simhash(col("c"))))
+      .as[(Long, Long)].head()
+    assert(hAB == 0L && hAC > 0L)
+  }
+
+  test("tokenCount handles blanks; fingerprint is order-insensitive") {
+    val df = Seq(("", "b a c", "c b a")).toDF("e", "x", "y")
+    val (n, fx, fy) = df.select(TextAnalysis.tokenCount(col("e")),
+      TextAnalysis.fingerprint(col("x")), TextAnalysis.fingerprint(col("y")))
+      .as[(Int, String, String)].head()
+    assert(n == 0 && fx == fy)
+  }
+
+  test("brute-force topk: self is the nearest neighbor") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val top = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", "qid", 2)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(top == Seq(0L, 1L))
+  }
+
+  test("ivf with a single centroid equals brute force") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val cents = Seq((0, Array(0.5, 0.5)))
+    val top = Similarity.ivfTopK(vecs, q, "vec_id", "embedding", "qid", cents, 2)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(top == Seq(0L, 1L))
+  }
+
+  test("multimodal frame sampling emits duration/every + 1 frames") {
+    val df = Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+    val assets = Multimodal.asAssets(df, "id", "payload", "video")
+      .withColumn("meta", struct(lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"), lit(null).cast("int").as("sample_rate"),
+        lit(2000L).as("duration_ms"), lit("fake").as("codec")))
+    val frames = Multimodal.sampleFrames(assets, 500L)
+    assert(frames.count() == 5) // 0,500,1000,1500,2000
+    val feats = Multimodal.extractFeatures(assets, dim = 4)
+      .select(size(col("features"))).as[Int].head()
+    assert(feats == 4)
+  }
+}

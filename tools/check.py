@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's t2 correctness gate (NOT part of the library).
+
+Usage: python3 tools/check.py <verify_out_dir> [sf_dir] [query ...]
+
+Reads each <out>/<name> parquet (written by graft.Verify), runs the matching
+oracle SQL from <out>/oracle_sql.json in DuckDB over the sf parquet tables,
+and compares: schema (column names), row count, and exact values after
+sorting rows by all columns (mirrors a hash compare).
+"""
+import json, sys, math
+import duckdb
+import pyarrow.parquet as pq
+import pyarrow.dataset as ds
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, norm(x)) for k, x in v.items()))
+    return v
+
+def rows_of(table):
+    cols = sorted(table.column_names)
+    table = table.select(cols)
+    data = table.to_pylist()
+    rows = [tuple(norm(r[c]) for c in cols) for r in data]
+    return cols, sorted(rows, key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
+
+def main():
+    out = sys.argv[1]
+    sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    only = set(sys.argv[3:])
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+
+    def fresh_con():
+        c = duckdb.connect()
+        for t in TABLES:
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        return c
+
+    con = fresh_con()
+    ok = fail = skip = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        try:
+            got_tbl = ds.dataset(f"{out}/{name}").to_table()
+        except Exception as e:
+            print(f"MISSING {name}: {e}")
+            fail += 1
+            continue
+        try:
+            exp_tbl = con.execute(sql).fetch_arrow_table()
+        except Exception as e:
+            print(f"ORACLE-ERR {name}: {str(e)[:300]}")
+            fail += 1
+            con = fresh_con()  # a fatal error invalidates the connection
+            continue
+        gc, gr = rows_of(got_tbl)
+        ec, er = rows_of(exp_tbl)
+        if gc != ec:
+            print(f"SCHEMA {name}: spark={gc} oracle={ec}")
+            fail += 1
+            continue
+        if len(gr) != len(er):
+            print(f"ROWS {name}: spark={len(gr)} oracle={len(er)}")
+            fail += 1
+            continue
+        bad = [(i, a, b) for i, (a, b) in enumerate(zip(gr, er)) if a != b]
+        if bad:
+            print(f"VALUES {name}: {len(bad)}/{len(gr)} rows differ; first: ")
+            i, a, b = bad[0]
+            for c, x, y in zip(gc, a, b):
+                if x != y:
+                    print(f"   row{i} col {c}: spark={x!r} oracle={y!r}")
+            fail += 1
+            continue
+        print(f"OK {name} ({len(gr)} rows)")
+        ok += 1
+    print(f"\n{ok} ok, {fail} fail, {skip} skip")
+    sys.exit(1 if fail else 0)
+
+if __name__ == "__main__":
+    main()
