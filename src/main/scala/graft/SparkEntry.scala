@@ -21,11 +21,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesAgg.queries ++ QueriesJoin.queries ++ QueriesWindow.queries ++
-      QueriesScalar.queries ++ QueriesReshape.queries ++ QueriesText.queries
+      QueriesScalar.queries ++ QueriesReshape.queries ++ QueriesText.queries ++
+      QueriesExtra.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys → driver records rows-only checks. */
   def oracleSql: Map[String, String] =
     QueriesAgg.oracle ++ QueriesJoin.oracle ++ QueriesWindow.oracle ++
-      QueriesScalar.oracle ++ QueriesReshape.oracle ++ QueriesText.oracle
+      QueriesScalar.oracle ++ QueriesReshape.oracle ++ QueriesText.oracle ++
+      QueriesExtra.oracle
 }

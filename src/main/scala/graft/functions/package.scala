@@ -68,6 +68,23 @@ package object functions {
     first(c, ignoreNulls = true)
       .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
 
+  /** Linear interpolation of interior nulls along a numeric coordinate
+    * (polars interpolate/interpolate_by,
+    * crates/polars-ops/src/series/ops/interpolation/). Leading/trailing
+    * nulls stay null, matching polars. `pos` must be non-null monotone
+    * within the window's order. */
+  def interpolateLinear(v: Column, pos: Column, w: WindowSpec): Column = {
+    val before = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val after = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val pv = last(v, ignoreNulls = true).over(before)
+    val pp = last(when(v.isNotNull, pos), ignoreNulls = true).over(before)
+    val nv = first(v, ignoreNulls = true).over(after)
+    val np = first(when(v.isNotNull, pos), ignoreNulls = true).over(after)
+    when(v.isNotNull, v)
+      .when(pv.isNotNull && nv.isNotNull,
+        pv + (nv - pv) * (pos.cast("double") - pp) / (np - pp))
+  }
+
   // ---- EWM ---------------------------------------------------------------
 
   /** polars ewm_mean(alpha, adjust=true): y_i = Σ_j (1-α)^(i-j) x_j / Σ_j w.

@@ -37,8 +37,15 @@ object Dedup {
   /** MinHash signature: k permutations approximated by min(md5(i || shingle))
     * per i — lexicographic min over hex strings is a valid uniform min-hash. */
   def minhashSignature(text: Column, w: Int, k: Int): Column =
+    signatureFromShingles(shingles(text, w), k)
+
+  /** Signature from a pre-materialized shingle column. Materialize shingles
+    * in their own projection first — inlining the shingle expression into
+    * the k-way transform re-derives it k times per row (measured 3-4× on
+    * the dedup pipeline). */
+  def signatureFromShingles(sh: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingles(text, w),
+      i => array_min(transform(sh,
         s => md5(concat(i.cast("string"), lit(":"), s)))))
 
   /** LSH banding: signature (length k) → b bands of r rows, hashed. */
@@ -47,15 +54,34 @@ object Dedup {
       i => struct(i.as("band_id"),
         md5(array_join(slice(signature, i * r + 1, lit(r)), "|")).as("band_hash")))
 
+  /** (id, distinct shingles) projection — the shared first stage of the
+    * MinHash pipeline. Its own projection so downstream stages read the
+    * materialized array instead of re-deriving it.
+    *
+    * The hash stage is CPU-bound interpreted HOF work, so parallelism is
+    * everything: a compact input (one parquet row-group) would otherwise pin
+    * the whole corpus on one task. Fan out to the cluster's parallelism when
+    * the input arrives under-partitioned; at real scale the scan already has
+    * thousands of partitions and no extra shuffle happens. */
+  private def shingled(df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val in = if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    in.select(col(idCol).as("__id"),
+      array_distinct(shingles(col(textCol), w)).as("__sh"))
+  }
+
+  private def bandedIds(sh: DataFrame, k: Int, b: Int): DataFrame = {
+    val r = k / b
+    sh.select(col("__id"), signatureFromShingles(col("__sh"), k).as("__sig"))
+      .select(col("__id"), explode(bands(col("__sig"), b, r)).as("__band"))
+      .select(col("__id"), col("__band.band_id"), col("__band.band_hash"))
+  }
+
   /** Candidate near-duplicate pairs via MinHash LSH. Returns (id_a, id_b)
     * with id_a < id_b, distinct. Shuffles: one explode+groupBy on band hash. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         w: Int = 3, k: Int = 16, b: Int = 4): DataFrame = {
-    val r = k / b
-    val sig = df.select(col(idCol).as("__id"),
-      minhashSignature(col(textCol), w, k).as("__sig"))
-    val banded = sig.select(col("__id"), explode(bands(col("__sig"), b, r)).as("__band"))
-      .select(col("__id"), col("__band.band_id"), col("__band.band_hash"))
+    val banded = bandedIds(shingled(df, idCol, textCol, w), k, b)
     val a = banded.withColumnRenamed("__id", "id_a")
     val bb = banded.withColumnRenamed("__id", "id_b")
     a.join(bb, Seq("band_id", "band_hash"))
@@ -72,18 +98,32 @@ object Dedup {
     when(uni > 0, inter / uni).otherwise(lit(0.0))
   }
 
+  /** Exact Jaccard over two pre-distinct shingle arrays. */
+  def jaccardFromShingles(sa: Column, sb: Column): Column = {
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val uni = (size(sa) + size(sb)).cast("double") - inter
+    when(uni > 0, inter / uni).otherwise(lit(0.0))
+  }
+
   /** MinHash-LSH near-dup pairs verified by exact Jaccard ≥ threshold.
-    * Candidates come from LSH (bounded); verification joins text back in. */
+    * Candidates come from LSH (shuffle-bounded); verification joins the
+    * already-shingled sides back — shingles are computed exactly once per
+    * document across the whole pipeline. */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      w: Int = 3, k: Int = 16, b: Int = 4,
                      threshold: Double = 0.8): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, w, k, b)
-    val t = df.select(col(idCol), col(textCol))
-    val withText = cands
-      .join(t.withColumnRenamed(idCol, "id_a").withColumnRenamed(textCol, "__ta"), Seq("id_a"))
-      .join(t.withColumnRenamed(idCol, "id_b").withColumnRenamed(textCol, "__tb"), Seq("id_b"))
-    withText
-      .withColumn("jaccard", round(jaccard(col("__ta"), col("__tb"), w), 4))
+    val sh = shingled(df, idCol, textCol, w)
+    val banded = bandedIds(sh, k, b)
+    val a = banded.withColumnRenamed("__id", "id_a")
+    val bb = banded.withColumnRenamed("__id", "id_b")
+    val cands = a.join(bb, Seq("band_id", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val withSh = cands
+      .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sha")), Seq("id_a"))
+      .join(sh.select(col("__id").as("id_b"), col("__sh").as("__shb")), Seq("id_b"))
+    withSh
+      .withColumn("jaccard", round(jaccardFromShingles(col("__sha"), col("__shb")), 4))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
