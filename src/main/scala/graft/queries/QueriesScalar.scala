@@ -255,14 +255,15 @@ object QueriesScalar {
     "math_funcs" ->
       """SELECT l_orderkey, l_linenumber,
         | round(abs(l_discount - l_tax), 6) AS ad,
-        | floor(l_extendedprice) AS fl, ceil(l_extendedprice) AS ce,
+        | CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+        | CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
         | round(sqrt(l_quantity), 6) AS sq,
         | round(pow(l_discount, 2), 8) AS p2,
         | round(exp(l_discount), 8) AS ex,
         | round(ln(1 + l_quantity), 8) AS l1p,
         | round(sin(l_tax), 8) AS sn,
         | round(atan2(l_discount, l_tax + 0.01), 8) AS at2,
-        | CASE WHEN l_discount - 0.05 > 0 THEN 1.0 WHEN l_discount - 0.05 < 0 THEN -1.0 ELSE 0.0 END AS sgn,
+        | CAST(CASE WHEN l_discount - 0.05 > 0 THEN 1.0 WHEN l_discount - 0.05 < 0 THEN -1.0 ELSE 0.0 END AS DOUBLE) AS sgn,
         | fmod(l_quantity, 7) AS md,
         | CAST(floor(l_quantity / 7) AS BIGINT) AS fd
         |FROM lineitem WHERE l_orderkey <= 1000 ORDER BY 1, 2""".stripMargin,

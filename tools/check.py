@@ -64,6 +64,15 @@ def main():
             fail += 1
             con = fresh_con()  # a fatal error invalidates the connection
             continue
+        gt = {f.name: str(f.type) for f in got_tbl.schema}
+        et = {f.name: str(f.type) for f in exp_tbl.schema}
+        tdiff = {k: (gt.get(k), et.get(k)) for k in set(gt) | set(et)
+                 if gt.get(k) != et.get(k)}
+        if tdiff:
+            # the driver hashes raw values, so int64 12 vs double 12.0 or
+            # decimal 1.0 vs double 1.0 WILL hash-mismatch even though the
+            # lenient Python == below passes — surface it loudly
+            print(f"TYPES {name}: {tdiff}")
         gc, gr = rows_of(got_tbl)
         ec, er = rows_of(exp_tbl)
         if gc != ec:
