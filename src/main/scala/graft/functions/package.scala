@@ -56,6 +56,21 @@ package object functions {
   def isFirstDistinct(c: Column, orderBy: Column): Column =
     row_number().over(Window.partitionBy(c).orderBy(orderBy)) === 1
 
+  /** polars peak_max (chunked_array/peaks.rs): strictly greater than both
+    * neighbors; at the partition edge only the existing neighbor counts. */
+  def peakMax(c: Column, w: WindowSpec): Column = {
+    val prev = lag(c, 1).over(w)
+    val next = lead(c, 1).over(w)
+    (prev.isNull || c > prev) && (next.isNull || c > next)
+  }
+
+  /** polars peak_min: strictly smaller than both neighbors. */
+  def peakMin(c: Column, w: WindowSpec): Column = {
+    val prev = lag(c, 1).over(w)
+    val next = lead(c, 1).over(w)
+    (prev.isNull || c < prev) && (next.isNull || c < next)
+  }
+
   // ---- fills / interpolation ----------------------------------------------
 
   /** Forward fill along an order (polars fill_null(strategy="forward")). */
