@@ -77,17 +77,28 @@ object Dedup {
       .select(col("__id"), col("__band.band_id"), col("__band.band_hash"))
   }
 
-  /** Candidate near-duplicate pairs via MinHash LSH. Returns (id_a, id_b)
-    * with id_a < id_b, distinct. Shuffles: one explode+groupBy on band hash. */
-  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        w: Int = 3, k: Int = 16, b: Int = 4): DataFrame = {
-    val banded = bandedIds(shingled(df, idCol, textCol, w), k, b)
-    val a = banded.withColumnRenamed("__id", "id_a")
-    val bb = banded.withColumnRenamed("__id", "id_b")
-    a.join(bb, Seq("band_id", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+  /** id<id candidate pairs from banded signatures — grouped per
+    * (band_id, band_hash) bucket with local pair generation instead of an
+    * exploded self-join. One shuffle of (16-byte hash, id); the signature
+    * column is computed exactly once (the join formulation computed it for
+    * BOTH sides). Bucket blow-up (a bucket of n ids emits n(n-1)/2 pairs) is
+    * inherent to LSH, not to this formulation; tune b/r for the corpus. */
+  private def pairsFromBuckets(banded: DataFrame): DataFrame = {
+    val ids = col("ids")
+    banded.groupBy(col("band_id"), col("band_hash"))
+      .agg(sort_array(collect_set(col("__id"))).as("ids"))
+      .filter(size(ids) > 1)
+      .select(explode(flatten(transform(ids, (x, i) =>
+        transform(slice(ids, i + 2, size(ids)),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b")).distinct()
   }
+
+  /** Candidate near-duplicate pairs via MinHash LSH. Returns (id_a, id_b)
+    * with id_a < id_b, distinct. Shuffles: one groupBy on band hash. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        w: Int = 3, k: Int = 16, b: Int = 4): DataFrame =
+    pairsFromBuckets(bandedIds(shingled(df, idCol, textCol, w), k, b))
 
   /** Exact n-gram Jaccard similarity between two text columns. */
   def jaccard(textA: Column, textB: Column, w: Int): Column = {
@@ -112,13 +123,13 @@ object Dedup {
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      w: Int = 3, k: Int = 16, b: Int = 4,
                      threshold: Double = 0.8): DataFrame = {
+    // persist: the shingle arrays feed banding AND both verification joins —
+    // without it the tokenize+shingle+distinct pipeline runs 3×. MEMORY_AND_DISK
+    // so a 100 TB corpus spills instead of OOMing; at that scale prefer an
+    // explicit checkpoint to parquet.
     val sh = shingled(df, idCol, textCol, w)
-    val banded = bandedIds(sh, k, b)
-    val a = banded.withColumnRenamed("__id", "id_a")
-    val bb = banded.withColumnRenamed("__id", "id_b")
-    val cands = a.join(bb, Seq("band_id", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = pairsFromBuckets(bandedIds(sh, k, b))
     val withSh = cands
       .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sha")), Seq("id_a"))
       .join(sh.select(col("__id").as("id_b"), col("__sh").as("__shb")), Seq("id_b"))
