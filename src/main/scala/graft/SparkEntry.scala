@@ -22,12 +22,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesAgg.queries ++ QueriesJoin.queries ++ QueriesWindow.queries ++
       QueriesScalar.queries ++ QueriesReshape.queries ++ QueriesText.queries ++
-      QueriesExtra.queries ++ QueriesScalar2.queries ++ QueriesExtra2.queries
+      QueriesExtra.queries ++ QueriesScalar2.queries ++ QueriesExtra2.queries ++
+      QueriesWindow2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys → driver records rows-only checks. */
   def oracleSql: Map[String, String] =
     QueriesAgg.oracle ++ QueriesJoin.oracle ++ QueriesWindow.oracle ++
       QueriesScalar.oracle ++ QueriesReshape.oracle ++ QueriesText.oracle ++
-      QueriesExtra.oracle ++ QueriesScalar2.oracle ++ QueriesExtra2.oracle
+      QueriesExtra.oracle ++ QueriesScalar2.oracle ++ QueriesExtra2.oracle ++
+      QueriesWindow2.oracle
 }

@@ -180,6 +180,26 @@ final class LazyFrame(val df: DataFrame) {
   def vstack(others: LazyFrame*): LazyFrame =
     LazyFrame(others.foldLeft(df)((a, b) => a.unionByName(b.df, allowMissingColumns = true)))
 
+  /** polars concat how=vertical_relaxed: shared columns are coerced to their
+    * supertype before the union (reference
+    * crates/polars-core/src/utils/supertype.rs; polars does this inside the
+    * union's type-coercion pass — here it's an explicit pre-cast). */
+  def vstackRelaxed(other: LazyFrame): LazyFrame = {
+    import org.apache.spark.sql.types._
+    val rank: Map[DataType, Int] = Map(ByteType -> 0, ShortType -> 1,
+      IntegerType -> 2, LongType -> 3, FloatType -> 4, DoubleType -> 5)
+    def supertype(a: DataType, b: DataType): DataType =
+      if (a == b) a
+      else if (rank.contains(a) && rank.contains(b)) { if (rank(a) >= rank(b)) a else b }
+      else StringType
+    val types = (df.schema.fields ++ other.df.schema.fields)
+      .groupBy(_.name).map { case (n, fs) =>
+        n -> fs.map(_.dataType).reduce(supertype) }
+    def coerced(d: DataFrame): DataFrame =
+      d.select(d.columns.map(n => col(n).cast(types(n)).as(n)): _*)
+    LazyFrame(coerced(df).unionByName(coerced(other.df), allowMissingColumns = true))
+  }
+
   /** Horizontal concat: zip by row position — needs explicit per-frame order.
     * (polars executors/hconcat.rs). */
   def hstack(other: LazyFrame, leftOrder: Column, rightOrder: Column): LazyFrame =

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape assertions — the 100 TB story is in the plan, not the
+  * row counts: filters must reach the parquet scan, projections must prune
+  * the read schema, small dimensions must broadcast, and orderBy+limit must
+  * plan as TakeOrderedAndProject (no global sort).
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter pushes down to the parquet scan") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_quantity") > 40)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val p = planOf(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)]"),
+      s"no pushed filter in:\n$p")
+  }
+
+  test("projection prunes the parquet read schema") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val p = planOf(df)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"scan reads more than the 2 projected columns:\n$p")
+  }
+
+  test("star join broadcasts the small dimension") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val j = li.join(broadcast(orders), col("l_orderkey") === col("o_orderkey"))
+    assert(planOf(j).contains("BroadcastHashJoin"), "expected a broadcast hash join")
+  }
+
+  test("orderBy+limit plans as TakeOrderedAndProject (no global sort)") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .orderBy(col("l_extendedprice").desc).limit(5)
+    assert(planOf(df).contains("TakeOrderedAndProject"),
+      "top-k should not be a full sort")
+  }
+
+  test("groupBy plans a partial (map-side) aggregate before the shuffle") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")))
+    val p = planOf(df)
+    // two HashAggregate nodes around one Exchange = partial + final
+    assert("HashAggregate".r.findAllIn(p).size >= 2 && p.contains("Exchange"),
+      s"expected partial+final aggregate around the shuffle:\n$p")
+  }
+
+  test("whole-stage codegen covers the scan→filter→project pipeline") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_discount") > 0.05)
+      .select((col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    // executedPlan.toString marks codegen stages with a "*(n)" prefix
+    assert(planOf(df).contains("*(1) Project"), "hot path fell out of codegen")
+  }
+}
