@@ -174,6 +174,23 @@ final class LazyFrame(val df: DataFrame) {
   def pivot(index: Seq[String], on: String, values: Seq[Any], agg: Column): LazyFrame =
     LazyFrame(df.groupBy(index.map(col): _*).pivot(on, values).agg(agg))
 
+  /** polars transpose (DataFrame::transpose) — rows↔columns with everything
+    * cast to string, keyed by `keyCol`'s values (must be enumerable: a
+    * transpose is inherently a small-frame op; the result has one column per
+    * input row). Implemented as unpivot→pivot. */
+  def transpose(keyCol: String, keyValues: Seq[Any],
+                colPrefix: String = "c"): LazyFrame = {
+    val valueCols = df.columns.filterNot(_ == keyCol).toSeq
+    val stringified = df.select(col(keyCol).cast("string").as(keyCol) +:
+      valueCols.map(c => col(c).cast("string").as(c)): _*)
+    val long = stringified.unpivot(Array(col(keyCol)),
+      valueCols.map(col).toArray, "column", "value")
+    LazyFrame(long.groupBy(col("column"))
+      .pivot(keyCol, keyValues.map(_.toString))
+      .agg(first(col("value")))
+      .withColumnsRenamed(keyValues.map(v => v.toString -> s"$colPrefix$v").toMap))
+  }
+
   // ---- concat -------------------------------------------------------------
 
   /** Vertical concat (polars concat how=vertical/diagonal). */
