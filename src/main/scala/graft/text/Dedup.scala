@@ -42,8 +42,20 @@ object Dedup {
   /** Signature from a pre-materialized shingle column. Materialize shingles
     * in their own projection first — inlining the shingle expression into
     * the k-way transform re-derives it k times per row (measured 3-4× on
-    * the dedup pipeline). */
-  def signatureFromShingles(sh: Column, k: Int): Column =
+    * the dedup pipeline).
+    *
+    * Evaluated by the native codegen expression [[graft.functions.MinHashMd5]]
+    * (one JVM loop, stays inside WholeStageCodegen); byte-identical to
+    * [[signatureFromShinglesHof]], which is the spec/oracle formulation. */
+  def signatureFromShingles(sh: Column, k: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.functions.MinHashMd5(Bridge.expression(sh), k))
+  }
+
+  /** Reference formulation of [[signatureFromShingles]] as pure Column
+    * composition (interpreted higher-order functions) — kept for the
+    * equivalence spec and as documentation of the exact semantics. */
+  def signatureFromShinglesHof(sh: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
       i => array_min(transform(sh,
         s => md5(concat(i.cast("string"), lit(":"), s)))))
