@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL surface for graft's native expressions — the Spark-first equivalent
+  * of the reference's expression-plugin registry (SURVEY §2.11,
+  * `FunctionExpr::FfiPlugin`): instead of a shared-library FFI, custom
+  * Catalyst expressions are injected into the session FunctionRegistry, so
+  * `spark.sql("SELECT graft_cosine(a, b) ...")` plans and codegens exactly
+  * like a builtin.
+  *
+  * Two activation paths:
+  *  - `spark.sql.extensions=graft.GraftExtensions` at session build time;
+  *  - [[GraftFunctions.register]] on a live session (idempotent).
+  */
+object GraftFunctions {
+
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  /** (identifier, info, builder) triples in SparkSessionExtensions shape. */
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashMd5].getName, "graft_minhash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_minhash(shingles, k)")
+        MinHashMd5(args.head, intLit(args(1), "graft_minhash", "k"))
+      }),
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_dot(a, b)")
+        DotProductExpr(args.head, args(1))
+      }),
+    (FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "graft_cosine"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_cosine(a, b)")
+        CosineSimilarityExpr(args.head, args(1))
+      }))
+
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (id, info, b) => Bridge.registerFunction(spark, id, info, b) }
+}

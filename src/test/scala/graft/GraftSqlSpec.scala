@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.{functions => gf}
+
+/** graft's native expressions as SQL functions: injected by GraftExtensions
+  * (TestSpark builds the session with spark.sql.extensions) and by the
+  * programmatic register() path. */
+class GraftSqlSpec extends SparkSpec {
+
+  test("graft_minhash / graft_dot / graft_cosine resolve in SQL via extensions") {
+    val out = spark.sql(
+      """SELECT graft_minhash(array('a b c', 'b c d'), 4) AS sig,
+        |       graft_dot(array(cast(1.0 as float), cast(2.0 as float)),
+        |                 array(cast(3.0 as float), cast(4.0 as float))) AS dot,
+        |       graft_cosine(array(cast(1.0 as float), cast(0.0 as float)),
+        |                    array(cast(1.0 as float), cast(0.0 as float))) AS cos
+        |""".stripMargin).collect()(0)
+    assert(out.getSeq[String](0).length == 4)
+    assert(out.getDouble(1) == 11.0)
+    assert(out.getDouble(2) == 1.0)
+  }
+
+  test("SQL graft_minhash equals the Column API expression") {
+    import spark.implicits._
+    val df = Seq((1, Seq("x y z", "y z w")), (2, Seq("p q r"))).toDF("id", "sh")
+    df.createOrReplaceTempView("minhash_in")
+    val viaSql = spark.sql("SELECT id, graft_minhash(sh, 6) AS sig FROM minhash_in")
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+    val viaCol = df.select(col("id"), graft.text.Dedup.signatureFromShingles(col("sh"), 6).as("sig"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+    assert(viaSql == viaCol)
+  }
+
+  test("programmatic register() is idempotent on a live session") {
+    gf.GraftFunctions.register(spark)
+    gf.GraftFunctions.register(spark)
+    val d = spark.sql(
+      "SELECT graft_dot(array(cast(2.0 as double)), array(cast(5.0 as double))) AS d")
+      .collect()(0).getDouble(0)
+    assert(d == 10.0)
+  }
+
+  test("bad argument types fail analysis with the expression's message") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_cosine(array(1, 2), array(3, 4))").collect()
+    }
+    assert(e.getMessage.contains("graft_cosine"))
+  }
+}
