@@ -23,7 +23,7 @@ object SparkEntry {
     QueriesAgg.queries ++ QueriesJoin.queries ++ QueriesWindow.queries ++
       QueriesScalar.queries ++ QueriesReshape.queries ++ QueriesText.queries ++
       QueriesExtra.queries ++ QueriesScalar2.queries ++ QueriesExtra2.queries ++
-      QueriesWindow2.queries ++ QueriesMisc3.queries
+      QueriesWindow2.queries ++ QueriesMisc3.queries ++ QueriesMisc4.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys → driver records rows-only checks. */
@@ -31,5 +31,5 @@ object SparkEntry {
     QueriesAgg.oracle ++ QueriesJoin.oracle ++ QueriesWindow.oracle ++
       QueriesScalar.oracle ++ QueriesReshape.oracle ++ QueriesText.oracle ++
       QueriesExtra.oracle ++ QueriesScalar2.oracle ++ QueriesExtra2.oracle ++
-      QueriesWindow2.oracle ++ QueriesMisc3.oracle
+      QueriesWindow2.oracle ++ QueriesMisc3.oracle ++ QueriesMisc4.oracle
 }
