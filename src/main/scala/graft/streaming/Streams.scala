@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming extensions (SURVEY §2.10 / §7.2 M6).
@@ -44,6 +45,46 @@ object Streams {
     events.withWatermark(ts, watermark)
       .dropDuplicates(keyCols :+ ts)
 
+  /** Session windows: group rows into activity bursts separated by `gap` of
+    * event-time silence — state the reference engine cannot express at all
+    * (its §2.10 "streaming" is pipelined batch). Watermark bounds session
+    * state; at scale, state ∝ open sessions, not history. */
+  def sessionAgg(events: DataFrame, ts: String, gap: String, watermark: String,
+                 keys: Seq[org.apache.spark.sql.Column],
+                 aggs: Seq[org.apache.spark.sql.Column]): DataFrame =
+    events
+      .withWatermark(ts, watermark)
+      .groupBy(session_window(col(ts), gap) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("_session_start", col("session_window.start"))
+      .withColumn("_session_end", col("session_window.end"))
+      .drop("session_window")
+
+  /** Stream-static enrichment join: the static side is a dimension table —
+    * Catalyst broadcasts it per micro-batch, so the stream never shuffles. */
+  def enrich(stream: DataFrame, dim: DataFrame, on: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), on, "left")
+
+  /** Per-key running totals via mapGroupsWithState — the general custom-
+    * state surface (reference analogue: none; closest is fold/cum_fold over
+    * a finite frame). Update-mode output: one row per key per trigger. */
+  def runningTotals(events: DataFrame): Dataset[KeyRunning] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Double)], st: GroupState[KeyRunning]) =>
+          val prev = st.getOption.getOrElse(KeyRunning(key, 0L, 0.0))
+          val next = rows.foldLeft(prev) { case (acc, (_, v)) =>
+            KeyRunning(key, acc.n + 1, acc.total + v)
+          }
+          st.update(next)
+          next
+      }
+  }
+
   /** Run a streaming query to completion over the files already in the
     * source dir (batch-replay harness for tests/backfills): memory sink,
     * processAllAvailable, return the materialized result. */
@@ -58,4 +99,20 @@ object Streams {
     q.stop()
     df.sparkSession.table(queryName)
   }
+
+  /** replayToTable for typed Datasets (mapGroupsWithState output). */
+  def replayDatasetToTable[T](ds: Dataset[T], queryName: String,
+                              outputMode: String = "update"): DataFrame = {
+    val q = ds.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    ds.sparkSession.table(queryName)
+  }
 }
+
+/** Running state for [[Streams.runningTotals]]. */
+case class KeyRunning(user_id: Long, n: Long, total: Double)

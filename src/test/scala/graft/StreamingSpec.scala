@@ -30,6 +30,70 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("streaming session windows match the batch session_window result") {
+    val batch = util.t(spark, dir, "events")
+      .filter(col("user_id") <= 5)
+      .select(col("ts"), col("user_id"), col("value"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    batch.write.mode("overwrite").parquet(tmp)
+
+    val stream = Streams.readParquetStream(spark, tmp, batch.schema)
+    val agg = Streams.sessionAgg(stream, "ts", "30 minutes", "2 hours",
+      Seq(col("user_id")), Seq(count(lit(1)).as("n")))
+    val got = Streams.replayToTable(agg, "sess_agg", outputMode = "complete")
+      .select(col("user_id"), col("_session_start"), col("n"))
+
+    val want = batch.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("_session_start"), col("n"))
+
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("stream-static enrichment join stays broadcast (no stream shuffle)") {
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "base")).toDF("user_id", "tier")
+    val batch = util.t(spark, dir, "events")
+      .filter(col("user_id") <= 2)
+      .select(col("ts"), col("user_id"), col("value"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-enrich").toString
+    batch.write.mode("overwrite").parquet(tmp)
+    val out = Streams.replayToTable(
+      Streams.enrich(Streams.readParquetStream(spark, tmp, batch.schema), dim,
+        Seq("user_id")), "enrich_out")
+    assert(out.count() == batch.count())
+    // only user_id 1 and 2 exist in the dimension; user_id 0 stays null
+    assert(out.filter(col("tier").isNotNull).count() ==
+      batch.filter(col("user_id").isin(1, 2)).count())
+  }
+
+  test("mapGroupsWithState running totals converge to the batch aggregate") {
+    val batch = util.t(spark, dir, "events")
+      .filter(col("user_id") <= 5)
+      .select(col("ts"), col("user_id"), col("value"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-state").toString
+    // two files so the stream sees at least two micro-batch-able splits
+    batch.repartition(2).write.mode("overwrite").parquet(tmp)
+
+    val stream = Streams.readParquetStream(spark, tmp, batch.schema,
+      maxFilesPerTrigger = 1)
+    val out = Streams.replayDatasetToTable(
+      Streams.runningTotals(stream), "running_out")
+    // update mode emits one row per key per trigger: the LAST row per key is
+    // the converged state
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n").desc)
+    val finalRows = out.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("n"), round(col("total"), 4).as("total"))
+
+    val want = batch.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+
+    assert(finalRows.exceptAll(want).isEmpty && want.exceptAll(finalRows).isEmpty)
+  }
+
   test("streaming dedup drops re-delivered rows") {
     import spark.implicits._
     val rows = Seq(
