@@ -219,6 +219,29 @@ object QueriesMisc4 {
       t(s, d, "documents").select(col("text"))
         .coalesce(1).write.mode("overwrite").text(tmp)
       s.read.text(tmp).orderBy(col("value"))
+    }),
+
+    // columnar sink/scan beyond parquet (§2.2): ORC round-trip — schema,
+    // nested types, and compression survive
+    "io_orc_roundtrip" -> ((s, d) => {
+      val tmp = "/tmp/graft_io/orc_part"
+      t(s, d, "part").write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp).orderBy(col("p_partkey"))
+    }),
+
+    // partitioned sink (§2.2 SinkTypeIR::Partitioned) + hive-partition scan:
+    // write partitionBy(l_returnflag), read back one partition — the filter
+    // prunes directories, not rows (PlanSpec asserts PartitionFilters)
+    "io_partitioned_scan" -> ((s, d) => {
+      val tmp = "/tmp/graft_io/part_lineitem"
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"))
+        .write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     })
   )
 
@@ -371,6 +394,14 @@ object QueriesMisc4 {
         |FROM customer ORDER BY id""".stripMargin,
 
     "io_lines_scan" ->
-      "SELECT text AS value FROM documents ORDER BY text"
+      "SELECT text AS value FROM documents ORDER BY text",
+
+    "io_orc_roundtrip" ->
+      "SELECT * FROM part ORDER BY p_partkey",
+
+    "io_partitioned_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
 }

@@ -45,6 +45,19 @@ class PlanSpec extends SparkSpec {
       "top-k should not be a full sort")
   }
 
+  test("hive-partitioned scan prunes partitions, not rows") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pp").toString
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
+    val df = spark.read.parquet(tmp).filter(col("l_returnflag") === "R")
+    val p = planOf(df)
+    assert(p.contains("PartitionFilters: [isnotnull(l_returnflag"),
+      s"partition filter not applied at scan:\n$p")
+    // the data filter must NOT appear as a post-scan Filter node
+    assert(!p.contains("+- Filter"), s"row-level filter survived pruning:\n$p")
+  }
+
   test("groupBy plans a partial (map-side) aggregate before the shuffle") {
     val df = spark.read.parquet(s"$sf/lineitem.parquet")
       .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")))
