@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** w-token shingles of a text column as a native expression.
+  *
+  * Byte-identical to the Column composition in [[graft.text.Dedup.shinglesHof]]
+  * {{{
+  *   toks = filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
+  *   when(size(toks) >= w,
+  *     transform(sequence(0, size-w), i => array_join(slice(toks, i+1, w), " ")))
+  *     .otherwise(array(array_join(toks, " ")))
+  * }}}
+  * but in one pass: the HOF version re-walks the token array per shingle and
+  * allocates a lambda frame per element, all interpreted. Identical results
+  * are guaranteed by delegating to the same UTF8String kernels Spark's own
+  * trim/lower/split expressions use (trim → `UTF8String.trim`, lower →
+  * `UTF8String.toLowerCase`, split → `UTF8String.split(regex, -1)`), then
+  * joining w-windows with single spaces exactly like `array_join(…, " ")`.
+  *
+  * Null text → `[null]` (the HOF otherwise-branch wraps the null join), so
+  * the result array itself is never null.
+  */
+case class ShinglesExpr(child: Expression, w: Int) extends UnaryExpression {
+
+  require(w > 0, s"shingle width must be positive, got $w")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_shingles"
+
+  override def eval(input: InternalRow): Any =
+    ShingleUtil.shingles(child.eval(input).asInstanceOf[UTF8String], w)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = c.code + code"""
+        $javaType ${ev.value} = graft.functions.ShingleUtil.shingles(
+          ${c.isNull} ? null : ${c.value}, $w);""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
+    copy(child = newChild)
+}
+
+object ShingleUtil {
+
+  private val WS: UTF8String = UTF8String.fromString("\\s+")
+  private val SPACE: UTF8String = UTF8String.fromString(" ")
+
+  /** Tokens after trim/lower/split-on-whitespace/drop-empties; null text →
+    * null (mirrors `filter(split(lower(trim(null))), …)`). */
+  def tokens(text: UTF8String): Array[UTF8String] = {
+    if (text == null) return null
+    val parts = text.trim().toLowerCase().split(WS, -1)
+    var n = 0
+    var i = 0
+    while (i < parts.length) {
+      if (parts(i).numBytes() > 0) n += 1
+      i += 1
+    }
+    if (n == parts.length) return parts
+    val out = new Array[UTF8String](n)
+    i = 0
+    var j = 0
+    while (i < parts.length) {
+      if (parts(i).numBytes() > 0) { out(j) = parts(i); j += 1 }
+      i += 1
+    }
+    out
+  }
+
+  def shingles(text: UTF8String, w: Int): ArrayData = {
+    val toks = tokens(text)
+    if (toks == null) return new GenericArrayData(Array[Any](null))
+    val n = toks.length
+    if (n < w) {
+      // single shingle: all tokens joined (empty string for zero tokens,
+      // like array_join over an empty array)
+      return new GenericArrayData(Array[Any](UTF8String.concatWs(SPACE, toks: _*)))
+    }
+    val out = new Array[Any](n - w + 1)
+    var i = 0
+    while (i <= n - w) {
+      val win = new Array[UTF8String](w)
+      System.arraycopy(toks, i, win, 0, w)
+      out(i) = UTF8String.concatWs(SPACE, win: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

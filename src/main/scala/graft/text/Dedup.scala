@@ -25,8 +25,16 @@ object Dedup {
   private def tokens(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
 
-  /** w-token shingles of a text column. */
+  /** w-token shingles of a text column — native one-pass expression
+    * ([[graft.functions.ShinglesExpr]]); byte-identical to [[shinglesHof]]. */
   def shingles(text: Column, w: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.functions.ShinglesExpr(Bridge.expression(text), w))
+  }
+
+  /** Reference formulation of [[shingles]] as pure Column composition —
+    * kept for the equivalence spec and as documentation of the semantics. */
+  def shinglesHof(text: Column, w: Int): Column = {
     val toks = tokens(text)
     val n = size(toks)
     when(n >= w,
