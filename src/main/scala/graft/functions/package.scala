@@ -193,6 +193,14 @@ package object functions {
   def cosineSimilarityHof(a: Column, b: Column): Column =
     dotProductHof(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** One-pass text statistics (native [[TextStatsExpr]]): struct of
+    * n_chars / n_alpha / n_punct / n_tokens, byte-identical to the regex
+    * formulations in [[graft.text.TextAnalysis]]. */
+  def textStats(text: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(TextStatsExpr(Bridge.expression(text)))
+  }
+
   /** polars list.eval(expr) — general per-element expression. */
   def listEval(c: Column, f: Column => Column): Column = transform(c, f)
 

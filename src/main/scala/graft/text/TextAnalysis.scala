@@ -9,8 +9,15 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace token count. Empty/blank text → 0. */
+  /** Whitespace token count. Empty/blank text → 0. Native one-pass
+    * ([[graft.functions.textStats]]); [[tokenCountRegex]] is the reference
+    * formulation. */
   def tokenCount(text: Column): Column =
+    graft.functions.textStats(text).getField("n_tokens")
+
+  /** Reference formulation of [[tokenCount]] — kept for the equivalence
+    * spec and as documentation of the exact split semantics. */
+  def tokenCountRegex(text: Column): Column =
     when(trim(text) === "", lit(0))
       .otherwise(size(split(trim(text), "\\s+")))
 
@@ -57,8 +64,23 @@ object TextAnalysis {
     * alpha ratio and mean word length — the standard cheap pre-filters in
     * web-scale corpus cleaning. */
   def qualityScore(text: Column): Column = {
+    val st = graft.functions.textStats(text)
+    val n = st.getField("n_chars").cast("double")
+    val toks = greatest(st.getField("n_tokens"), lit(1)).cast("double")
+    val alpha = st.getField("n_alpha").cast("double") / greatest(n, lit(1.0))
+    val punct = st.getField("n_punct").cast("double") / greatest(n, lit(1.0))
+    val meanWordLen = n / toks
+    val lenScore = when(n < 10, lit(0.0)).when(n > 20000, lit(0.3)).otherwise(lit(1.0))
+    val punctScore = when(punct > 0.2, lit(0.0)).otherwise(lit(1.0) - punct)
+    val wordLenScore = when(meanWordLen.between(2.0, 12.0), lit(1.0)).otherwise(lit(0.2))
+    round((lenScore * 0.3 + alpha * 0.3 + punctScore * 0.2 + wordLenScore * 0.2), 4)
+  }
+
+  /** Reference formulation of [[qualityScore]] over the regex counts —
+    * kept for the equivalence spec (the oracle SQL mirrors this). */
+  def qualityScoreRegex(text: Column): Column = {
     val n = length(text).cast("double")
-    val toks = greatest(tokenCount(text), lit(1)).cast("double")
+    val toks = greatest(tokenCountRegex(text), lit(1)).cast("double")
     val alpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") / greatest(n, lit(1.0))
     val punct = length(regexp_replace(text, "[^.,;:!?]", "")).cast("double") / greatest(n, lit(1.0))
     val meanWordLen = n / toks
