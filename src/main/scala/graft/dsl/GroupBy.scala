@@ -39,4 +39,13 @@ final class GroupBy(df: DataFrame, keys: Seq[Column]) {
   def mapGroups[K: org.apache.spark.sql.Encoder, T: org.apache.spark.sql.Encoder](
       keyFn: org.apache.spark.sql.Row => K)(fn: (K, Iterator[org.apache.spark.sql.Row]) => T): org.apache.spark.sql.Dataset[T] =
     df.groupByKey(keyFn).mapGroups(fn)
+
+  /** polars group_by().apply returning a frame per group (any row count):
+    * the fully general UDTF-shaped escape hatch. One shuffle on the key;
+    * each group is streamed to the function, not materialized by Spark, so
+    * memory is bounded by what `fn` itself retains. */
+  def flatMapGroups[K: org.apache.spark.sql.Encoder, T: org.apache.spark.sql.Encoder](
+      keyFn: org.apache.spark.sql.Row => K)(
+      fn: (K, Iterator[org.apache.spark.sql.Row]) => IterableOnce[T]): org.apache.spark.sql.Dataset[T] =
+    df.groupByKey(keyFn).flatMapGroups((k: K, it: Iterator[org.apache.spark.sql.Row]) => fn(k, it).iterator)
 }

@@ -25,6 +25,12 @@ object GraftFunctions {
       s"$fn: $arg must be an integer literal, got $other")
   }
 
+  private def strLit(e: Expression, fn: String, arg: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a string literal, got $other")
+  }
+
   /** (identifier, info, builder) triples in SparkSessionExtensions shape. */
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_minhash"),
@@ -44,6 +50,24 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_cosine(a, b)")
         CosineSimilarityExpr(args.head, args(1))
+      }),
+    (FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShinglesExpr].getName, "graft_shingles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_shingles(text, w)")
+        ShinglesExpr(args.head, intLit(args(1), "graft_shingles", "w"))
+      }),
+    (FunctionIdentifier("graft_text_stats"),
+      new ExpressionInfo(classOf[TextStatsExpr].getName, "graft_text_stats"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_text_stats(text)")
+        TextStatsExpr(args.head)
+      }),
+    (FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(classOf[NormalizeExpr].getName, "graft_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_normalize(text, form)")
+        NormalizeExpr(args.head, strLit(args(1), "graft_normalize", "form"))
       }))
 
   def register(spark: SparkSession): Unit =

@@ -193,6 +193,13 @@ package object functions {
   def cosineSimilarityHof(a: Column, b: Column): Column =
     dotProductHof(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Unicode normalization (native [[NormalizeExpr]]); form is one of
+    * NFC/NFD/NFKC/NFKD. polars str.normalize — no Spark builtin exists. */
+  def normalize(text: Column, form: String = "NFC"): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(NormalizeExpr(Bridge.expression(text), form))
+  }
+
   /** One-pass text statistics (native [[TextStatsExpr]]): struct of
     * n_chars / n_alpha / n_punct / n_tokens, byte-identical to the regex
     * formulations in [[graft.text.TextAnalysis]]. */

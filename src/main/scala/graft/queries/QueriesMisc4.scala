@@ -221,6 +221,16 @@ object QueriesMisc4 {
       s.read.text(tmp).orderBy(col("value"))
     }),
 
+    // polars str.normalize (§2.9): unicode NFC via the native expression —
+    // composed text (e.g. decomposed é → composed é) canonicalized before
+    // hashing/dedup; DuckDB nfc_normalize is the oracle
+    "str_normalize" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        graft.functions.normalize(col("text")).as("norm"),
+        (graft.functions.normalize(col("text")) === col("text")).as("was_nfc"))
+        .orderBy(col("doc_id"))),
+
     // columnar sink/scan beyond parquet (§2.2): ORC round-trip — schema,
     // nested types, and compression survive
     "io_orc_roundtrip" -> ((s, d) => {
@@ -395,6 +405,11 @@ object QueriesMisc4 {
 
     "io_lines_scan" ->
       "SELECT text AS value FROM documents ORDER BY text",
+
+    "str_normalize" ->
+      """SELECT doc_id, nfc_normalize(text) AS norm,
+        | nfc_normalize(text) = text AS was_nfc
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "io_orc_roundtrip" ->
       "SELECT * FROM part ORDER BY p_partkey",

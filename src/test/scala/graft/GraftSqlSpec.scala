@@ -32,6 +32,31 @@ class GraftSqlSpec extends SparkSpec {
     assert(viaSql == viaCol)
   }
 
+  test("graft_normalize / graft_text_stats / graft_shingles resolve in SQL") {
+    val r = spark.sql(
+      """SELECT graft_normalize('ascii only', 'NFC') AS plain,
+        |       graft_text_stats('ab c.').n_tokens AS nt,
+        |       graft_shingles('a b c', 2) AS sh""".stripMargin).collect()(0)
+    assert(r.getString(0) == "ascii only")
+    assert(r.getInt(1) == 2)
+    assert(r.getSeq[String](2) == Seq("a b", "b c"))
+  }
+
+  test("normalize composes decomposed unicode (NFC) and matches the JDK") {
+    import spark.implicits._
+    val decomposed = "cafe\u0301"          // e + U+0301 combining acute
+    val composed = "caf\u00e9"             // precomposed U+00E9
+    val df = Seq((1, decomposed), (2, composed), (3, "plain")).toDF("id", "s")
+    val rows = df.select(col("id"),
+      graft.functions.normalize(col("s")).as("nfc"),
+      graft.functions.normalize(col("s"), "NFD").as("nfd")).collect()
+      .map(r => r.getInt(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(rows(1)._1 == composed)
+    assert(rows(2)._1 == composed)
+    assert(rows(1)._2 == decomposed)        // NFD decomposes back
+    assert(rows(3)._1 == "plain")
+  }
+
   test("programmatic register() is idempotent on a live session") {
     gf.GraftFunctions.register(spark)
     gf.GraftFunctions.register(spark)

@@ -65,4 +65,18 @@ class LazyFrameSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(i), GreaterThan(i,3)]"))
     assert(plan.contains("ReadSchema: struct<k:string,i:int>"))
   }
+
+  test("flatMapGroups emits arbitrary rows per group (group_by().apply)") {
+    // per key: emit (key, running total) for each row in i-order — a shape
+    // no single agg expresses (n rows out per n-row group, sequential state)
+    val out = lf.groupByNames("k")
+      .flatMapGroups(r => r.getString(0)) { (k: String, rows: Iterator[org.apache.spark.sql.Row]) =>
+        rows.map(r => (r.getInt(1), r.getDouble(2)))
+          .toSeq.sortBy(_._1)
+          .scanLeft((k, 0.0)) { case ((_, acc), (_, v)) => (k, acc + v) }
+          .drop(1)
+      }
+      .collect().sorted.toSeq
+    assert(out == Seq(("a", 10.0), ("a", 30.0), ("b", 30.0), ("b", 70.0), ("c", 50.0)))
+  }
 }
