@@ -63,6 +63,12 @@ object GraftFunctions {
         require(args.length == 1, "graft_text_stats(text)")
         TextStatsExpr(args.head)
       }),
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_simhash(text, bits)")
+        SimHashExpr(args.head, intLit(args(1), "graft_simhash", "bits"))
+      }),
     (FunctionIdentifier("graft_normalize"),
       new ExpressionInfo(classOf[NormalizeExpr].getName, "graft_normalize"),
       (args: Seq[Expression]) => {

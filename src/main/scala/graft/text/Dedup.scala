@@ -168,9 +168,17 @@ object Dedup {
       .join(df, Seq(idCol))
   }
 
-  /** SimHash (64-bit, from md5 halves): per-token signed bit votes.
-    * Pure Column composition: for each bit position, sum votes over tokens. */
+  /** SimHash: per-distinct-token signed bit votes — native one-pass
+    * expression ([[graft.functions.SimHashExpr]]); byte-identical to
+    * [[simhashHof]]. */
   def simhash(text: Column, bits: Int = 16): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.functions.SimHashExpr(Bridge.expression(text), bits))
+  }
+
+  /** Reference formulation of [[simhash]] as pure Column composition:
+    * for each bit position, sum signed votes over token hashes. */
+  def simhashHof(text: Column, bits: Int = 16): Column = {
     val toks = array_distinct(tokens(text))
     // token → int hash from first 8 hex chars of md5
     val th = transform(toks, t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
