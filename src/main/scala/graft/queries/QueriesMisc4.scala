@@ -161,7 +161,10 @@ object QueriesMisc4 {
 
     // polars ewm_var/ewm_std (series/ops/ewm.rs), α=0.5: weighted second
     // moment minus squared first moment over the same 2^rn weights as
-    // win_ewm_mean; biased (adjust=true) form
+    // win_ewm_mean; biased (adjust=true) form. NOTE: 2^rn is the
+    // oracle-mirrorable gate formulation; it overflows past rn≈1023, so at
+    // scale use graft.functions.ewmMeanRows (bounded window, decaying ≤1
+    // weights — no overflow) instead.
     "win_ewm_var" -> ((s, d) => {
       val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
       val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
