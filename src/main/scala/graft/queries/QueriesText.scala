@@ -122,14 +122,14 @@ object QueriesText {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->
-      """SELECT doc_id, round(
+      """SELECT doc_id, round((
         | (CASE WHEN length(text) < 10 THEN 0.0 WHEN length(text) > 20000 THEN 0.3 ELSE 1.0 END) * 0.3
         | + (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(length(text), 1.0)) * 0.3
         | + (CASE WHEN length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / greatest(length(text), 1.0) > 0.2
         |    THEN 0.0 ELSE 1.0 - length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / greatest(length(text), 1.0) END) * 0.2
         | + (CASE WHEN length(text) / greatest(CASE WHEN trim(text) = '' THEN 0
         |      ELSE len(string_split_regex(trim(text), '\s+')) END, 1)
-        |     BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.2 END) * 0.2, 4) AS quality
+        |     BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.2 END) * 0.2) * 10000) / 10000 AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_langid" -> {

@@ -73,7 +73,12 @@ object TextAnalysis {
     val lenScore = when(n < 10, lit(0.0)).when(n > 20000, lit(0.3)).otherwise(lit(1.0))
     val punctScore = when(punct > 0.2, lit(0.0)).otherwise(lit(1.0) - punct)
     val wordLenScore = when(meanWordLen.between(2.0, 12.0), lit(1.0)).otherwise(lit(0.2))
-    round((lenScore * 0.3 + alpha * 0.3 + punctScore * 0.2 + wordLenScore * 0.2), 4)
+    // scaled-integer rounding: round(x*10000)/10000 instead of round(x, 4).
+    // Spark rounds via the double's DECIMAL string (BigDecimal HALF_UP),
+    // DuckDB via std::round on the BINARY scaled double - at half-way
+    // boundaries they disagree (~0.2% of docs at sf0.1). Rounding the
+    // scaled value to an integer is exact in both engines.
+    round((lenScore * 0.3 + alpha * 0.3 + punctScore * 0.2 + wordLenScore * 0.2) * 10000, 0) / 10000
   }
 
   /** Reference formulation of [[qualityScore]] over the regex counts —
@@ -87,7 +92,12 @@ object TextAnalysis {
     val lenScore = when(n < 10, lit(0.0)).when(n > 20000, lit(0.3)).otherwise(lit(1.0))
     val punctScore = when(punct > 0.2, lit(0.0)).otherwise(lit(1.0) - punct)
     val wordLenScore = when(meanWordLen.between(2.0, 12.0), lit(1.0)).otherwise(lit(0.2))
-    round((lenScore * 0.3 + alpha * 0.3 + punctScore * 0.2 + wordLenScore * 0.2), 4)
+    // scaled-integer rounding: round(x*10000)/10000 instead of round(x, 4).
+    // Spark rounds via the double's DECIMAL string (BigDecimal HALF_UP),
+    // DuckDB via std::round on the BINARY scaled double - at half-way
+    // boundaries they disagree (~0.2% of docs at sf0.1). Rounding the
+    // scaled value to an integer is exact in both engines.
+    round((lenScore * 0.3 + alpha * 0.3 + punctScore * 0.2 + wordLenScore * 0.2) * 10000, 0) / 10000
   }
 
   /** Document fingerprint (OpenRefine-style key collision fingerprint):
