@@ -45,9 +45,12 @@ object SyntheticDocs {
       "shuffle partition column row table join group window stream batch " +
       "hash sort merge filter project cache spill broadcast skew salt").split(" ")
 
-  /** Deterministic text for a doc id: 64-bit mix seeds length and words. */
+  /** Deterministic text for a doc id: 64-bit mix seeds length and words.
+    * Every 20th id duplicates its predecessor's text, so dedup pipelines
+    * over this source find a known ~5% duplicate rate. */
   def textFor(id: Long): UTF8String = {
-    var x = id * 0x9e3779b97f4a7c15L + 0x165667b19e3779f9L
+    val eid = if (id % 20 == 19) id - 1 else id
+    var x = eid * 0x9e3779b97f4a7c15L + 0x165667b19e3779f9L
     def next(): Long = { x ^= x >>> 27; x *= 0x3c79ac492ba7b653L; x ^= x >>> 33; x }
     val len = 20 + (Math.floorMod(next(), 80L)).toInt
     val sb = new java.lang.StringBuilder(len * 6)
