@@ -23,7 +23,8 @@ object SparkEntry {
     QueriesAgg.queries ++ QueriesJoin.queries ++ QueriesWindow.queries ++
       QueriesScalar.queries ++ QueriesReshape.queries ++ QueriesText.queries ++
       QueriesExtra.queries ++ QueriesScalar2.queries ++ QueriesExtra2.queries ++
-      QueriesWindow2.queries ++ QueriesMisc3.queries ++ QueriesMisc4.queries
+      QueriesWindow2.queries ++ QueriesMisc3.queries ++ QueriesMisc4.queries ++
+      QueriesMisc5.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys → driver records rows-only checks. */
@@ -31,5 +32,6 @@ object SparkEntry {
     QueriesAgg.oracle ++ QueriesJoin.oracle ++ QueriesWindow.oracle ++
       QueriesScalar.oracle ++ QueriesReshape.oracle ++ QueriesText.oracle ++
       QueriesExtra.oracle ++ QueriesScalar2.oracle ++ QueriesExtra2.oracle ++
-      QueriesWindow2.oracle ++ QueriesMisc3.oracle ++ QueriesMisc4.oracle
+      QueriesWindow2.oracle ++ QueriesMisc3.oracle ++ QueriesMisc4.oracle ++
+      QueriesMisc5.oracle
 }

@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.queries.util._
+import graft.{functions => gf}
+
+/** Round-3 batch 5: offset dynamic windows (group_by_dynamic offset/StartBy,
+  * §2.5), pad/zfill/multi-replace strings (§2.9), cum_fold (§2.11), and
+  * time-decayed ewm_mean_by (§2.6).
+  */
+object QueriesMisc5 {
+
+  val queries: Map[String, Q] = Map(
+
+    // group_by_dynamic with a non-aligned origin (DynamicGroupOptions.offset
+    // / StartBy::WindowBound, crates/polars-time/src/group_by/dynamic.rs):
+    // hourly windows anchored at :30
+    "agg_dynamic_offset" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv"))
+        .select(col("window.start").as("w_start"), col("n"), col("sv"))
+        .orderBy(col("w_start"))),
+
+    // polars str.zfill / pad_start / pad_end / replace_many / strip_chars
+    "str_pad_fill" -> ((s, d) =>
+      t(s, d, "part").select(
+        col("p_partkey"),
+        gf.zfill(col("p_partkey").cast("string"), 8).as("zf"),
+        lpad(col("p_brand"), 12, "*").as("padl"),
+        rpad(col("p_brand"), 12, ".").as("padr"),
+        gf.replaceMany(col("p_type"), Seq("PROMO" -> "P~", "BRUSHED" -> "B~"))
+          .as("repl"),
+        gf.stripChars(col("p_name"), "aeiou").as("strip"))
+        .orderBy(col("p_partkey"))),
+
+    // polars cum_fold (FunctionExpr mod.rs:319-340): running fold across
+    // columns, intermediate accumulators kept
+    "misc_cum_fold" -> ((s, d) => {
+      val f1 = col("l_quantity")
+      val f2 = f1 + col("l_extendedprice")
+      val f3 = f2 + col("l_tax")
+      t(s, d, "lineitem").filter(col("l_orderkey") <= 1000).select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(f1, 4).as("f1"), round(f2, 4).as("f2"), round(f3, 4).as("f3"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // polars ewm_mean_by (series/ops/ewm_by.rs): decay by actual time
+    // distance, not row count — weight 0.5^(Δt minutes) over a 1 h trailing
+    // range window; the collect-then-fold stays bounded by the range frame
+    "win_ewm_by" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tm"))
+        .rangeBetween(-3600000000L, 0L)
+      t(s, d, "events").filter(col("user_id") <= 20)
+        .select(col("event_id"), col("user_id"), col("value"),
+          unix_micros(col("ts")).as("tm"))
+        .withColumn("hist", collect_list(struct(col("tm").as("t"), col("value").as("v"))).over(w))
+        .select(col("event_id"), col("user_id"),
+          round(
+            aggregate(col("hist"), lit(0.0), (acc, e) =>
+              acc + e.getField("v") * pow(lit(0.5),
+                (col("tm") - e.getField("t")) / lit(60000000.0))) /
+            aggregate(col("hist"), lit(0.0), (acc, e) =>
+              acc + pow(lit(0.5), (col("tm") - e.getField("t")) / lit(60000000.0))),
+            4).as("ewm_t"))
+        .orderBy(col("event_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "agg_dynamic_offset" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, ts, INTERVAL 30 MINUTE) AS w_start,
+        |       count(*) AS n, round(sum(value), 4) AS sv
+        |FROM events GROUP BY 1 ORDER BY w_start""".stripMargin,
+
+    "str_pad_fill" ->
+      """SELECT p_partkey,
+        | lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS zf,
+        | lpad(p_brand, 12, '*') AS padl,
+        | rpad(p_brand, 12, '.') AS padr,
+        | replace(replace(p_type, 'PROMO', 'P~'), 'BRUSHED', 'B~') AS repl,
+        | regexp_replace(regexp_replace(p_name, '^[aeiou]+', ''), '[aeiou]+$', '') AS strip
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "misc_cum_fold" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(l_quantity, 4) AS f1,
+        | round(l_quantity + l_extendedprice, 4) AS f2,
+        | round(l_quantity + l_extendedprice + l_tax, 4) AS f3
+        |FROM lineitem WHERE l_orderkey <= 1000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "win_ewm_by" ->
+      """WITH base AS (
+        | SELECT event_id, user_id, value, epoch_us(ts) AS tm
+        | FROM events WHERE user_id <= 20),
+        |h AS (
+        | SELECT event_id, user_id, value, tm,
+        |  array_agg(struct_pack(t := tm, v := value)) OVER
+        |    (PARTITION BY user_id ORDER BY tm
+        |     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS hist
+        | FROM base)
+        |SELECT event_id, user_id,
+        | round(
+        |  list_sum(list_transform(hist, e -> e.v * power(0.5, (tm - e.t) / 60000000.0)))
+        |  / list_sum(list_transform(hist, e -> power(0.5, (tm - e.t) / 60000000.0))),
+        |  4) AS ewm_t
+        |FROM h ORDER BY event_id""".stripMargin
+  )
+}
