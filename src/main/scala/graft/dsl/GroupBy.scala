@@ -18,6 +18,17 @@ final class GroupBy(df: DataFrame, keys: Seq[Column]) {
   def agg(exprs: Column*): LazyFrame =
     LazyFrame(df.groupBy(keys: _*).agg(exprs.head, exprs.tail: _*))
 
+  /** polars group_by(maintain_order=true).agg(...): result rows in order of
+    * each group's first appearance along `orderCol`. Spark's hash aggregate
+    * is unordered, so the order is reconstructed from min(orderCol) per
+    * group — one extra tiny agg column plus a sort of the (small) result,
+    * not a sort of the input. */
+  def aggOrdered(orderCol: Column, exprs: Column*): LazyFrame =
+    LazyFrame(df.groupBy(keys: _*)
+      .agg(exprs.head, (exprs.tail :+ min(orderCol).as("__first_seen")): _*)
+      .orderBy(col("__first_seen"))
+      .drop("__first_seen"))
+
   def count(name: String = "count"): LazyFrame =
     LazyFrame(df.groupBy(keys: _*).agg(org.apache.spark.sql.functions.count(lit(1)).as(name)))
 

@@ -131,6 +131,31 @@ final class LazyFrame(val df: DataFrame) {
   /** polars join_where (arbitrary inequality predicates,
     * crates/polars-plan/src/dsl/plan.rs:85). Catalyst extracts any equi-parts;
     * pure-inequality falls to BNLJ — keep the build side small/broadcast. */
+  /** polars JoinArgs.validate ("1:1" | "1:m" | "m:1" | "m:m"): assert key
+    * cardinality before joining. The check is one distributed agg per
+    * validated side (count vs distinct count over the join keys) — the same
+    * full-shuffle price polars pays, and it fails fast with the offending
+    * side named instead of silently exploding rows. */
+  def joinValidate(other: LazyFrame, on: Seq[String], how: String = "inner",
+                   validate: String = "m:m"): LazyFrame = {
+    def assertUnique(d: DataFrame, side: String): Unit = {
+      val r = d.select(
+        org.apache.spark.sql.functions.count(lit(1)).as("n"),
+        count_distinct(struct(on.map(col): _*)).as("u")).collect()(0)
+      require(r.getLong(0) == r.getLong(1),
+        s"join validation '$validate' failed: $side side keys ${on.mkString(",")} " +
+          s"are not unique (${r.getLong(0)} rows, ${r.getLong(1)} distinct)")
+    }
+    validate match {
+      case "m:m" =>
+      case "1:m" => assertUnique(df, "left")
+      case "m:1" => assertUnique(other.df, "right")
+      case "1:1" => assertUnique(df, "left"); assertUnique(other.df, "right")
+      case v => throw new IllegalArgumentException(s"unknown validation '$v'")
+    }
+    join(other, on, how)
+  }
+
   def joinWhere(other: LazyFrame, predicates: Column): LazyFrame =
     LazyFrame(df.join(other.df, predicates, "inner"))
 

@@ -66,6 +66,27 @@ class LazyFrameSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<k:string,i:int>"))
   }
 
+  test("joinValidate enforces key cardinality and names the bad side") {
+    val dim = LazyFrame(Seq(("a", 1), ("b", 2)).toDF("k", "v2"))
+    val dupDim = LazyFrame(Seq(("a", 1), ("a", 9)).toDF("k", "v2"))
+    // lf keys: a,a,b,b,c — inner join vs dim(a,b) keeps the 4 matched rows
+    assert(lf.joinValidate(dim, Seq("k"), validate = "m:1").count() == 4)
+    val e = intercept[IllegalArgumentException] {
+      lf.joinValidate(dupDim, Seq("k"), validate = "m:1")
+    }
+    assert(e.getMessage.contains("right side"))
+    // m:m never checks: 2 'a' rows × 2 dup dim rows
+    assert(lf.joinValidate(dupDim, Seq("k"), validate = "m:m").count() == 4)
+  }
+
+  test("aggOrdered returns groups in first-appearance order") {
+    val df = Seq(("z", 1), ("a", 2), ("z", 3), ("m", 4), ("a", 5)).toDF("k", "i")
+    val out = LazyFrame(df).groupByNames("k")
+      .aggOrdered(col("i"), sum(col("i")).as("s"))
+      .collect().collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("z", 4L), ("a", 7L), ("m", 4L)))
+  }
+
   test("flatMapGroups emits arbitrary rows per group (group_by().apply)") {
     // per key: emit (key, running total) for each row in i-order — a shape
     // no single agg expresses (n rows out per n-row group, sequential state)
