@@ -193,6 +193,15 @@ package object functions {
   def cosineSimilarityHof(a: Column, b: Column): Column =
     dotProductHof(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Grouped top-k values with k-bounded state (native [[TopKAgg]], a
+    * TypedImperativeAggregate): `df.groupBy(g).agg(topKAgg(col, 5))` — the
+    * scale-safe form of per-group top-k (no window sort, no full
+    * collect_list). Input must be double (cast upstream). */
+  def topKAgg(c: Column, k: Int, descending: Boolean = true): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(TopKAgg(Bridge.expression(c), k, descending).toAggregateExpression())
+  }
+
   /** Unicode normalization (native [[NormalizeExpr]]); form is one of
     * NFC/NFD/NFKC/NFKD. polars str.normalize — no Spark builtin exists. */
   def normalize(text: Column, form: String = "NFC"): Column = {

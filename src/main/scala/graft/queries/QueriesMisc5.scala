@@ -47,6 +47,15 @@ object QueriesMisc5 {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // polars top_k in agg context via the TypedImperativeAggregate
+    // (graft.functions.TopKAgg): k-bounded state per group, no window sort
+    "agg_topk_values" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(gf.topKAgg(col("l_quantity"), 5).as("top5"),
+          gf.topKAgg(col("l_extendedprice"), 3, descending = false).as("bottom3"))
+        .orderBy(col("l_returnflag"))),
+
     // polars ewm_mean_by (series/ops/ewm_by.rs): decay by actual time
     // distance, not row count — weight 0.5^(Δt minutes) over a 1 h trailing
     // range window; the collect-then-fold stays bounded by the range frame
@@ -92,6 +101,12 @@ object QueriesMisc5 {
         | round(l_quantity + l_extendedprice + l_tax, 4) AS f3
         |FROM lineitem WHERE l_orderkey <= 1000
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "agg_topk_values" ->
+      """SELECT l_returnflag,
+        | (list_sort(list(l_quantity), 'DESC'))[1:5] AS top5,
+        | (list_sort(list(l_extendedprice), 'ASC'))[1:3] AS bottom3
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "win_ewm_by" ->
       """WITH base AS (
