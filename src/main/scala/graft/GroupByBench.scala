@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's own benchmark family: H2O.ai db-benchmark group-by
+  * queries q1-q10 (the suite the reference runs under
+  * `pytest -m benchmark`, BASELINE.md). Data is generated distributed and
+  * deterministically — same SHAPE as the reference's datagen (id1-id3
+  * strings with K / K / N/K groups, id4-id6 ints, v1 1-5, v2 1-15, v3
+  * double 0-100) — via spark.range + hash mixing, no driver-side data.
+  *
+  * Usage: runMain graft.GroupByBench [N] [K]  (defaults 1e7, 100)
+  * Prints one JSON line {"metric":"groupby_total",...} like graft.Bench.
+  */
+object GroupByBench {
+
+  def gen(spark: SparkSession, n: Long, k: Int): DataFrame = {
+    val nk = math.max(n / k, 1L)
+    spark.range(n).select(
+      concat(lit("id"), (pmod(xxhash64(col("id"), lit(1)), lit(k)) + 1)
+        .cast("string")).as("id1"),
+      concat(lit("id"), (pmod(xxhash64(col("id"), lit(2)), lit(k)) + 1)
+        .cast("string")).as("id2"),
+      concat(lit("id"), (pmod(xxhash64(col("id"), lit(3)), lit(nk)) + 1)
+        .cast("string")).as("id3"),
+      (pmod(xxhash64(col("id"), lit(4)), lit(k)) + 1).cast("int").as("id4"),
+      (pmod(xxhash64(col("id"), lit(5)), lit(k)) + 1).cast("int").as("id5"),
+      (pmod(xxhash64(col("id"), lit(6)), lit(nk)) + 1).cast("int").as("id6"),
+      (pmod(xxhash64(col("id"), lit(7)), lit(5)) + 1).cast("int").as("v1"),
+      (pmod(xxhash64(col("id"), lit(8)), lit(15)) + 1).cast("int").as("v2"),
+      round(pmod(xxhash64(col("id"), lit(9)), lit(10000000)) / 100000.0, 6)
+        .as("v3"))
+  }
+
+  def queries(df: DataFrame): Seq[(String, DataFrame)] = Seq(
+    "q1_sum_by_id1" -> df.groupBy("id1").agg(sum("v1").as("v1")),
+    "q2_sum_by_id1_id2" -> df.groupBy("id1", "id2").agg(sum("v1").as("v1")),
+    "q3_sum_mean_by_id3" -> df.groupBy("id3")
+      .agg(sum("v1").as("v1"), avg("v3").as("v3")),
+    "q4_mean_by_id4" -> df.groupBy("id4")
+      .agg(avg("v1").as("v1"), avg("v2").as("v2"), avg("v3").as("v3")),
+    "q5_sum_by_id6" -> df.groupBy("id6")
+      .agg(sum("v1").as("v1"), sum("v2").as("v2"), sum("v3").as("v3")),
+    "q6_median_std_by_id4_id5" -> df.groupBy("id4", "id5")
+      .agg(median(col("v3")).as("median_v3"), stddev("v3").as("sd_v3")),
+    "q7_range_by_id3" -> df.groupBy("id3")
+      .agg((max("v1") - min("v2")).as("range_v1_v2")),
+    "q8_top2_by_id6" -> df.groupBy("id6")
+      .agg(graft.functions.topKAgg(col("v3"), 2).as("largest2_v3")),
+    "q9_r2_by_id2_id4" -> df.groupBy("id2", "id4")
+      .agg(pow(corr("v1", "v2"), 2).as("r2")),
+    "q10_sum_count_by_id1_6" -> df
+      .groupBy("id1", "id2", "id3", "id4", "id5", "id6")
+      .agg(sum("v3").as("v3"), count(lit(1)).as("n")))
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toDouble.toLong else 10000000L
+    val k = if (args.length > 1) args(1).toInt else 100
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val df = gen(spark, n, k).cache()
+    df.count() // materialize once, like the benchmark's in-memory frame
+    // warm-up pass then timed pass, min not needed: data is cached
+    queries(df).foreach(_._2.write.format("noop").mode("overwrite").save())
+    val results = queries(df).map { case (name, q) =>
+      val t0 = System.nanoTime()
+      q.write.format("noop").mode("overwrite").save()
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    val qs = results.map { case (q, s) => "\"" + q + f"""\":$s%.3f""" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"groupby_total","value":$total%.3f,"unit":"sec","queries":$qs,"n":$n,"k":$k}""")
+    spark.stop()
+  }
+}
