@@ -65,6 +65,23 @@ object Streams {
   def enrich(stream: DataFrame, dim: DataFrame, on: Seq[String]): DataFrame =
     stream.join(broadcast(dim), on, "left")
 
+  /** Stream-stream interval join: match rows from two unbounded streams
+    * whose event times fall within `[lowerBound, upperBound]` of each
+    * other. Both sides carry watermarks so the join state is evicted once
+    * no counterpart can still arrive — state ∝ (watermark horizon ×
+    * arrival rate), never the stream length. Column names on `right` must
+    * be pre-suffixed by the caller to avoid ambiguity. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   leftTs: String, rightTs: String, watermark: String,
+                   keyEq: org.apache.spark.sql.Column,
+                   lower: String, upper: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r, keyEq &&
+      col(rightTs) >= col(leftTs) - expr(s"interval $lower") &&
+      col(rightTs) <= col(leftTs) + expr(s"interval $upper"))
+  }
+
   /** Per-key running totals via mapGroupsWithState — the general custom-
     * state surface (reference analogue: none; closest is fold/cum_fold over
     * a finite frame). Update-mode output: one row per key per trigger. */

@@ -94,6 +94,37 @@ class StreamingSpec extends SparkSpec {
     assert(finalRows.exceptAll(want).isEmpty && want.exceptAll(finalRows).isEmpty)
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val base = util.t(spark, dir, "events").filter(col("user_id") <= 3)
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("ts").as("c_ts"), col("user_id").as("c_uid"),
+        col("event_id").as("c_id"))
+    val errors = base.filter(col("event_type") === "error")
+      .select(col("ts").as("e_ts"), col("user_id").as("e_uid"),
+        col("event_id").as("e_id"))
+    val d1 = java.nio.file.Files.createTempDirectory("graft-ij1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft-ij2").toString
+    clicks.write.mode("overwrite").parquet(d1)
+    errors.write.mode("overwrite").parquet(d2)
+
+    val joined = Streams.intervalJoin(
+      Streams.readParquetStream(spark, d1, clicks.schema),
+      Streams.readParquetStream(spark, d2, errors.schema),
+      "c_ts", "e_ts", "1 hour",
+      col("c_uid") === col("e_uid"), "30 minutes", "30 minutes")
+    val got = Streams.replayToTable(joined, "ij_out")
+      .select(col("c_id"), col("e_id"))
+
+    val want = clicks.join(errors,
+      col("c_uid") === col("e_uid") &&
+        col("e_ts") >= col("c_ts") - expr("interval 30 minutes") &&
+        col("e_ts") <= col("c_ts") + expr("interval 30 minutes"))
+      .select(col("c_id"), col("e_id"))
+
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("streaming dedup drops re-delivered rows") {
     import spark.implicits._
     val rows = Seq(
