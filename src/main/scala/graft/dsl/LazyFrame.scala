@@ -274,6 +274,53 @@ final class LazyFrame(val df: DataFrame) {
 
   // ---- caching / terminal -------------------------------------------------
 
+  /** polars sample(fraction, seed): Bernoulli row sample — executes at the
+    * scan (no shuffle), deterministic per seed and partition layout. */
+  def sample(fraction: Double, seed: Long): LazyFrame =
+    LazyFrame(df.sample(withReplacement = false, fraction, seed))
+
+  /** polars shuffle(seed): deterministic random permutation — a full sort
+    * by a seeded hash. Only for bounded outputs; at scale prefer
+    * per-partition local shuffles (sortWithinPartitions). */
+  def shuffle(seed: Long): LazyFrame =
+    LazyFrame(df.orderBy(xxhash64(struct(df.columns.map(col): _*), lit(seed))))
+
+  /** polars describe(): per-column count / null_count / mean / std / min /
+    * max / median for numeric columns, count / null_count / min / max for
+    * the rest — one distributed agg pass, rows = statistics. */
+  def describe(): DataFrame = {
+    import org.apache.spark.sql.types.NumericType
+    val fields = df.schema.fields
+    def s(c: String): Column = col(c)
+    val aggs: Seq[Column] = fields.flatMap { f =>
+      val c = f.name
+      val base = Seq(
+        org.apache.spark.sql.functions.count(s(c)).cast("double").as(s"${c}__count"),
+        (org.apache.spark.sql.functions.count(lit(1)) -
+          org.apache.spark.sql.functions.count(s(c))).cast("double").as(s"${c}__null_count"))
+      f.dataType match {
+        case _: NumericType => base ++ Seq(
+          avg(s(c)).as(s"${c}__mean"), stddev_samp(s(c)).as(s"${c}__std"),
+          min(s(c)).cast("double").as(s"${c}__min"),
+          max(s(c)).cast("double").as(s"${c}__max"),
+          median(s(c)).as(s"${c}__median"))
+        case _ => base
+      }
+    }.toSeq
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot the single wide row into (statistic, column, value)
+    val cols = wide.columns
+    val stacked = wide.select(expr(
+      s"stack(${cols.length}, " +
+        cols.map(c => s"'$c', `$c`").mkString(", ") + ") as (key, value)"))
+    stacked
+      .withColumn("column", expr("substring_index(key, '__', 1)"))
+      .withColumn("statistic", expr("substring_index(key, '__', -1)"))
+      .groupBy(col("statistic"))
+      .pivot("column", fields.map(_.name))
+      .agg(first(col("value")))
+  }
+
   def cache(): LazyFrame = LazyFrame(df.cache())
 
   /** polars collect() — in Spark the frame IS lazy; this just returns the

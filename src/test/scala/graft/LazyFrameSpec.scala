@@ -66,6 +66,29 @@ class LazyFrameSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<k:string,i:int>"))
   }
 
+  test("describe() yields the per-column statistics rows") {
+    val d = lf.describe().collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(d.keySet == Set("count", "null_count", "mean", "std", "min", "max", "median"))
+    val mean = d("mean")
+    val idx = lf.describe().columns.indexOf("v")
+    assert(math.abs(mean.getDouble(idx) - 30.0) < 1e-9)
+    assert(d("null_count").getDouble(idx) == 0.0)
+    // string column k has only count/null_count
+    val kIdx = lf.describe().columns.indexOf("k")
+    assert(d("mean").isNullAt(kIdx))
+  }
+
+  test("sample and shuffle are deterministic per seed") {
+    val s1 = lf.sample(0.6, seed = 7).collect().collect().toSeq
+    val s2 = lf.sample(0.6, seed = 7).collect().collect().toSeq
+    assert(s1 == s2)
+    val p1 = lf.shuffle(3).collect().collect().toSeq
+    val p2 = lf.shuffle(3).collect().collect().toSeq
+    assert(p1 == p2)
+    assert(p1.toSet == lf.collect().collect().toSet)
+  }
+
   test("joinValidate enforces key cardinality and names the bad side") {
     val dim = LazyFrame(Seq(("a", 1), ("b", 2)).toDF("k", "v2"))
     val dupDim = LazyFrame(Seq(("a", 1), ("a", 9)).toDF("k", "v2"))
