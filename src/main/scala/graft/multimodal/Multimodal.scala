@@ -53,6 +53,51 @@ object Multimodal {
     df.withColumn("features", feats)
   }
 
+  /** Batched decode via `mapPartitions` — the Scala analogue of the
+    * vectorized-UDF (mapInPandas) shape: the decoder receives a BATCH of
+    * payloads at once (real codecs amortize setup per batch, exactly like
+    * an Arrow batch), `batchSize` bounds executor memory to
+    * batch-count × payload size, and rows stream through without any
+    * shuffle or partition change.
+    *
+    * `decode` is pluggable; the default is the STUBBED deterministic fake
+    * (no codec libs in this container): features derived from payload
+    * bytes. The signature — Seq of payloads in, Seq of fixed-length float
+    * vectors out — is the real contract a codec-backed decoder drops into.
+    */
+  def decodeBatched(df: DataFrame, batchSize: Int = 64, dim: Int = 8,
+                    decode: (Seq[Array[Byte]], Int) => Seq[Array[Float]] =
+                      Multimodal.stubDecode): DataFrame = {
+    require(batchSize > 0)
+    val schema = StructType(df.schema.fields :+
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false))
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val feats = decode(batch.map { r =>
+          if (r.isNullAt(payloadIdx)) Array.emptyByteArray
+          else r.getAs[Array[Byte]](payloadIdx)
+        }, dim)
+        batch.lazyZip(feats).map { (r, f) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ f.toSeq)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** STUB decoder: deterministic features from payload bytes (md5-mixed).
+    * A real implementation parses the codec here — per batch, not per row. */
+  def stubDecode(payloads: Seq[Array[Byte]], dim: Int): Seq[Array[Float]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    payloads.map { p =>
+      md.reset()
+      val d = md.digest(p)
+      Array.tabulate(dim) { i =>
+        ((d(i % d.length) & 0xff) / 255.0f)
+      }
+    }
+  }
+
   /** STUB image resize: a real kernel decodes + resamples pixels. The stub
     * records the target size in metadata and passes the payload through,
     * keeping schema and partition behavior identical to the real op. */

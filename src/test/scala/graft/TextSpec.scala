@@ -86,4 +86,26 @@ class TextSpec extends SparkSpec {
       .select(size(col("features"))).as[Int].head()
     assert(feats == 4)
   }
+
+  test("batched decode streams bounded batches through mapPartitions") {
+    val df = (0 until 100).map(i => (i.toLong, Array.fill[Byte](8)(i.toByte)))
+      .toDF("id", "payload")
+    val assets = Multimodal.asAssets(df, "id", "payload", "image").repartition(4)
+    // a decode fn that records the batch sizes it was handed
+    val sizes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val out = Multimodal.decodeBatched(assets, batchSize = 16, dim = 4,
+      decode = (ps, d) => { sizes.add(ps.length); Multimodal.stubDecode(ps, d) })
+    assert(out.count() == 100)
+    assert(out.rdd.getNumPartitions == 4)       // no shuffle, no repartition
+    // local-mode executors share the JVM, so the queue observes real batches
+    assert(scala.jdk.CollectionConverters.CollectionHasAsScala(sizes)
+      .asScala.forall(_ <= 16))                  // memory bound respected
+    // deterministic: same payload → same features, twice
+    val a = out.select(col("asset_id"), col("features")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val b = Multimodal.decodeBatched(assets, batchSize = 7, dim = 4)
+      .select(col("asset_id"), col("features")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(a == b)
+  }
 }
