@@ -47,6 +47,20 @@ object QueriesMisc5 {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // polars binary namespace (bin.encode/decode/len, §2.9): text → binary
+    // payload, hex/base64 encodings, byte length — the binary-column surface
+    // multimodal payloads ride on
+    "bin_ops" -> ((s, d) =>
+      t(s, d, "documents").filter(col("doc_id") < 100).select(
+        col("doc_id"),
+        hex(col("text").cast("binary")).as("hx"),
+        // Spark base64 is MIME-chunked (CRLF every 76 chars); strip to the
+        // single-line standard form DuckDB produces
+        regexp_replace(base64(col("text").cast("binary")), "[\\r\\n]", "").as("b64"),
+        octet_length(col("text")).as("nbytes"),
+        length(col("text")).as("nchars"))
+        .orderBy(col("doc_id"))),
+
     // polars top_k in agg context via the TypedImperativeAggregate
     // (graft.functions.TopKAgg): k-bounded state per group, no window sort
     "agg_topk_values" -> ((s, d) =>
@@ -101,6 +115,14 @@ object QueriesMisc5 {
         | round(l_quantity + l_extendedprice + l_tax, 4) AS f3
         |FROM lineitem WHERE l_orderkey <= 1000
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "bin_ops" ->
+      """SELECT doc_id,
+        | upper(hex(encode(text))) AS hx,
+        | to_base64(encode(text)) AS b64,
+        | octet_length(encode(text)) AS nbytes,
+        | length(text) AS nchars
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
 
     "agg_topk_values" ->
       """SELECT l_returnflag,
