@@ -47,6 +47,39 @@ object QueriesMisc5 {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // TPC-H Q14 (promo revenue share by shipped month) through spark.sql —
+    // broadcast-able part join + conditional aggregation
+    "sql_tpch_q14" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      t(s, d, "part").createOrReplaceTempView("part")
+      s.sql(
+        """SELECT round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
+          |  THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+          |  / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin)
+    }),
+
+    // TPC-H Q10 shape (returned-item revenue by customer, top 20)
+    "sql_tpch_q10" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      t(s, d, "customer").createOrReplaceTempView("customer")
+      t(s, d, "nation").createOrReplaceTempView("nation")
+      s.sql(
+        """SELECT c_custkey, c_name, n_name,
+          | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          |FROM customer
+          |JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON l_orderkey = o_orderkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |WHERE l_returnflag = 'R'
+          |GROUP BY c_custkey, c_name, n_name
+          |ORDER BY revenue DESC, c_custkey
+          |LIMIT 20""".stripMargin)
+    }),
+
     // polars binary namespace (bin.encode/decode/len, §2.9): text → binary
     // payload, hex/base64 encodings, byte length — the binary-column surface
     // multimodal payloads ride on
@@ -115,6 +148,26 @@ object QueriesMisc5 {
         | round(l_quantity + l_extendedprice + l_tax, 4) AS f3
         |FROM lineitem WHERE l_orderkey <= 1000
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "sql_tpch_q14" ->
+      """SELECT round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
+        |  THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        |  / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+
+    "sql_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
 
     "bin_ops" ->
       """SELECT doc_id,
