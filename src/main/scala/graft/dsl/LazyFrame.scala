@@ -131,6 +131,24 @@ final class LazyFrame(val df: DataFrame) {
   /** polars join_where (arbitrary inequality predicates,
     * crates/polars-plan/src/dsl/plan.rs:85). Catalyst extracts any equi-parts;
     * pure-inequality falls to BNLJ — keep the build side small/broadcast. */
+  /** Skew-salted equi-join: append a deterministic salt in [0, salt) to
+    * this (large, skewed) side's key and replicate the other (smaller)
+    * side once per salt value — a hot key's rows land on `salt` reducers
+    * instead of one. Use when one key holds a double-digit percentage of
+    * rows and AQE's skew split isn't enough; costs salt× replication of
+    * the right side. Result equals the plain join (spec-checked). */
+  def joinSalted(other: LazyFrame, on: Seq[String], salt: Int,
+                 how: String = "inner"): LazyFrame = {
+    require(salt > 1, s"salt must be > 1, got $salt")
+    // deterministic per-row salt: hash of the full row, not rand() — keeps
+    // retries/speculative tasks consistent
+    val l = df.withColumn("__salt",
+      pmod(xxhash64(struct(df.columns.map(col): _*)), lit(salt)).cast("int"))
+    val r = other.df.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    LazyFrame(l.join(r, on :+ "__salt", how).drop("__salt"))
+  }
+
   /** polars JoinArgs.validate ("1:1" | "1:m" | "m:1" | "m:m"): assert key
     * cardinality before joining. The check is one distributed agg per
     * validated side (count vs distinct count over the join keys) — the same

@@ -102,6 +102,18 @@ class LazyFrameSpec extends SparkSpec {
     assert(lf.joinValidate(dupDim, Seq("k"), validate = "m:m").count() == 4)
   }
 
+  test("joinSalted equals the plain join on a skewed key") {
+    // 90% of rows share one key — the shape that hot-spots one reducer
+    val big = LazyFrame((1 to 1000).map(i => (if (i <= 900) "hot" else s"k$i", i))
+      .toDF("k", "i"))
+    val dim = LazyFrame(Seq(("hot", 1.0), ("k950", 2.0)).toDF("k", "w"))
+    val plain = big.join(dim, Seq("k")).collect()
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).sorted.toSeq
+    val salted = big.joinSalted(dim, Seq("k"), salt = 8).collect()
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).sorted.toSeq
+    assert(salted == plain && plain.size == 901)
+  }
+
   test("aggOrdered returns groups in first-appearance order") {
     val df = Seq(("z", 1), ("a", 2), ("z", 3), ("m", 4), ("a", 5)).toDF("k", "i")
     val out = LazyFrame(df).groupByNames("k")
