@@ -47,6 +47,36 @@ object QueriesMisc5 {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // polars str.extract_all + strip_prefix/strip_suffix (§2.9 Strings)
+    "str_extract_all" -> ((s, d) =>
+      t(s, d, "part").select(
+        col("p_partkey"),
+        regexp_extract_all(col("p_name"), lit("[a-z]{5,}"), lit(0)).as("long_words"),
+        regexp_replace(col("p_type"), "^STANDARD ", "").as("no_prefix"),
+        regexp_replace(col("p_brand"), "#\\d+$", "").as("no_suffix"))
+        .orderBy(col("p_partkey"))),
+
+    // polars list.count_matches (§2.9 List): occurrences of a value per list
+    "list_count_matches" -> ((s, d) =>
+      t(s, d, "lineitem").filter(col("l_orderkey") <= 500)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("lns"))
+        .select(col("l_orderkey"),
+          size(filter(col("lns"), x => x === 1)).as("n_ones"),
+          size(filter(col("lns"), x => x > 3)).as("n_gt3"))
+        .orderBy(col("l_orderkey"))),
+
+    // polars dt.combine (date + time parts → timestamp) and days_in_month
+    "dt_combine" -> ((s, d) =>
+      t(s, d, "orders").filter(col("o_orderkey") <= 2000).select(
+        col("o_orderkey"),
+        make_timestamp(
+          year(col("o_orderdate")), month(col("o_orderdate")),
+          dayofmonth(col("o_orderdate")), lit(12), lit(30), lit(15.0))
+          .as("combined"),
+        dayofmonth(last_day(col("o_orderdate").cast("date"))).as("days_in_month"))
+        .orderBy(col("o_orderkey"))),
+
     // TPC-H Q14 (promo revenue share by shipped month) through spark.sql —
     // broadcast-able part join + conditional aggregation
     "sql_tpch_q14" -> ((s, d) => {
@@ -148,6 +178,29 @@ object QueriesMisc5 {
         | round(l_quantity + l_extendedprice + l_tax, 4) AS f3
         |FROM lineitem WHERE l_orderkey <= 1000
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "str_extract_all" ->
+      """SELECT p_partkey,
+        | regexp_extract_all(p_name, '[a-z]{5,}') AS long_words,
+        | regexp_replace(p_type, '^STANDARD ', '') AS no_prefix,
+        | regexp_replace(p_brand, '#\d+$', '') AS no_suffix
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "list_count_matches" ->
+      """WITH g AS (
+        |  SELECT l_orderkey, list_sort(list(l_linenumber)) AS lns
+        |  FROM lineitem WHERE l_orderkey <= 500 GROUP BY l_orderkey)
+        |SELECT l_orderkey,
+        | CAST(len(list_filter(lns, x -> x = 1)) AS INTEGER) AS n_ones,
+        | CAST(len(list_filter(lns, x -> x > 3)) AS INTEGER) AS n_gt3
+        |FROM g ORDER BY l_orderkey""".stripMargin,
+
+    "dt_combine" ->
+      """SELECT o_orderkey,
+        | make_timestamp(year(o_orderdate), month(o_orderdate),
+        |   day(o_orderdate), 12, 30, 15.0) AS combined,
+        | CAST(day(last_day(CAST(o_orderdate AS DATE))) AS INTEGER) AS days_in_month
+        |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin,
 
     "sql_tpch_q14" ->
       """SELECT round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
