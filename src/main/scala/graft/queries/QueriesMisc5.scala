@@ -47,6 +47,28 @@ object QueriesMisc5 {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // polars round_sig_figs (RoundSF): dynamic-scale rounding via the
+    // scaled-integer form (exact in both engines, see text_quality note)
+    "math_round_sig" -> ((s, d) => {
+      val x = col("l_extendedprice")
+      val y = pow(lit(10.0), floor(log10(abs(x))) - 2) // 3 significant figures
+      t(s, d, "lineitem").filter(col("l_orderkey") <= 2000).select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(x === 0, lit(0.0)).otherwise(round(x / y, 0) * y).as("sig3"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // polars str.to_decimal (§2.9): string → exact decimal, arithmetic in
+    // decimal (no double drift); retailprice is 1-2dp so the double→string
+    // shortest form parses exactly in both engines
+    "str_to_decimal" -> ((s, d) => {
+      val dec = col("p_retailprice").cast("string").cast("decimal(12,2)")
+      t(s, d, "part").select(
+        col("p_partkey"), dec.as("dec"),
+        (dec * 2).cast("decimal(13,2)").as("dec2"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // polars str.extract_all + strip_prefix/strip_suffix (§2.9 Strings)
     "str_extract_all" -> ((s, d) =>
       t(s, d, "part").select(
@@ -178,6 +200,21 @@ object QueriesMisc5 {
         | round(l_quantity + l_extendedprice + l_tax, 4) AS f3
         |FROM lineitem WHERE l_orderkey <= 1000
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "math_round_sig" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CASE WHEN l_extendedprice = 0 THEN 0.0
+        |      ELSE round(l_extendedprice / power(10.0, floor(log10(abs(l_extendedprice))) - 2))
+        |           * power(10.0, floor(log10(abs(l_extendedprice))) - 2) END AS sig3
+        |FROM lineitem WHERE l_orderkey <= 2000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "str_to_decimal" ->
+      """SELECT p_partkey,
+        | CAST(CAST(p_retailprice AS VARCHAR) AS DECIMAL(12,2)) AS dec,
+        | CAST(CAST(CAST(p_retailprice AS VARCHAR) AS DECIMAL(12,2)) * 2
+        |      AS DECIMAL(13,2)) AS dec2
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "str_extract_all" ->
       """SELECT p_partkey,
