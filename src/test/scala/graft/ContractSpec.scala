@@ -1,0 +1,35 @@
+package graft
+
+/** Guards the driver contract itself: key alignment between queries and
+  * oracles, and the t1 smoke (entry() returns rows at sf0.001). */
+class ContractSpec extends SparkSpec {
+
+  test("every oracle key has a query; no-oracle set is exactly the known one") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((o -- q).isEmpty, s"oracles without queries: ${(o -- q).toSeq.sorted}")
+    // engine-specific results (HLL sketch internals, RNG, LSH plane buckets)
+    // get the documented weaker rows-only check — nothing else may join them
+    assert((q -- o) == Set("agg_approx_ndv", "misc_sample_seeded", "sim_lsh_pairs"),
+      s"unexpected no-oracle queries: ${(q -- o).toSeq.sorted}")
+  }
+
+  test("entry() (driver t1 smoke) returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("no duplicate keys across query batch objects") {
+    val batches = Seq(
+      graft.queries.QueriesAgg.queries, graft.queries.QueriesJoin.queries,
+      graft.queries.QueriesWindow.queries, graft.queries.QueriesScalar.queries,
+      graft.queries.QueriesReshape.queries, graft.queries.QueriesText.queries,
+      graft.queries.QueriesExtra.queries, graft.queries.QueriesScalar2.queries,
+      graft.queries.QueriesExtra2.queries, graft.queries.QueriesWindow2.queries,
+      graft.queries.QueriesMisc3.queries, graft.queries.QueriesMisc4.queries,
+      graft.queries.QueriesMisc5.queries)
+    val all = batches.flatMap(_.keys)
+    val dups = all.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate query keys: ${dups.toSeq.sorted}")
+    assert(all.size == SparkEntry.queries.size)
+  }
+}
