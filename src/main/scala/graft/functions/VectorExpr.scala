@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
@@ -31,6 +32,12 @@ abstract class VectorBinaryExpr extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
+  // Nullable even over non-null inputs: a null ELEMENT or a length mismatch
+  // yields null (zip_with pads the shorter side with nulls). The default
+  // `left.nullable || right.nullable` is wrong for e.g. sequence()-built
+  // arrays and made UnsafeProjection trust a value that could be null.
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
@@ -58,12 +65,28 @@ abstract class VectorBinaryExpr extends BinaryExpression {
     if (r == null) null else r.doubleValue()
   }
 
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      java.lang.Double r = graft.functions.VectorUtil.$kernel(
-        $a, $b, $leftIsFloat, $rightIsFloat);
-      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
-    """)
+  // Hand-rolled (NOT nullSafeCodeGen): with non-nullable children that helper
+  // pins ev.isNull to FalseLiteral, so assigning `${ev.isNull} = true` emitted
+  // `false = true;` — Janino "not an rvalue", whole-stage codegen disabled for
+  // the entire plan. Here we declare both result variables ourselves and use a
+  // ctx.freshName temp so two vector exprs inlined into one function can't
+  // collide on a shared local.
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val boxed = ctx.freshName("vecRes")
+    ev.copy(code = l.code + r.code + code"""
+      boolean ${ev.isNull} = true;
+      double ${ev.value} = 0.0;
+      if (!${l.isNull} && !${r.isNull}) {
+        java.lang.Double $boxed = graft.functions.VectorUtil.$kernel(
+          ${l.value}, ${r.value}, $leftIsFloat, $rightIsFloat);
+        if ($boxed != null) {
+          ${ev.isNull} = false;
+          ${ev.value} = $boxed.doubleValue();
+        }
+      }""")
+  }
 }
 
 case class DotProductExpr(left: Expression, right: Expression) extends VectorBinaryExpr {

@@ -67,6 +67,23 @@ class PlanSpec extends SparkSpec {
       s"expected partial+final aggregate around the shuffle:\n$p")
   }
 
+  test("similarity pipeline stays inside whole-stage codegen AND compiles") {
+    // Guards the r3 regression: VectorExpr codegen failed Janino, plan fell
+    // back to interpreted per task (8× slower) while plan-string tests stayed
+    // green. fallback=false turns a compile failure into a hard error.
+    withSQLConf("spark.sql.codegen.fallback" -> "false") {
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      val queries = emb.limit(3).select(col("vec_id").as("qid"), col("embedding"))
+      val top = graft.ml.Similarity.bruteForceTopK(
+        emb, queries, "vec_id", "embedding", "qid", 5)
+      assert(top.collect().length == 15) // would throw on codegen compile failure
+      // AQE: codegen stage markers only appear once the final plan is chosen
+      val p = planOf(top)
+      assert(p.linesIterator.exists(l => l.contains("graft_cosine") && l.contains("*(")),
+        s"graft_cosine not in a codegen stage:\n$p")
+    }
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline") {
     val df = spark.read.parquet(s"$sf/lineitem.parquet")
       .filter(col("l_discount") > 0.05)

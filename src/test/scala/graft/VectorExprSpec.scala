@@ -61,6 +61,42 @@ class VectorExprSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(1).isNaN, s"id=${r.get(0)} not NaN"))
   }
 
+  test("generated code COMPILES: collect with codegen fallback disabled") {
+    // The r3 defect: with non-nullable children (transform/sequence arrays),
+    // nullSafeCodeGen pinned isNull to `false` and the emitted assignment
+    // `false = true;` failed Janino — silently interpreted, 8× slower, and
+    // invisible to plan-string tests. fallback=false makes compile errors throw.
+    withSQLConf("spark.sql.codegen.fallback" -> "false") {
+      val df = spark.range(100)
+        .select(transform(sequence(lit(0), lit(7)),
+          i => (i + col("id")).cast("float")).as("a"))
+        .select(col("a"), reverse(col("a")).as("b"))
+        .select(col("a"), col("b"),
+          gf.cosineSimilarity(col("a"), col("b")).as("cos"),
+          gf.dotProduct(col("a"), col("b")).as("dot"),
+          // two vector exprs in one projection: freshName temps must not collide
+          gf.dotProduct(col("b"), col("a")).as("dot2"))
+      val rows = df.collect()
+      assert(rows.length == 100)
+      rows.foreach { r =>
+        assert(!r.isNullAt(2) && !r.isNullAt(3) && !r.isNullAt(4))
+        assert(r.getDouble(3) == r.getDouble(4)) // dot is symmetric
+      }
+    }
+  }
+
+  test("null element under codegen (fallback disabled) yields null, not garbage") {
+    withSQLConf("spark.sql.codegen.fallback" -> "false") {
+      val rows = vecs.select(col("id"),
+        gf.dotProduct(col("a"), col("b")).as("d")).collect()
+      val byId = rows.map(r => r.getInt(0) -> r).toMap
+      assert(byId(4).isNullAt(1), "null element must give null")
+      assert(byId(5).isNullAt(1), "length mismatch must give null")
+      assert(byId(6).isNullAt(1), "null array must give null")
+      assert(!byId(1).isNullAt(1))
+    }
+  }
+
   test("cosine stays inside a codegen stage over a range source") {
     val df = spark.range(50)
       .select(transform(sequence(lit(0), lit(7)),
