@@ -70,12 +70,17 @@ object QueriesExtra2 {
         .orderBy(col("l_orderkey"))),
 
     // polars arbitrary expressions inside agg (SURVEY §2.5): filtered sum,
-    // sorted head-k list, conditional count — all in ONE groupBy pass
+    // sorted head-k list, conditional count — all in ONE groupBy pass.
+    // The list lands as a '|'-joined fixed-scale decimal string: the driver's
+    // pandas comparator can't hash array cells, and decimal→string rendering
+    // (unlike double→string) is identical across engines.
     "agg_expr_general" -> ((s, d) =>
       t(s, d, "lineitem").groupBy(col("l_returnflag")).agg(
         round(sum(when(col("l_discount") > 0.05,
           col("l_extendedprice") * (lit(1) - col("l_discount")))), 2).as("hi_rev"),
-        slice(sort_array(collect_list(col("l_quantity")), asc = false), 1, 3).as("top3_qty"),
+        array_join(transform(
+          slice(sort_array(collect_list(col("l_quantity")), asc = false), 1, 3),
+          x => x.cast("decimal(18,2)").cast("string")), "|").as("top3_qty"),
         count(when(col("l_discount") > 0.05, lit(1))).as("n_hi"))
         .orderBy(col("l_returnflag"))),
 
@@ -167,7 +172,10 @@ object QueriesExtra2 {
         round((conv(h.substr(i * 8 + 1, lit(8)), 16, 10).cast("long") % 1000)
           / lit(1000.0), 3))
       t(s, d, "documents").select(
-        col("doc_id"), feat.as("feat"), col("n_chars"))
+        col("doc_id"),
+        array_join(transform(feat, x => x.cast("decimal(6,3)").cast("string")), "|")
+          .as("feat"),
+        col("n_chars"))
         .orderBy(col("doc_id"))
     })
   )
@@ -249,7 +257,8 @@ object QueriesExtra2 {
       """SELECT l_returnflag,
         | round(sum(CASE WHEN l_discount > 0.05
         |   THEN l_extendedprice * (1 - l_discount) END), 2) AS hi_rev,
-        | (list(l_quantity ORDER BY l_quantity DESC))[1:3] AS top3_qty,
+        | array_to_string(list_transform((list(l_quantity ORDER BY l_quantity DESC))[1:3],
+        |   x -> CAST(CAST(x AS DECIMAL(18,2)) AS VARCHAR)), '|') AS top3_qty,
         | count(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_hi
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -312,9 +321,9 @@ object QueriesExtra2 {
 
     "multimodal_embed_stub" ->
       """SELECT doc_id,
-        | list_transform(generate_series(0, 3), i ->
-        |   round((('0x' || substr(md5(text), i*8 + 1, 8))::BIGINT % 1000)
-        |     / 1000.0, 3)) AS feat,
+        | array_to_string(list_transform(generate_series(0, 3), i ->
+        |   CAST(CAST(round((('0x' || substr(md5(text), i*8 + 1, 8))::BIGINT % 1000)
+        |     / 1000.0, 3) AS DECIMAL(6,3)) AS VARCHAR)), '|') AS feat,
         | n_chars
         |FROM documents ORDER BY doc_id""".stripMargin
   )

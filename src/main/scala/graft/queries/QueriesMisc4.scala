@@ -89,19 +89,26 @@ object QueriesMisc4 {
     }),
 
     // polars list.diff / list.shift (ListFunction list.rs): per-group sorted
-    // quantity list, element-wise diff and lag-1 shift — pure array algebra
-    "list_diff_shift" -> ((s, d) =>
+    // quantity list, element-wise diff and lag-1 shift — pure array algebra.
+    // Lists serialize to '|'-joined decimal strings in the final projection
+    // (the driver's comparator can't hash array cells); the null the shift
+    // introduces renders as a literal 'null' token in both engines.
+    "list_diff_shift" -> ((s, d) => {
+      val serialize = (c: org.apache.spark.sql.Column) =>
+        array_join(transform(c,
+          x => coalesce(x.cast("decimal(18,2)").cast("string"), lit("null"))), "|")
       t(s, d, "lineitem").filter(col("l_orderkey") <= 500)
         .groupBy(col("l_orderkey"))
         .agg(array_sort(collect_list(col("l_quantity"))).as("qs"))
-        .select(col("l_orderkey"), col("qs"),
-          zip_with(slice(col("qs"), lit(2), greatest(size(col("qs")) - 1, lit(0))),
+        .select(col("l_orderkey"), serialize(col("qs")).as("qs"),
+          serialize(zip_with(slice(col("qs"), lit(2), greatest(size(col("qs")) - 1, lit(0))),
             slice(col("qs"), lit(1), greatest(size(col("qs")) - 1, lit(0))),
-            (x, y) => x - y).as("qdiff"),
-          concat(array(lit(null).cast("double")),
-            slice(col("qs"), lit(1), greatest(size(col("qs")) - 1, lit(0))))
+            (x, y) => x - y)).as("qdiff"),
+          serialize(concat(array(lit(null).cast("double")),
+            slice(col("qs"), lit(1), greatest(size(col("qs")) - 1, lit(0)))))
             .as("qshift"))
-        .orderBy(col("l_orderkey"))),
+        .orderBy(col("l_orderkey"))
+    }),
 
     // polars list.to_struct: fixed positions become fields (nulls pad)
     "list_to_struct" -> ((s, d) =>
@@ -150,13 +157,18 @@ object QueriesMisc4 {
         .orderBy(col("event_id"))),
 
     // polars struct.with_fields / rename_fields (§2.9 Struct): build, extend,
-    // rename — struct column round-trips through parquet to the checker
+    // rename. The structs are built and extended with withField, then the
+    // final projection flattens fields back to scalars — the driver's
+    // comparator can't hash struct cells.
     "struct_with_fields" -> ((s, d) =>
       t(s, d, "customer").select(
         col("c_custkey"),
         struct(col("c_name").as("name"), col("c_acctbal").as("bal"))
           .withField("nk", col("c_nationkey")).as("s"),
         struct(col("c_name").as("renamed_name")).as("r"))
+        .select(col("c_custkey"),
+          col("s.name").as("s_name"), col("s.bal").as("s_bal"),
+          col("s.nk").as("s_nk"), col("r.renamed_name").as("r_name"))
         .orderBy(col("c_custkey"))),
 
     // polars ewm_var/ewm_std (series/ops/ewm.rs), α=0.5: weighted second
@@ -315,9 +327,16 @@ object QueriesMisc4 {
       """WITH g AS (
         |  SELECT l_orderkey, list_sort(list(l_quantity)) AS qs
         |  FROM lineitem WHERE l_orderkey <= 500 GROUP BY l_orderkey)
-        |SELECT l_orderkey, qs,
-        | list_transform(range(2, len(qs) + 1), i -> qs[i] - qs[i - 1]) AS qdiff,
-        | list_concat([NULL::DOUBLE], qs[1:len(qs) - 1]) AS qshift
+        |SELECT l_orderkey,
+        | array_to_string(list_transform(qs,
+        |   x -> coalesce(CAST(CAST(x AS DECIMAL(18,2)) AS VARCHAR), 'null')), '|') AS qs,
+        | coalesce(array_to_string(list_transform(
+        |   list_transform(range(2, len(qs) + 1), i -> qs[i] - qs[i - 1]),
+        |   x -> coalesce(CAST(CAST(x AS DECIMAL(18,2)) AS VARCHAR), 'null')), '|'), '')
+        |   AS qdiff,
+        | array_to_string(list_transform(
+        |   list_concat([NULL::DOUBLE], qs[1:len(qs) - 1]),
+        |   x -> coalesce(CAST(CAST(x AS DECIMAL(18,2)) AS VARCHAR), 'null')), '|') AS qshift
         |FROM g ORDER BY l_orderkey""".stripMargin,
 
     "list_to_struct" ->
@@ -351,10 +370,14 @@ object QueriesMisc4 {
         |FROM events WHERE event_id < 5000 ORDER BY event_id""".stripMargin,
 
     "struct_with_fields" ->
-      """SELECT c_custkey,
-        | struct_pack(name := c_name, bal := c_acctbal, nk := c_nationkey) AS s,
-        | struct_pack(renamed_name := c_name) AS r
-        |FROM customer ORDER BY c_custkey""".stripMargin,
+      """WITH built AS (
+        | SELECT c_custkey,
+        |  struct_pack(name := c_name, bal := c_acctbal, nk := c_nationkey) AS s,
+        |  struct_pack(renamed_name := c_name) AS r
+        | FROM customer)
+        |SELECT c_custkey, s.name AS s_name, s.bal AS s_bal,
+        |       s.nk AS s_nk, r.renamed_name AS r_name
+        |FROM built ORDER BY c_custkey""".stripMargin,
 
     "win_ewm_var" ->
       """WITH t AS (

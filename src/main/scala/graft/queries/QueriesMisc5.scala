@@ -60,20 +60,26 @@ object QueriesMisc5 {
 
     // polars str.to_decimal (§2.9): string → exact decimal, arithmetic in
     // decimal (no double drift); retailprice is 1-2dp so the double→string
-    // shortest form parses exactly in both engines
+    // shortest form parses exactly in both engines. Output re-renders as the
+    // canonical fixed-scale string: the comparator reads Spark's parquet
+    // decimals as Decimal objects but DuckDB's as floats, which hash apart
+    // even when values agree (the r3 red row).
     "str_to_decimal" -> ((s, d) => {
       val dec = col("p_retailprice").cast("string").cast("decimal(12,2)")
       t(s, d, "part").select(
-        col("p_partkey"), dec.as("dec"),
-        (dec * 2).cast("decimal(13,2)").as("dec2"))
+        col("p_partkey"), dec.cast("string").as("dec"),
+        (dec * 2).cast("decimal(13,2)").cast("string").as("dec2"))
         .orderBy(col("p_partkey"))
     }),
 
-    // polars str.extract_all + strip_prefix/strip_suffix (§2.9 Strings)
+    // polars str.extract_all + strip_prefix/strip_suffix (§2.9 Strings).
+    // Matches are [a-z]{5,} so '|' can't occur in them — the joined string
+    // is an injective encoding (driver comparator can't hash array cells).
     "str_extract_all" -> ((s, d) =>
       t(s, d, "part").select(
         col("p_partkey"),
-        regexp_extract_all(col("p_name"), lit("[a-z]{5,}"), lit(0)).as("long_words"),
+        array_join(regexp_extract_all(col("p_name"), lit("[a-z]{5,}"), lit(0)), "|")
+          .as("long_words"),
         regexp_replace(col("p_type"), "^STANDARD ", "").as("no_prefix"),
         regexp_replace(col("p_brand"), "#\\d+$", "").as("no_suffix"))
         .orderBy(col("p_partkey"))),
@@ -148,12 +154,19 @@ object QueriesMisc5 {
 
     // polars top_k in agg context via the TypedImperativeAggregate
     // (graft.functions.TopKAgg): k-bounded state per group, no window sort
-    "agg_topk_values" -> ((s, d) =>
+    // k-bounded arrays serialize to '|'-joined decimal strings for the hash
+    // gate (decimal→string renders identically in Spark and DuckDB)
+    "agg_topk_values" -> ((s, d) => {
+      val ser = (c: org.apache.spark.sql.Column) =>
+        array_join(transform(c, x => x.cast("decimal(18,2)").cast("string")), "|")
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(gf.topKAgg(col("l_quantity"), 5).as("top5"),
           gf.topKAgg(col("l_extendedprice"), 3, descending = false).as("bottom3"))
-        .orderBy(col("l_returnflag"))),
+        .select(col("l_returnflag"), ser(col("top5")).as("top5"),
+          ser(col("bottom3")).as("bottom3"))
+        .orderBy(col("l_returnflag"))
+    }),
 
     // polars ewm_mean_by (series/ops/ewm_by.rs): decay by actual time
     // distance, not row count — weight 0.5^(Δt minutes) over a 1 h trailing
@@ -211,14 +224,15 @@ object QueriesMisc5 {
 
     "str_to_decimal" ->
       """SELECT p_partkey,
-        | CAST(CAST(p_retailprice AS VARCHAR) AS DECIMAL(12,2)) AS dec,
-        | CAST(CAST(CAST(p_retailprice AS VARCHAR) AS DECIMAL(12,2)) * 2
-        |      AS DECIMAL(13,2)) AS dec2
+        | CAST(CAST(CAST(p_retailprice AS VARCHAR) AS DECIMAL(12,2)) AS VARCHAR) AS dec,
+        | CAST(CAST(CAST(CAST(p_retailprice AS VARCHAR) AS DECIMAL(12,2)) * 2
+        |      AS DECIMAL(13,2)) AS VARCHAR) AS dec2
         |FROM part ORDER BY p_partkey""".stripMargin,
 
     "str_extract_all" ->
       """SELECT p_partkey,
-        | regexp_extract_all(p_name, '[a-z]{5,}') AS long_words,
+        | coalesce(array_to_string(regexp_extract_all(p_name, '[a-z]{5,}'), '|'), '')
+        |   AS long_words,
         | regexp_replace(p_type, '^STANDARD ', '') AS no_prefix,
         | regexp_replace(p_brand, '#\d+$', '') AS no_suffix
         |FROM part ORDER BY p_partkey""".stripMargin,
@@ -269,8 +283,10 @@ object QueriesMisc5 {
 
     "agg_topk_values" ->
       """SELECT l_returnflag,
-        | (list_sort(list(l_quantity), 'DESC'))[1:5] AS top5,
-        | (list_sort(list(l_extendedprice), 'ASC'))[1:3] AS bottom3
+        | array_to_string(list_transform((list_sort(list(l_quantity), 'DESC'))[1:5],
+        |   x -> CAST(CAST(x AS DECIMAL(18,2)) AS VARCHAR)), '|') AS top5,
+        | array_to_string(list_transform((list_sort(list(l_extendedprice), 'ASC'))[1:3],
+        |   x -> CAST(CAST(x AS DECIMAL(18,2)) AS VARCHAR)), '|') AS bottom3
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "win_ewm_by" ->

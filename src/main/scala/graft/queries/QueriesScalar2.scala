@@ -107,13 +107,14 @@ object QueriesScalar2 {
         expr("bit_xor(l_suppkey)").as("bxor"))
         .orderBy(col("l_returnflag"))),
 
-    // polars list.sort/reverse/arg_max/contains on the embedding column
+    // polars list.sort/reverse/arg_max/contains on the embedding column; the
+    // top3 list serializes to a '|'-joined decimal string for the hash gate
     "list_ops2" -> ((s, d) => {
       val embD = transform(col("embedding"), x => x.cast("double"))
       t(s, d, "embeddings").select(
         col("vec_id"),
-        transform(slice(reverse(array_sort(embD)), 1, 3),
-          x => round(x, 6)).as("top3"),
+        array_join(transform(slice(reverse(array_sort(embD)), 1, 3),
+          x => round(x, 6).cast("decimal(18,6)").cast("string")), "|").as("top3"),
         array_position(embD, array_max(embD)).as("argmax"),
         round(element_at(reverse(embD), 1), 6).as("rev_first"),
         (size(filter(embD, x => x > 0.5)) > 0).as("has_big"))
@@ -216,8 +217,8 @@ object QueriesScalar2 {
 
     "list_ops2" ->
       """SELECT vec_id,
-        | list_transform(list_reverse_sort(embedding::DOUBLE[])[1:3],
-        |   x -> round(x, 6)) AS top3,
+        | array_to_string(list_transform(list_reverse_sort(embedding::DOUBLE[])[1:3],
+        |   x -> CAST(CAST(round(x, 6) AS DECIMAL(18,6)) AS VARCHAR)), '|') AS top3,
         | CAST(list_position(embedding::DOUBLE[],
         |   list_max(embedding::DOUBLE[])) AS BIGINT) AS argmax,
         | round(list_reverse(embedding::DOUBLE[])[1], 6) AS rev_first,

@@ -70,12 +70,16 @@ object QueriesWindow2 {
         count(lit(1)).as("n"))
         .orderBy(col("event_type"))),
 
-    // polars list.gather(indices) with a stride — every 8th element
+    // polars list.gather(indices) with a stride — every 8th element; the
+    // gathered list serializes to a '|'-joined decimal string for the hash
+    // gate (decimal→string renders identically in Spark and DuckDB)
     "list_gather_stride" -> ((s, d) =>
       t(s, d, "embeddings").select(
         col("vec_id"),
-        transform(sequence(lit(1), size(col("embedding")), lit(8)),
-          i => round(element_at(col("embedding"), i).cast("double"), 6)).as("strided"))
+        array_join(transform(
+          transform(sequence(lit(1), size(col("embedding")), lit(8)),
+            i => round(element_at(col("embedding"), i).cast("double"), 6)),
+          x => x.cast("decimal(18,6)").cast("string")), "|").as("strided"))
         .orderBy(col("vec_id"))),
 
     // polars dt.convert_time_zone (TemporalFunction ConvertTimeZone,
@@ -152,8 +156,9 @@ object QueriesWindow2 {
 
     "list_gather_stride" ->
       """SELECT vec_id,
-        | list_transform(generate_series(1, len(embedding), 8),
-        |   i -> round(embedding[i]::DOUBLE, 6)) AS strided
+        | array_to_string(list_transform(generate_series(1, len(embedding), 8),
+        |   i -> CAST(CAST(round(embedding[i]::DOUBLE, 6) AS DECIMAL(18,6))
+        |        AS VARCHAR)), '|') AS strided
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "dt_timezone" ->
