@@ -58,13 +58,16 @@ object AsOf {
     val ord =
       if (forward) Seq(col("__k").desc, col("__tag").asc)
       else Seq(col("__k").asc, col("__tag").asc)
-    val w = (if (by.nonEmpty) Window.partitionBy(by.map(col): _*) else Window.partitionBy())
-      .orderBy(ord: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val matched = rightCols.foldLeft(
-      unioned.withColumn("__mk", last(col("__rk"), ignoreNulls = true).over(w))
-    ) { (d, c) => d.withColumn(s"__m_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w)) }
+    val matched =
+      if (by.nonEmpty) {
+        val w = Window.partitionBy(by.map(col): _*)
+          .orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        rightCols.foldLeft(
+          unioned.withColumn("__mk", last(col("__rk"), ignoreNulls = true).over(w))
+        ) { (d, c) => d.withColumn(s"__m_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w)) }
+      } else keylessMatched(unioned, rightCols, ord, forward)
 
     val withinTol = tolerance match {
       case None => lit(true)
@@ -85,6 +88,61 @@ object AsOf {
       (by ++ leftCols).map(col) ++ keyOut ++
       rightCols.map(c => when(col("__mk").isNotNull && withinTol, col(s"__m_$c")).as(c))
     out.select(proj: _*)
+  }
+
+  /** Keyless as-of matching that scales: a bare `Window.partitionBy()` would
+    * move BOTH frames to one task. Instead:
+    *   1. range-repartition the union on the key — contiguous key ranges,
+    *      one per partition, all tasks busy;
+    *   2. run the carry-forward window per range partition (partition id is
+    *      stable under AQE coalescing — adjacent ranges merge, order holds);
+    *   3. fix up boundaries: per partition, aggregate the last non-null
+    *      right value per column (same column-independent semantics as
+    *      `last(_, ignoreNulls)`), running-carry those across partitions —
+    *      an N-row frame (N = shuffle partitions, metadata-scale, so its
+    *      global window is fine) — and broadcast-join the carry-in back.
+    */
+  private def keylessMatched(unioned: DataFrame, rightCols: Seq[String],
+                             ord: Seq[Column], forward: Boolean): DataFrame = {
+    val rangeOrd =
+      if (forward) Seq(col("__k").desc, col("__tag").asc)
+      else Seq(col("__k").asc, col("__tag").asc)
+    val ranged = unioned.repartitionByRange(rangeOrd: _*)
+      .withColumn("__pid", spark_partition_id())
+
+    val w = Window.partitionBy(col("__pid")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = rightCols.foldLeft(
+      ranged.withColumn("__mk", last(col("__rk"), ignoreNulls = true).over(w))
+    ) { (d, c) => d.withColumn(s"__m_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w)) }
+
+    // Last non-null right value per column per partition ("last" in scan
+    // order = max key backward / min key forward; the ordering argument is
+    // null unless this row is a right row with a non-null value, which
+    // min_by/max_by skip).
+    def lastIn(value: Column, isRight: Column): Column = {
+      val o = when(isRight && value.isNotNull, col("__k"))
+      if (forward) min_by(value, o) else max_by(value, o)
+    }
+    val isR = col("__tag") === 0
+    // "__key__" can't collide: right columns named __k/__rk were renamed away
+    val carryCols = "__key__" +: rightCols
+    val perPid = ranged.groupBy(col("__pid")).agg(
+      lastIn(col("__rk"), isR).as("__c___key__"),
+      rightCols.map(c => lastIn(col(s"__r_$c"), isR).as(s"__c_$c")): _*)
+
+    // Running carry-in over the N-row per-partition frame (strictly earlier
+    // partitions), then broadcast back.
+    val wc = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val carry = perPid.select(
+      (col("__pid") +:
+        carryCols.map(c =>
+          last(col(s"__c_$c"), ignoreNulls = true).over(wc).as(s"__in_$c"))): _*)
+
+    val joined = local.join(broadcast(carry), Seq("__pid"), "left")
+    rightCols.foldLeft(
+      joined.withColumn("__mk", coalesce(col("__mk"), col("__in___key__")))
+    ) { (d, c) => d.withColumn(s"__m_$c", coalesce(col(s"__m_$c"), col(s"__in_$c"))) }
   }
 
   private def nearest(left: DataFrame, right: DataFrame, leftOn: String,

@@ -48,6 +48,54 @@ class AsOfSpec extends SparkSpec {
       ("b", 3L, None), ("c", 2L, None)))
   }
 
+  test("keyless as-of distributes: range partitions + per-partition window") {
+    // by = Nil over a frame that spans many partitions: the r3 code used
+    // Window.partitionBy() — everything on one task. Now the union must
+    // range-repartition on the key and window per partition id.
+    val n = 10000
+    val l = spark.range(n).select((col("id") * 2).as("k"), col("id").as("lv"))
+      .repartition(8)
+    val r = spark.range(n / 2).select((col("id") * 7 + 1).as("rk"), col("id").as("rv"))
+      .repartition(8)
+    val out = AsOf.join(l, r, "k", "rk", Nil, "backward", None)
+
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), s"no range repartition in:\n$plan")
+    assert(plan.contains("windowspecdefinition(__pid"),
+      s"data window not partitioned by range-partition id:\n$plan")
+
+    // boundary fixup correctness: every left row's match equals the true
+    // floor((k-1)/7)-style backward neighbor computed independently
+    val got = out.select(col("k"), col("rk")).as[(Long, Option[Long])]
+      .collect().toMap
+    assert(got.size == n)
+    for (k <- Seq(0L, 2L, 700L, 9998L, 2 * (n - 1))) {
+      val expect = if (k < 1) None else Some((k - 1) / 7 * 7 + 1)
+      assert(got(k) == expect, s"k=$k got ${got(k)} want $expect")
+    }
+    // exhaustive check over the whole frame
+    got.foreach { case (k, m) =>
+      val expect = if (k < 1) None else Some((k - 1) / 7 * 7 + 1)
+      assert(m == expect, s"k=$k got $m want $expect")
+    }
+  }
+
+  test("keyless forward as-of distributes and matches the oracle") {
+    val l = spark.range(5000).select((col("id") * 3).as("k"), col("id").as("lv"))
+      .repartition(6)
+    val r = spark.range(2000).select((col("id") * 7).as("rk"), col("id").as("rv"))
+      .repartition(6)
+    val out = AsOf.join(l, r, "k", "rk", Nil, "forward", None)
+    assert(out.queryExecution.executedPlan.toString.contains("rangepartitioning"))
+    val got = out.select(col("k"), col("rk")).as[(Long, Option[Long])].collect()
+    assert(got.length == 5000)
+    val maxR = 1999L * 7
+    got.foreach { case (k, m) =>
+      val expect = if (k > maxR) None else Some((k + 6) / 7 * 7)
+      assert(m == expect, s"k=$k got $m want $expect")
+    }
+  }
+
   test("matched right key is surfaced under rightOn name") {
     val out = AsOf.join(left, right.withColumnRenamed("k", "rk"), "k", "rk",
       Seq("g"), "backward", None)
