@@ -85,7 +85,10 @@ object Similarity {
     val r = b.select(col(idCol).as("id_b"), col(vecCol).as("__vb"), col("__bucket"))
     l.join(r, Seq("__bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", round(cosineSimilarity(col("__va"), col("__vb")), 4))
+      // integer-scaled round: engines disagree on double round(x, 4) at
+      // half-way ties, and this value feeds the threshold membership test
+      .withColumn("cosine",
+        round(cosineSimilarity(col("__va"), col("__vb")) * 10000) / 10000)
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

@@ -81,8 +81,8 @@ object QueriesText {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // LSH-bucketed embedding near-dups: rows-only (plane literals are huge
-    // in SQL); correctness covered by the scalatest spec + bruteforce oracle.
+    // LSH-bucketed embedding near-dups. The planes are sin((i+1)*p) for
+    // p ∈ {7,13,29}, so the oracle recomputes them in SQL — no literals.
     "sim_lsh_pairs" -> ((s, d) =>
       Similarity.embeddingNearDups(t(s, d, "embeddings"), "vec_id", "embedding",
         planes, threshold = 0.3)
@@ -219,6 +219,25 @@ object QueriesText {
         |   ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
         | FROM scored)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "sim_lsh_pairs" -> {
+      // same hyperplanes as `planes` above: element j (1-based) of plane p
+      // is sin(j * p); bucket bit i set iff dot(v, plane_i) >= 0
+      def dotSql(p: Int) =
+        s"list_sum(list_transform(generate_series(1, len(e)), i -> e[i] * sin(i * $p)))"
+      val bucket = Seq(7, 13, 29).zipWithIndex.map { case (p, idx) =>
+        s"(CASE WHEN ${dotSql(p)} >= 0 THEN ${1L << idx} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |b AS (SELECT vec_id, e, $bucket AS bucket FROM v)
+         |SELECT id_a, id_b, cosine FROM (
+         | SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         |  round(list_dot_product(a.e, c.e)
+         |    / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e)))
+         |    * 10000) / 10000 AS cosine
+         | FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+         |WHERE cosine >= 0.3 ORDER BY id_a, id_b""".stripMargin
+    },
 
     "multimodal_frames" ->
       """SELECT doc_id AS asset_id, unnest(generate_series(0, dur, 500)) AS ts_ms,
