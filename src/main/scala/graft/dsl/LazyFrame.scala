@@ -55,14 +55,14 @@ final class LazyFrame(val df: DataFrame) {
   def limit(n: Int): LazyFrame = LazyFrame(df.limit(n))
   def head(n: Int): LazyFrame = limit(n)
 
-  /** polars slice(offset, len) — requires an explicit order for determinism. */
-  def slice(offset: Long, len: Long, orderBy: Seq[Column]): LazyFrame = {
-    val w = Window.orderBy(orderBy: _*)
+  /** polars slice(offset, len) — requires an explicit order for determinism.
+    * Row numbers come from the range-partitioned scan in [[graft.ops.Distributed]],
+    * not a keyless window, so the slice distributes at scale. */
+  def slice(offset: Long, len: Long, orderBy: Seq[Column]): LazyFrame =
     LazyFrame(
-      df.withColumn("__rn", row_number().over(w))
+      graft.ops.Distributed.withRowNumber(df, "__rn", orderBy)
         .filter(col("__rn") > offset && col("__rn") <= offset + len)
         .drop("__rn"))
-  }
 
   // ---- sort ---------------------------------------------------------------
 
@@ -285,10 +285,11 @@ final class LazyFrame(val df: DataFrame) {
 
   // ---- row index ----------------------------------------------------------
 
-  /** polars with_row_index — requires explicit order (SURVEY §7.1). */
+  /** polars with_row_index — requires explicit order (SURVEY §7.1).
+    * Distributed via range-partitioned row numbers, not a keyless window. */
   def withRowIndex(name: String = "index", orderBy: Seq[Column]): LazyFrame =
-    LazyFrame(df.withColumn(name,
-      row_number().over(Window.orderBy(orderBy: _*)).cast("long") - 1))
+    LazyFrame(graft.ops.Distributed.withRowNumber(df, name, orderBy)
+      .withColumn(name, col(name) - 1))
 
   // ---- caching / terminal -------------------------------------------------
 

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Distributed replacements for keyless `Window.orderBy(...)` patterns.
+  *
+  * A window with no partition keys moves the whole frame to ONE task — fine
+  * for a 60k-row test, fatal at 100 TB. These helpers get the same answers
+  * with the classic two-phase shape every distributed engine uses for
+  * order-dependent scans (cf. RDD.zipWithIndex):
+  *
+  *   1. `repartitionByRange` on the order — contiguous ranges, all tasks busy;
+  *   2. evaluate the window per range-partition id (stable under AQE
+  *      coalescing: only adjacent ranges merge, so ranges stay contiguous);
+  *   3. combine per-partition totals — an N-row frame (N = shuffle
+  *      partitions, metadata-scale) — into per-partition offsets and
+  *      broadcast them back.
+  *
+  * Cost: the input lineage is evaluated twice (data pass + totals pass),
+  * same as RDD.zipWithIndex's extra job. Callers looping over one frame
+  * should cache upstream.
+  */
+object Distributed {
+
+  /** Adds `name` = 1-based global row number along `ord` without a
+    * single-task window. Ties in `ord` get arbitrary but distinct numbers
+    * (same contract as `row_number` over a non-total order). */
+  def withRowNumber(df: DataFrame, name: String, ord: Seq[Column]): DataFrame =
+    withScanned(df, ord) { (ranged, w) =>
+      ranged.withColumn("__val", row_number().over(w).cast("long"))
+    }(count(lit(1)))
+      .withColumnRenamed("__scan", name)
+
+  /** Adds `name` = running sum of `value` along `ord` (inclusive frame)
+    * without a single-task window. */
+  def withPrefixSum(df: DataFrame, value: Column, ord: Seq[Column],
+                    name: String): DataFrame =
+    withScanned(df, ord) { (ranged, w) =>
+      ranged.withColumn("__val",
+        sum(value).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    }(sum(value))
+      .withColumnRenamed("__scan", name)
+
+  /** Shared skeleton: range-repartition on `ord`, compute a per-partition
+    * running value `__val` with `local`, then shift each partition by the
+    * aggregate (`total`) of all earlier partitions. `__scan` = the corrected
+    * global running value. */
+  private def withScanned(df: DataFrame, ord: Seq[Column])(
+      local: (DataFrame, org.apache.spark.sql.expressions.WindowSpec) => DataFrame)(
+      total: Column): DataFrame = {
+    val ranged = df.repartitionByRange(ord: _*).withColumn("__dp", spark_partition_id())
+    val w = Window.partitionBy(col("__dp")).orderBy(ord: _*)
+    val localized = local(ranged, w)
+
+    val totals = ranged.groupBy(col("__dp")).agg(total.as("__t"))
+    // N rows (one per range partition): the keyless window here is
+    // metadata-scale by construction, not a data-scale scan
+    val wOff = Window.orderBy(col("__dp")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals.select(col("__dp"),
+      coalesce(sum(col("__t")).over(wOff), lit(0L)).as("__off"))
+
+    localized.join(broadcast(offsets), Seq("__dp"))
+      .withColumn("__scan", col("__off") + col("__val"))
+      .drop("__dp", "__val", "__off")
+  }
+}

@@ -35,13 +35,24 @@ object QueriesExtra2 {
         .orderBy(col("event_id"))
     }),
 
-    // polars qcut: quantile binning ≈ ntile over the value order
-    // (crates/polars-ops/src/series/ops/cut.rs qcut)
+    // polars qcut (crates/polars-ops/src/series/ops/cut.rs): bin by quantile
+    // BREAKS, not a global ntile — the breaks aggregate broadcasts and the
+    // binning is a map-side comparison, so the op distributes at any scale
+    // (the r3 ntile form was a single-task window). Breaks are exact
+    // percentiles here to stay oracle-matched; at 100 TB swap in
+    // approx_percentile — same plan shape, bounded memory.
     "math_qcut" -> ((s, d) => {
-      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-      t(s, d, "customer").select(
-        col("c_custkey"),
-        ntile(4).over(w).as("quartile"))
+      val cust = t(s, d, "customer")
+      val breaks = cust.agg(
+        percentile(col("c_acctbal"), lit(0.25)).as("b1"),
+        percentile(col("c_acctbal"), lit(0.5)).as("b2"),
+        percentile(col("c_acctbal"), lit(0.75)).as("b3"))
+      cust.crossJoin(broadcast(breaks))
+        .select(col("c_custkey"),
+          (lit(1) +
+            when(col("c_acctbal") > col("b1"), 1).otherwise(0) +
+            when(col("c_acctbal") > col("b2"), 1).otherwise(0) +
+            when(col("c_acctbal") > col("b3"), 1).otherwise(0)).as("quartile"))
         .withColumn("q_label",
           concat(lit("q"), col("quartile").cast("string")))
         .orderBy(col("c_custkey"))
@@ -236,10 +247,17 @@ object QueriesExtra2 {
         |ORDER BY event_id""".stripMargin,
 
     "math_qcut" ->
-      """SELECT c_custkey,
-        | CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS quartile,
-        | 'q' || CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS VARCHAR) AS q_label
-        |FROM customer ORDER BY c_custkey""".stripMargin,
+      """WITH b AS (
+        | SELECT quantile_cont(c_acctbal, 0.25) AS b1,
+        |        quantile_cont(c_acctbal, 0.5)  AS b2,
+        |        quantile_cont(c_acctbal, 0.75) AS b3
+        | FROM customer)
+        |SELECT c_custkey,
+        | CAST(1 + (c_acctbal > b1)::INT + (c_acctbal > b2)::INT
+        |        + (c_acctbal > b3)::INT AS INTEGER) AS quartile,
+        | 'q' || CAST(1 + (c_acctbal > b1)::INT + (c_acctbal > b2)::INT
+        |        + (c_acctbal > b3)::INT AS VARCHAR) AS q_label
+        |FROM customer, b ORDER BY c_custkey""".stripMargin,
 
     "math_hist" ->
       """WITH b AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx

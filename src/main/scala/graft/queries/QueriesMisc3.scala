@@ -41,15 +41,16 @@ object QueriesMisc3 {
     }),
 
     // polars gather_every(n, offset) — every 3rd row from offset 1 in
-    // orderkey order (explicit order key per SURVEY §7.1)
-    "slice_gather_every" -> ((s, d) => {
-      val w = Window.orderBy(col("o_orderkey"))
-      t(s, d, "orders").filter(col("o_orderkey") <= 3000)
-        .withColumn("__rn", row_number().over(w) - 1)
+    // orderkey order (explicit order key per SURVEY §7.1); the row number
+    // is the distributed range-partitioned scan, not a keyless window
+    "slice_gather_every" -> ((s, d) =>
+      graft.ops.Distributed.withRowNumber(
+        t(s, d, "orders").filter(col("o_orderkey") <= 3000),
+        "__rn", Seq(col("o_orderkey")))
+        .withColumn("__rn", col("__rn") - 1)
         .filter(col("__rn") % 3 === 1)
         .select(col("o_orderkey"), col("o_totalprice"))
-        .orderBy(col("o_orderkey"))
-    }),
+        .orderBy(col("o_orderkey"))),
 
     // polars list explode with position (Expr::Explode + row position —
     // UDTF-like surface, SURVEY §2.11)

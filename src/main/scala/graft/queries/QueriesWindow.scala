@@ -109,14 +109,19 @@ object QueriesWindow {
           struct(col("ts"), col("event_id"))).as("is_first"))
         .orderBy(col("event_id"))),
 
-    // global aggregate as window (polars .sum().over() with no partition).
-    "win_global_share" -> ((s, d) =>
-      t(s, d, "orders").filter(col("o_custkey") <= 100)
+    // global aggregate as window (polars .sum().over() with no partition):
+    // the total comes from a broadcast aggregate, not a keyless window —
+    // same values, but the plan distributes at any scale
+    "win_global_share" -> ((s, d) => {
+      val spend = t(s, d, "orders").filter(col("o_custkey") <= 100)
         .groupBy(col("o_custkey")).agg(sum(col("o_totalprice")).as("spend"))
+      val total = spend.agg(sum(col("spend")).as("__tot"))
+      spend.crossJoin(broadcast(total))
         .select(col("o_custkey"),
           round(col("spend"), 2).as("spend"),
-          round(col("spend") / sum(col("spend")).over(Window.partitionBy()), 6).as("share"))
-        .orderBy(col("o_custkey")))
+          round(col("spend") / col("__tot"), 6).as("share"))
+        .orderBy(col("o_custkey"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
