@@ -58,20 +58,32 @@ object Bench {
 
     // Two passes, per-query minimum: the timing target is engine throughput,
     // not transient host noise (shared-VM CPU stalls measured at 5-10× on
-    // single runs) or residual JIT warm-up.
-    def pass(): Seq[(String, Double)] = picked.map { name =>
+    // single runs) or residual JIT warm-up. A failing query is recorded as
+    // "err", never as a wall time — a broken query must not read as fast.
+    def pass(): Seq[(String, Either[String, Double])] = picked.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        name -> Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          name -> Left("err")
+      }
     }
     val (p1, p2) = (pass(), pass())
-    val results = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2}""")
+    val results = p1.zip(p2).map {
+      case ((n, Right(a)), (_, Right(b))) => n -> Right(math.min(a, b))
+      case ((n, _), _)                    => n -> Left("err")
+    }
+    val qs = results.map {
+      case (k, Right(v)) => "\"" + k + f"""\":$v%.3f"""
+      case (k, Left(m))  => "\"" + k + "\":\"" + m + "\""
+    }.mkString("{", ",", "}")
+    val errs = results.count(_._2.isLeft)
+    val total = results.collect { case (_, Right(v)) => v }.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"errors":$errs}""")
     spark.stop()
   }
 }

@@ -24,6 +24,22 @@ object DedupProbe {
       println(f"[probe] $tag ${(System.nanoTime()-t0)/1e9}%.2f s")
     }
     run("cold"); run("warm"); run("warm2")
+
+    // Degenerate-bucket probe: plant 10^4 byte-identical docs (one LSH bucket
+    // of 10k ids → 5·10^7 pairs if expanded). With maxBucket the bucket is
+    // dropped before pair expansion — candidate time stays bounded.
+    val planted = spark.range(10000).select(
+      (col("id") + 1000000).as("doc_id"),
+      lit("identical degenerate filler text shared by every planted document").as("text"))
+    val real = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val poisoned = real.unionByName(planted)
+    def cands(tag: String, cap: Int): Unit = {
+      val t0 = System.nanoTime()
+      val n = Dedup.minhashCandidates(poisoned, "doc_id", "text", maxBucket = cap).count()
+      println(f"[probe] candidates maxBucket=$cap%-6d $n%9d pairs  ${(System.nanoTime()-t0)/1e9}%.2f s  ($tag)")
+    }
+    cands("capped: hot bucket dropped", 1000)
+    cands("uncapped: n^2/2 expansion of the planted bucket", 0)
     spark.stop()
   }
 }

@@ -136,17 +136,29 @@ final class LazyFrame(val df: DataFrame) {
     * side once per salt value — a hot key's rows land on `salt` reducers
     * instead of one. Use when one key holds a double-digit percentage of
     * rows and AQE's skew split isn't enough; costs salt× replication of
-    * the right side. Result equals the plain join (spec-checked). */
+    * the right side. Result equals the plain join (spec-checked).
+    *
+    * Only left-preserving joins are allowed: the right side is replicated
+    * once per salt value, so right/full outer would emit every unmatched
+    * right row `salt` times. */
   def joinSalted(other: LazyFrame, on: Seq[String], salt: Int,
                  how: String = "inner"): LazyFrame = {
     require(salt > 1, s"salt must be > 1, got $salt")
+    val normalized = how.toLowerCase.replace("_", "").replace("-", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti")(normalized),
+      s"joinSalted supports inner/left/semi/anti only (right side is replicated " +
+        s"per salt — right/full outer would duplicate unmatched right rows); got '$how'")
+    // collision-free salt column even if the input already has a __salt column
+    var saltCol = "__salt"
+    while (df.columns.contains(saltCol) || other.df.columns.contains(saltCol))
+      saltCol = saltCol + "_"
     // deterministic per-row salt: hash of the full row, not rand() — keeps
     // retries/speculative tasks consistent
-    val l = df.withColumn("__salt",
+    val l = df.withColumn(saltCol,
       pmod(xxhash64(struct(df.columns.map(col): _*)), lit(salt)).cast("int"))
-    val r = other.df.withColumn("__salt",
+    val r = other.df.withColumn(saltCol,
       explode(sequence(lit(0), lit(salt - 1))))
-    LazyFrame(l.join(r, on :+ "__salt", how).drop("__salt"))
+    LazyFrame(l.join(r, on :+ saltCol, how).drop(saltCol))
   }
 
   /** polars JoinArgs.validate ("1:1" | "1:m" | "m:1" | "m:m"): assert key

@@ -68,10 +68,16 @@ object Similarity {
 
   /** Random-hyperplane LSH bucket id (b planes → b-bit signature) for
     * embedding-cosine near-dup detection: vectors in the same bucket are
-    * near-duplicate candidates. Planes are deterministic literals. */
+    * near-duplicate candidates. Planes are deterministic literals.
+    *
+    * The sign test rounds the dot product to 6 decimals first: a vector
+    * lying ULP-close to a hyperplane would otherwise bucket differently
+    * across engines/summation orders (bucketing is a heuristic — snapping
+    * the boundary costs nothing and makes the bit reproducible). */
   def lshBucket(vec: Column, planes: Seq[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (p, i) =>
-      when(dotProduct(vec, array(p.map(lit): _*)) >= 0, lit(1L << i)).otherwise(lit(0L))
+      when(round(dotProduct(vec, array(p.map(lit): _*)) * 1e6) >= 0, lit(1L << i))
+        .otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }

@@ -51,7 +51,12 @@ object AsOf {
       .withColumns(leftCols.map(c => c -> lit(null).cast(left.schema(c).dataType)).toMap)
 
     val cols = (by ++ leftCols ++ Seq("__k", "__tag", "__rk") ++ rightCols.map(c => s"__r_$c")).map(col)
+    // drop right rows with a null join key up front: an as-of match on a null
+    // key is meaningless, and keeping them would make the keyed window carry
+    // their values while the keyless boundary-carry (min_by/max_by on __k)
+    // skips them — the two paths must agree
     val unioned = l.select(cols: _*).unionByName(r.select(cols: _*))
+      .filter(col("__tag") === 1 || col("__k").isNotNull)
 
     // backward: right rows at the same key match (right sorts before left via
     // tag); forward: mirror by negating the sort.

@@ -30,8 +30,7 @@ object Distributed {
   def withRowNumber(df: DataFrame, name: String, ord: Seq[Column]): DataFrame =
     withScanned(df, ord) { (ranged, w) =>
       ranged.withColumn("__val", row_number().over(w).cast("long"))
-    }(count(lit(1)))
-      .withColumnRenamed("__scan", name)
+    }.withColumnRenamed("__scan", name)
 
   /** Adds `name` = running sum of `value` along `ord` (inclusive frame)
     * without a single-task window. */
@@ -40,29 +39,41 @@ object Distributed {
     withScanned(df, ord) { (ranged, w) =>
       ranged.withColumn("__val",
         sum(value).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    }(sum(value))
-      .withColumnRenamed("__scan", name)
+    }.withColumnRenamed("__scan", name)
 
   /** Shared skeleton: range-repartition on `ord`, compute a per-partition
     * running value `__val` with `local`, then shift each partition by the
-    * aggregate (`total`) of all earlier partitions. `__scan` = the corrected
-    * global running value. */
+    * sum of all earlier partitions' totals. `__scan` = the corrected global
+    * running value.
+    *
+    * CORRECTNESS PRECONDITION: the input lineage must be deterministic
+    * (no un-cached sample()/rand()/shuffle-order-sensitive expressions).
+    * The per-partition totals are derived from the SAME window pass that
+    * computes `__val` (the final running value per partition), so both the
+    * data branch and the offsets branch share one canonical exchange+window
+    * subtree and Spark's ReuseExchange evaluates the shuffle once. With a
+    * non-deterministic upstream AND exchange reuse disabled, the two plan
+    * branches could re-evaluate the source differently — cache or
+    * checkpoint upstream in that case. */
   private def withScanned(df: DataFrame, ord: Seq[Column])(
-      local: (DataFrame, org.apache.spark.sql.expressions.WindowSpec) => DataFrame)(
-      total: Column): DataFrame = {
+      local: (DataFrame, org.apache.spark.sql.expressions.WindowSpec) => DataFrame): DataFrame = {
     val ranged = df.repartitionByRange(ord: _*).withColumn("__dp", spark_partition_id())
     val w = Window.partitionBy(col("__dp")).orderBy(ord: _*)
-    val localized = local(ranged, w)
+    // one Window exec computes the running value AND the partition total
+    // (final running value over the full frame) — `total` is not evaluated
+    // against a second pass over the source anymore
+    val localized = local(ranged, w).withColumn("__t",
+      last(col("__val")).over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
 
-    val totals = ranged.groupBy(col("__dp")).agg(total.as("__t"))
-    // N rows (one per range partition): the keyless window here is
-    // metadata-scale by construction, not a data-scale scan
+    // N rows (one per range partition; __t is constant within a partition):
+    // the keyless window here is metadata-scale by construction
+    val totals = localized.groupBy(col("__dp")).agg(max(col("__t")).as("__t"))
     val wOff = Window.orderBy(col("__dp")).rowsBetween(Window.unboundedPreceding, -1)
     val offsets = totals.select(col("__dp"),
       coalesce(sum(col("__t")).over(wOff), lit(0L)).as("__off"))
 
     localized.join(broadcast(offsets), Seq("__dp"))
       .withColumn("__scan", col("__off") + col("__val"))
-      .drop("__dp", "__val", "__off")
+      .drop("__dp", "__val", "__off", "__t")
   }
 }

@@ -23,8 +23,12 @@ object Rle {
                 order: Seq[Column], as: String = "run_id"): DataFrame =
     if (partition.nonEmpty) {
       val w = Window.partitionBy(partition: _*).orderBy(order: _*)
+      // presence flag guards the first row: a null first value must start
+      // run 0, not match the null lag (null <=> null is true) — keeps the
+      // keyed and keyless branches in agreement
       val flagged = df.withColumn("__chg",
-        when(value <=> lag(value, 1).over(w), lit(0L)).otherwise(lit(1L)))
+        when(lag(lit(1), 1).over(w).isNull, lit(1L))
+          .otherwise(when(value <=> lag(value, 1).over(w), lit(0L)).otherwise(lit(1L))))
       flagged
         .withColumn(as,
           sum(col("__chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)

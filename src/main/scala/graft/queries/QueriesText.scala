@@ -222,11 +222,12 @@ object QueriesText {
 
     "sim_lsh_pairs" -> {
       // same hyperplanes as `planes` above: element j (1-based) of plane p
-      // is sin(j * p); bucket bit i set iff dot(v, plane_i) >= 0
+      // is sin(j * p); bucket bit i set iff round(dot * 1e6) >= 0 — the
+      // integer-scaled round matches the engine's ULP-snap at the boundary
       def dotSql(p: Int) =
         s"list_sum(list_transform(generate_series(1, len(e)), i -> e[i] * sin(i * $p)))"
       val bucket = Seq(7, 13, 29).zipWithIndex.map { case (p, idx) =>
-        s"(CASE WHEN ${dotSql(p)} >= 0 THEN ${1L << idx} ELSE 0 END)"
+        s"(CASE WHEN round(${dotSql(p)} * 1e6) >= 0 THEN ${1L << idx} ELSE 0 END)"
       }.mkString(" + ")
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          |b AS (SELECT vec_id, e, $bucket AS bucket FROM v)

@@ -102,10 +102,25 @@ object Dedup {
     * exploded self-join. One shuffle of (16-byte hash, id); the signature
     * column is computed exactly once (the join formulation computed it for
     * BOTH sides). Bucket blow-up (a bucket of n ids emits n(n-1)/2 pairs) is
-    * inherent to LSH, not to this formulation; tune b/r for the corpus. */
-  private def pairsFromBuckets(banded: DataFrame): DataFrame = {
+    * inherent to LSH, not to this formulation; tune b/r for the corpus.
+    *
+    * `maxBucket` > 0 drops buckets larger than the cap BEFORE any of a
+    * bucket's ids are materialized into one row: a windowed count (spills,
+    * never collects) filters degenerate buckets (e.g. near-empty documents
+    * sharing a band hash), which at 100 TB would otherwise pin the job on
+    * one n²/2 pair-expansion task. Oversized buckets carry almost no dedup
+    * signal — dropping them is the standard MinHash-LSH practice. The
+    * window's hash partitioning on the bucket keys is reused by the
+    * downstream groupBy (no extra shuffle). */
+  private def pairsFromBuckets(banded: DataFrame, maxBucket: Int = 0): DataFrame = {
     val ids = col("ids")
-    banded.groupBy(col("band_id"), col("band_hash"))
+    val pruned =
+      if (maxBucket > 0)
+        banded.withColumn("__bn",
+          count(lit(1)).over(Window.partitionBy(col("band_id"), col("band_hash"))))
+          .filter(col("__bn") <= maxBucket).drop("__bn")
+      else banded
+    pruned.groupBy(col("band_id"), col("band_hash"))
       .agg(sort_array(collect_set(col("__id"))).as("ids"))
       .filter(size(ids) > 1)
       .select(explode(flatten(transform(ids, (x, i) =>
@@ -115,10 +130,13 @@ object Dedup {
   }
 
   /** Candidate near-duplicate pairs via MinHash LSH. Returns (id_a, id_b)
-    * with id_a < id_b, distinct. Shuffles: one groupBy on band hash. */
+    * with id_a < id_b, distinct. Shuffles: one groupBy on band hash.
+    * `maxBucket` > 0 drops degenerate LSH buckets (see [[pairsFromBuckets]]);
+    * at corpus scale set it (e.g. 1000) — a bucket that large is noise. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        w: Int = 3, k: Int = 16, b: Int = 4): DataFrame =
-    pairsFromBuckets(bandedIds(shingled(df, idCol, textCol, w), k, b))
+                        w: Int = 3, k: Int = 16, b: Int = 4,
+                        maxBucket: Int = 0): DataFrame =
+    pairsFromBuckets(bandedIds(shingled(df, idCol, textCol, w), k, b), maxBucket)
 
   /** Exact n-gram Jaccard similarity between two text columns. */
   def jaccard(textA: Column, textB: Column, w: Int): Column = {
@@ -136,20 +154,37 @@ object Dedup {
     when(uni > 0, inter / uni).otherwise(lit(0.0))
   }
 
+  /** Handle to the one live shingle persist (see [[nearDuplicates]]).
+    * A new call releases the previous call's blocks, so cached storage is
+    * bounded by one pipeline regardless of how many times it runs; call
+    * [[releaseCache]] after consuming a result to drop the last one too. */
+  private val liveShingleCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
+  /** Unpersist the shingle frame cached by the most recent
+    * [[nearDuplicates]] call. Safe to call at any time. */
+  def releaseCache(): Unit = {
+    val prev = liveShingleCache.getAndSet(null)
+    if (prev != null) prev.unpersist(blocking = false)
+  }
+
   /** MinHash-LSH near-dup pairs verified by exact Jaccard ≥ threshold.
     * Candidates come from LSH (shuffle-bounded); verification joins the
     * already-shingled sides back — shingles are computed exactly once per
     * document across the whole pipeline. */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      w: Int = 3, k: Int = 16, b: Int = 4,
-                     threshold: Double = 0.8): DataFrame = {
+                     threshold: Double = 0.8, maxBucket: Int = 0): DataFrame = {
     // persist: the shingle arrays feed banding AND both verification joins —
     // without it the tokenize+shingle+distinct pipeline runs 3×. MEMORY_AND_DISK
     // so a 100 TB corpus spills instead of OOMing; at that scale prefer an
-    // explicit checkpoint to parquet.
+    // explicit checkpoint to parquet. The previous call's persist is released
+    // here so blocks never accumulate across calls.
+    releaseCache()
     val sh = shingled(df, idCol, textCol, w)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = pairsFromBuckets(bandedIds(sh, k, b))
+    liveShingleCache.set(sh)
+    val cands = pairsFromBuckets(bandedIds(sh, k, b), maxBucket)
     val withSh = cands
       .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sha")), Seq("id_a"))
       .join(sh.select(col("__id").as("id_b"), col("__sh").as("__shb")), Seq("id_b"))

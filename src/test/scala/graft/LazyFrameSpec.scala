@@ -112,6 +112,22 @@ class LazyFrameSpec extends SparkSpec {
     val salted = big.joinSalted(dim, Seq("k"), salt = 8).collect()
       .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).sorted.toSeq
     assert(salted == plain && plain.size == 901)
+    // left join keeps unmatched left rows exactly once
+    assert(big.joinSalted(dim, Seq("k"), salt = 8, how = "left").count() == 1000)
+  }
+
+  test("joinSalted rejects right/full outer (right side is salt-replicated)") {
+    val l = LazyFrame(Seq(("a", 1)).toDF("k", "i"))
+    val r = LazyFrame(Seq(("b", 2.0)).toDF("k", "w"))
+    for (how <- Seq("right", "full", "full_outer", "rightouter")) {
+      val e = intercept[IllegalArgumentException](l.joinSalted(r, Seq("k"), 4, how))
+      assert(e.getMessage.contains("joinSalted supports"), how)
+    }
+    // a pre-existing __salt column must not collide
+    val withSalt = LazyFrame(Seq(("a", 7)).toDF("k", "__salt"))
+    val dim = LazyFrame(Seq(("a", 1.0)).toDF("k", "w"))
+    val out = withSalt.joinSalted(dim, Seq("k"), 4).collect()
+    assert(out.columns.toSeq == Seq("k", "__salt", "w") && out.count() == 1)
   }
 
   test("aggOrdered returns groups in first-appearance order") {

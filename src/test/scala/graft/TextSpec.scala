@@ -33,6 +33,27 @@ class TextSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("maxBucket: normal buckets give identical pairs; a degenerate bucket is dropped") {
+    // 40 near-identical docs → one hot LSH bucket; 2 genuine near-dups besides
+    val hot = (100L to 139L).map(i => (i, "identical degenerate filler text shared by every document"))
+    val normal = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today extra"))
+    val df = (normal ++ hot).toDF("doc_id", "text")
+    val uncapped = Dedup.minhashCandidates(df, "doc_id", "text", w = 2, k = 8, b = 4)
+      .as[(Long, Long)].collect().toSet
+    val capped = Dedup.minhashCandidates(df, "doc_id", "text", w = 2, k = 8, b = 4,
+      maxBucket = 10).as[(Long, Long)].collect().toSet
+    // the hot bucket (40 ids > cap) is dropped; the normal pair survives intact
+    assert(capped.contains((1L, 2L)))
+    assert(!capped.exists(p => p._1 >= 100L))
+    assert(uncapped.exists(p => p._1 >= 100L))
+    // a cap above every bucket size changes nothing — pair-set equality
+    val highCap = Dedup.minhashCandidates(df, "doc_id", "text", w = 2, k = 8, b = 4,
+      maxBucket = 1000).as[(Long, Long)].collect().toSet
+    assert(highCap == uncapped)
+  }
+
   test("simhash: identical texts share signature; hamming=0") {
     val df = Seq(("same words here", "same words here", "other stuff there"))
       .toDF("a", "b", "c")
