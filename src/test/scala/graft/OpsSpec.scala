@@ -1,11 +1,26 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{HConcat, Rle, Unique, Upsample}
+import graft.ops.{Categorical, HConcat, Rle, Unique, Upsample}
 import graft.{functions => gf}
 
 class OpsSpec extends SparkSpec {
   import spark.implicits._
+
+  test("categorical: lexical codes, null stays null, round-trip decodes") {
+    val df = Seq(Some("fr"), Some("de"), None, Some("de"), Some("en"))
+      .toDF("lang")
+    val dict = Categorical.dictionary(df, "lang").collect()
+      .map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+    assert(dict == Seq((0, "de"), (1, "en"), (2, "fr")))
+    val enc = Categorical.toPhysical(df, "lang", "phys")
+    val codes = enc.select("phys").collect().map(r => Option(r.get(0))).toSeq
+    assert(codes.count(_.isEmpty) == 1) // the null row never enters the dict
+    val rt = Categorical.fromPhysical(
+      enc.drop("lang"), "phys", Categorical.dictionary(df, "lang"), "lang_rt")
+    assert(rt.filter(col("lang_rt").isNotNull).count() == 4)
+    assert(Categorical.getCategories(df, "lang").count() == 3)
+  }
 
   test("unique keep=first/last/none honor the order column") {
     val df = Seq(("a", 1, "x"), ("a", 2, "y"), ("b", 3, "z"))
