@@ -9,5 +9,6 @@ import org.apache.spark.sql.SparkSessionExtensions
   * uses, where per-notebook `register()` calls don't scale. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    graft.functions.GraftFunctions.all.foreach(ext.injectFunction)
+    (graft.functions.GraftFunctions.all ++ graft.functions.PolarsSqlShims.all)
+      .foreach(ext.injectFunction)
 }

@@ -77,5 +77,6 @@ object GraftFunctions {
       }))
 
   def register(spark: SparkSession): Unit =
-    all.foreach { case (id, info, b) => Bridge.registerFunction(spark, id, info, b) }
+    (all ++ PolarsSqlShims.all).foreach { case (id, info, b) =>
+      Bridge.registerFunction(spark, id, info, b) }
 }
