@@ -152,9 +152,22 @@ package object functions {
   /** polars str.count_matches (regex) → Spark regexp_count. */
   def countMatches(c: Column, pattern: String): Column = regexp_count(c, lit(pattern))
 
-  /** polars str.replace_many (Aho-Corasick multi-pattern) — composed as a
-    * chained replace; fine for small pattern sets, custom Expression later. */
-  def replaceMany(c: Column, pairs: Seq[(String, String)]): Column =
+  /** polars str.replace_many — ONE pass over the string regardless of
+    * pattern count (native trie automaton, [[ReplaceManyExpr]]), with the
+    * reference's leftmost-first match semantics. Equivalent to
+    * [[replaceManyChained]] whenever patterns don't overlap in the data and
+    * replacements don't create new matches (spec-checked on real data). */
+  def replaceMany(c: Column, pairs: Seq[(String, String)],
+                  asciiCaseInsensitive: Boolean = false): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(ReplaceManyExpr(Bridge.expression(c),
+      pairs.map(_._1), pairs.map(_._2), asciiCaseInsensitive))
+  }
+
+  /** The O(patterns)-passes composition `replace_many` used to be — each
+    * pattern rescans the whole string INCLUDING prior replacements' output.
+    * Kept as the spec-equivalence partner for [[replaceMany]]. */
+  def replaceManyChained(c: Column, pairs: Seq[(String, String)]): Column =
     pairs.foldLeft(c) { case (acc, (from, to)) => replace(acc, lit(from), lit(to)) }
 
   /** polars str.strip_chars (both ends, char set). */
