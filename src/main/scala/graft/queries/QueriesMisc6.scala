@@ -31,7 +31,16 @@ object QueriesMisc6 {
         col("doc_id"),
         gf.replaceMany(col("text"), scrubPairs).as("scrubbed"),
         length(gf.replaceMany(col("text"), scrubPairs)).cast("long").as("scrub_len"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // polars' native interchange format (crates/polars-io/src/ipc/) as a
+    // DSv2 connector: distributed batch-streamed write, per-record-batch
+    // read partitions, zero-copy ArrowColumnVector batches.
+    "io_ipc_roundtrip" -> ((s, d) => {
+      val tmp = "/tmp/graft_io/ipc_part"
+      graft.sources.ArrowIpc.write(t(s, d, "part"), tmp)
+      s.read.format("graft-ipc").load(tmp).orderBy(col("p_partkey"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -42,6 +51,9 @@ object QueriesMisc6 {
       }
       s"""SELECT doc_id, $nested AS scrubbed, length($nested) AS scrub_len
          |FROM documents ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    "io_ipc_roundtrip" ->
+      "SELECT * FROM part ORDER BY p_partkey"
   )
 }
