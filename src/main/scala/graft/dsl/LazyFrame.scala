@@ -189,6 +189,13 @@ final class LazyFrame(val df: DataFrame) {
   def joinWhere(other: LazyFrame, predicates: Column): LazyFrame =
     LazyFrame(df.join(other.df, predicates, "inner"))
 
+  /** Inequality-led join (polars join_where / IEJoin shape): grid-
+    * partitioned equi-join on range-bucket cells instead of a
+    * BroadcastNestedLoopJoin — see [[graft.ops.IEJoin]]. */
+  def joinIneq(other: LazyFrame, lx: Column, op: String, rx: Column,
+               residual: Column = lit(true)): LazyFrame =
+    LazyFrame(graft.ops.IEJoin.join(df, other.df, lx, op, rx, residual))
+
   /** As-of join — see [[graft.ops.AsOf]] for the union+window implementation. */
   def joinAsof(other: LazyFrame, leftOn: String, rightOn: String,
                by: Seq[String] = Nil, strategy: String = "backward",

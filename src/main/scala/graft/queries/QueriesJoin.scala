@@ -106,7 +106,8 @@ object QueriesJoin {
           col("err_ts"), round(col("err_value"), 4).as("err_value"))
         .sort(col("event_id")).collect()),
 
-    // join_where: pure inequality predicates (IEJoin shape) on bounded sides.
+    // join_where: pure inequality predicates (IEJoin shape). Grid-bucketed
+    // equi-join on range cells (ops/IEJoin.scala) — no BNLJ in the plan.
     "join_inequality" -> ((s, d) => {
       val p1 = lf(s, d, "part").filter(col("p_partkey") % 97 === 0)
         .select(col("p_partkey").as("a_key"), col("p_retailprice").as("a_price"),
@@ -114,7 +115,8 @@ object QueriesJoin {
       val p2 = lf(s, d, "part").filter(col("p_partkey") % 89 === 0)
         .select(col("p_partkey").as("b_key"), col("p_retailprice").as("b_price"),
           col("p_size").as("b_size"))
-      p1.joinWhere(p2, col("a_price") < col("b_price") && col("a_size") > col("b_size"))
+      p1.joinIneq(p2, col("a_price"), "<", col("b_price"),
+          col("a_size") > col("b_size"))
         .select(col("a_key"), col("b_key"))
         .sort(col("a_key"), col("b_key")).collect()
     }),
