@@ -324,39 +324,52 @@ final class LazyFrame(val df: DataFrame) {
     LazyFrame(df.orderBy(xxhash64(struct(df.columns.map(col): _*), lit(seed))))
 
   /** polars describe(): per-column count / null_count / mean / std / min /
-    * max / median for numeric columns, count / null_count / min / max for
-    * the rest — one distributed agg pass, rows = statistics. */
+    * max / median for numeric columns; count / null_count / min / max for
+    * other orderable types (strings, dates, …; mean/std/median are null);
+    * count / null_count only for nested types. ONE distributed agg pass
+    * producing a single wide row; the 7-row result frame is assembled on
+    * the driver (describe is a bounded-output action by construction, like
+    * polars' own). Numeric columns come back as double, everything else as
+    * its string rendering — matching polars' describe dtypes. Column names
+    * are never encoded into strings, so any name (including `__`) is safe. */
   def describe(): DataFrame = {
-    import org.apache.spark.sql.types.NumericType
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, MapType, NumericType, StringType, StructField, StructType}
+    import org.apache.spark.sql.functions.{count => fcount}
     val fields = df.schema.fields
-    def s(c: String): Column = col(c)
-    val aggs: Seq[Column] = fields.flatMap { f =>
-      val c = f.name
-      val base = Seq(
-        org.apache.spark.sql.functions.count(s(c)).cast("double").as(s"${c}__count"),
-        (org.apache.spark.sql.functions.count(lit(1)) -
-          org.apache.spark.sql.functions.count(s(c))).cast("double").as(s"${c}__null_count"))
+    val stats = Seq("count", "null_count", "mean", "std", "min", "max", "median")
+    val nullS = lit(null).cast("string")
+    val aggs: Seq[Column] = fields.toSeq.flatMap { f =>
+      val c = col(f.name)
+      val counts = Seq(fcount(c).cast("string"),
+        (fcount(lit(1)) - fcount(c)).cast("string"))
       f.dataType match {
-        case _: NumericType => base ++ Seq(
-          avg(s(c)).as(s"${c}__mean"), stddev_samp(s(c)).as(s"${c}__std"),
-          min(s(c)).cast("double").as(s"${c}__min"),
-          max(s(c)).cast("double").as(s"${c}__max"),
-          median(s(c)).as(s"${c}__median"))
-        case _ => base
+        case _: NumericType => counts ++ Seq(
+          avg(c).cast("string"), stddev_samp(c).cast("string"),
+          min(c).cast("string"), max(c).cast("string"), median(c).cast("string"))
+        case _: ArrayType | _: MapType | _: StructType =>
+          counts ++ Seq(nullS, nullS, nullS, nullS, nullS)
+        case _ => counts ++ Seq(
+          nullS, nullS, min(c).cast("string"), max(c).cast("string"), nullS)
       }
-    }.toSeq
-    val wide = df.agg(aggs.head, aggs.tail: _*)
-    // unpivot the single wide row into (statistic, column, value)
-    val cols = wide.columns
-    val stacked = wide.select(expr(
-      s"stack(${cols.length}, " +
-        cols.map(c => s"'$c', `$c`").mkString(", ") + ") as (key, value)"))
-    stacked
-      .withColumn("column", expr("substring_index(key, '__', 1)"))
-      .withColumn("statistic", expr("substring_index(key, '__', -1)"))
-      .groupBy(col("statistic"))
-      .pivot("column", fields.map(_.name))
-      .agg(first(col("value")))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*).head()
+    val rows: Seq[Row] = stats.zipWithIndex.map { case (stat, si) =>
+      Row.fromSeq(stat +: fields.toSeq.zipWithIndex.map { case (f, fi) =>
+        val v = wide.getString(fi * stats.length + si)
+        f.dataType match {
+          case _: NumericType => if (v == null) null else v.toDouble
+          case _ => v
+        }
+      })
+    }
+    val schema = StructType(StructField("statistic", StringType) +:
+      fields.toSeq.map(f => StructField(f.name, f.dataType match {
+        case _: NumericType => DoubleType
+        case _ => StringType
+      })))
+    import scala.jdk.CollectionConverters._
+    df.sparkSession.createDataFrame(rows.asJava, schema)
   }
 
   def cache(): LazyFrame = LazyFrame(df.cache())

@@ -40,6 +40,38 @@ object QueriesMisc6 {
       val tmp = "/tmp/graft_io/ipc_part"
       graft.sources.ArrowIpc.write(t(s, d, "part"), tmp)
       s.read.format("graft-ipc").load(tmp).orderBy(col("p_partkey"))
+    }),
+
+    // SURVEY §1.2 unsigned contract made executable: u32 widens losslessly
+    // into i64; u64 carries in Decimal(20,0) (exact to 2^64-1 and beyond on
+    // arithmetic, no wraparound); the documented Long-with-check path
+    // surfaces overflow as null (try_cast), never a wrong value.
+    "dtype_unsigned" -> ((s, _) =>
+      s.sql(
+        """SELECT v_str,
+          |  try_cast(v_str AS BIGINT) AS as_i64,
+          |  CAST(CAST(v_str AS DECIMAL(20,0)) AS STRING) AS u64_str,
+          |  CAST(CAST(v_str AS DECIMAL(20,0)) + 1 AS STRING) AS u64_plus
+          |FROM VALUES ('0'), ('255'), ('65535'), ('2147483647'),
+          |  ('2147483648'), ('4294967295'), ('9223372036854775807'),
+          |  ('18446744073709551615') AS t(v_str)
+          |ORDER BY length(v_str), v_str""".stripMargin)),
+
+    // SURVEY §1.2 Datetime(ns)/Time contract made executable: the parquet
+    // TIMESTAMP(NANOS) column is read RAW (ns as i64 — full fidelity, 9992
+    // of 10000 sf0.01 rows carry sub-µs bits), then normalized by the
+    // documented ns→µs truncation; the Time dtype is its i64
+    // ns-since-midnight carrier. The oracle computes the same values from
+    // DuckDB's own µs truncation of the identical file — agreement IS the
+    // contract.
+    "dtype_time_ns" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$d/events.parquet")
+        .select(col("event_id"),
+          expr("ts div 1000").as("us"),
+          expr("((ts div 1000) % 86400000000) * 1000").as("time_ns"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -54,6 +86,22 @@ object QueriesMisc6 {
     },
 
     "io_ipc_roundtrip" ->
-      "SELECT * FROM part ORDER BY p_partkey"
+      "SELECT * FROM part ORDER BY p_partkey",
+
+    "dtype_unsigned" ->
+      """SELECT v_str,
+        |  try_cast(v_str AS BIGINT) AS as_i64,
+        |  CAST(CAST(v_str AS DECIMAL(20,0)) AS VARCHAR) AS u64_str,
+        |  CAST(CAST(v_str AS DECIMAL(20,0)) + 1 AS VARCHAR) AS u64_plus
+        |FROM (VALUES ('0'), ('255'), ('65535'), ('2147483647'),
+        |  ('2147483648'), ('4294967295'), ('9223372036854775807'),
+        |  ('18446744073709551615')) t(v_str)
+        |ORDER BY length(v_str), v_str""".stripMargin,
+
+    "dtype_time_ns" ->
+      """SELECT event_id, epoch_us(ts) AS us,
+        |  (epoch_us(ts) % 86400000000) * 1000 AS time_ns,
+        |  epoch_us(ts) // 86400000000 AS day
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }

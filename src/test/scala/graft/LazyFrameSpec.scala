@@ -74,9 +74,24 @@ class LazyFrameSpec extends SparkSpec {
     val idx = lf.describe().columns.indexOf("v")
     assert(math.abs(mean.getDouble(idx) - 30.0) < 1e-9)
     assert(d("null_count").getDouble(idx) == 0.0)
-    // string column k has only count/null_count
+    // string column k: count/null_count/min/max (its own documented
+    // contract), mean/std/median null
     val kIdx = lf.describe().columns.indexOf("k")
     assert(d("mean").isNullAt(kIdx))
+    assert(d("min").getString(kIdx) != null)
+    assert(d("max").getString(kIdx) != null)
+  }
+
+  test("describe() survives column names containing __") {
+    val odd = LazyFrame(spark.sql(
+      "SELECT * FROM VALUES (1, 'x'), (2, 'y') AS t(`a__b__c`, `s__`)"))
+    val d = odd.describe()
+    assert(d.columns.toSeq == Seq("statistic", "a__b__c", "s__"))
+    val rows = d.collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("count", "null_count", "mean", "std", "min", "max", "median"))
+    assert(rows("count").getDouble(1) == 2.0)
+    assert(rows("min").getString(2) == "x")
+    assert(rows("max").getString(2) == "y")
   }
 
   test("sample and shuffle are deterministic per seed") {
