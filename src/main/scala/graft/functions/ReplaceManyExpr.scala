@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Multi-pattern literal replace in ONE pass over the string — polars
@@ -70,8 +71,93 @@ case class ReplaceManyExpr(
     copy(child = newChild)
 }
 
-/** Trie build + single-pass runner for [[ReplaceManyExpr]] — called from
-  * generated code. */
+/** polars `str.contains_any` (reference `find_many.rs:39-69`): true iff ANY
+  * of the literal patterns occurs. Same automaton as [[ReplaceManyExpr]],
+  * with early exit on the first hit. */
+case class ContainsAnyExpr(
+    child: Expression,
+    patterns: Seq[String],
+    asciiCaseInsensitive: Boolean = false)
+  extends UnaryExpression {
+
+  require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+    "contains_any requires non-empty patterns")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${t.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "graft_contains_any"
+
+  @transient private lazy val automaton: ReplaceManyUtil.Automaton =
+    ReplaceManyUtil.build(patterns.toArray, patterns.toArray, asciiCaseInsensitive)
+
+  override def nullSafeEval(input: Any): Any =
+    ReplaceManyUtil.containsAny(input.asInstanceOf[UTF8String], automaton)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val auto = ctx.addReferenceObj("automaton", automaton,
+      classOf[ReplaceManyUtil.Automaton].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ReplaceManyUtil.containsAny($c, $auto)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ContainsAnyExpr =
+    copy(child = newChild)
+}
+
+/** polars `str.extract_many` / `str.find_many` (reference
+  * `find_many.rs:143-230`): all pattern occurrences as a list — the matched
+  * substrings (`findStarts = false`) or their UTF-8 byte start offsets
+  * (`findStarts = true`, the reference's u32 offsets). `overlapping = false`
+  * scans leftmost-first and resumes after each match (consistent with
+  * [[ReplaceManyExpr]]); `overlapping = true` reports every match of every
+  * pattern, ordered by (end offset, pattern index) like
+  * `find_overlapping_iter`. */
+case class ExtractManyExpr(
+    child: Expression,
+    patterns: Seq[String],
+    asciiCaseInsensitive: Boolean = false,
+    overlapping: Boolean = false,
+    findStarts: Boolean = false)
+  extends UnaryExpression {
+
+  require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+    "extract_many requires non-empty patterns")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${t.simpleString}")
+  }
+  override def dataType: DataType =
+    if (findStarts) ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+    else ArrayType(StringType, containsNull = false)
+  override def prettyName: String =
+    if (findStarts) "graft_find_many" else "graft_extract_many"
+
+  @transient private lazy val automaton: ReplaceManyUtil.Automaton =
+    ReplaceManyUtil.build(patterns.toArray, patterns.toArray, asciiCaseInsensitive)
+
+  override def nullSafeEval(input: Any): Any =
+    ReplaceManyUtil.extractMany(input.asInstanceOf[UTF8String], automaton,
+      overlapping, findStarts)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val auto = ctx.addReferenceObj("automaton", automaton,
+      classOf[ReplaceManyUtil.Automaton].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ReplaceManyUtil.extractMany($c, $auto, $overlapping, $findStarts)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ExtractManyExpr =
+    copy(child = newChild)
+}
+
+/** Trie build + single-pass runner for [[ReplaceManyExpr]] and friends —
+  * called from generated code. */
 object ReplaceManyUtil {
 
   /** Byte trie with first-listed-pattern terminal priority. `next` is a
@@ -191,5 +277,67 @@ object ReplaceManyUtil {
       outLen += span
       UTF8String.fromBytes(out, 0, outLen)
     }
+  }
+
+  /** Any pattern present? Early-exits on the first terminal reached. */
+  def containsAny(s: UTF8String, a: Automaton): Boolean = {
+    val in = s.getBytes
+    val n = in.length
+    var i = 0
+    while (i < n) {
+      var node = a.next(in(i) & 0xff)
+      var j = i + 1
+      while (node >= 0) {
+        if (a.term(node) >= 0) return true
+        if (j >= n) node = -1
+        else { node = a.next(node * 256 + (in(j) & 0xff)); j += 1 }
+      }
+      i += 1
+    }
+    false
+  }
+
+  /** All matches as substrings or byte-start offsets.
+    * Non-overlapping: leftmost-first scan, resume after each match.
+    * Overlapping: every (start, pattern) hit, ordered by (end, pattern
+    * index) to mirror aho-corasick's find_overlapping_iter. */
+  def extractMany(s: UTF8String, a: Automaton,
+                  overlapping: Boolean, findStarts: Boolean): GenericArrayData = {
+    val in = s.getBytes
+    val n = in.length
+    val acc = new scala.collection.mutable.ArrayBuffer[Long](8) // (end<<32 | pat)
+    var i = 0
+    while (i < n) {
+      var node = a.next(in(i) & 0xff)
+      var j = i + 1
+      var best = -1
+      while (node >= 0) {
+        val t = a.term(node)
+        if (t >= 0) {
+          if (overlapping) acc += (j.toLong << 32) | t.toLong
+          else if (best < 0 || t < best) best = t
+        }
+        if (j >= n) node = -1
+        else { node = a.next(node * 256 + (in(j) & 0xff)); j += 1 }
+      }
+      if (!overlapping && best >= 0) {
+        acc += ((i + a.patLen(best)).toLong << 32) | best.toLong
+        i += a.patLen(best)
+      } else i += 1
+    }
+    val arr = acc.toArray
+    if (overlapping) java.util.Arrays.sort(arr) // (end, patIdx) order
+    val out = new Array[Any](arr.length)
+    var k = 0
+    while (k < arr.length) {
+      val end = (arr(k) >>> 32).toInt
+      val pat = (arr(k) & 0xffffffffL).toInt
+      val start = end - a.patLen(pat)
+      out(k) =
+        if (findStarts) start
+        else UTF8String.fromBytes(in, start, a.patLen(pat))
+      k += 1
+    }
+    new GenericArrayData(out)
   }
 }

@@ -170,6 +170,31 @@ package object functions {
   def replaceManyChained(c: Column, pairs: Seq[(String, String)]): Column =
     pairs.foldLeft(c) { case (acc, (from, to)) => replace(acc, lit(from), lit(to)) }
 
+  /** polars str.contains_any — one automaton pass, early exit. */
+  def containsAny(c: Column, patterns: Seq[String],
+                  asciiCaseInsensitive: Boolean = false): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(ContainsAnyExpr(Bridge.expression(c), patterns, asciiCaseInsensitive))
+  }
+
+  /** polars str.extract_many — every literal-pattern occurrence as a list. */
+  def extractMany(c: Column, patterns: Seq[String],
+                  asciiCaseInsensitive: Boolean = false,
+                  overlapping: Boolean = false): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(ExtractManyExpr(Bridge.expression(c), patterns,
+      asciiCaseInsensitive, overlapping, findStarts = false))
+  }
+
+  /** polars str.find_many — UTF-8 byte start offsets of every occurrence. */
+  def findMany(c: Column, patterns: Seq[String],
+               asciiCaseInsensitive: Boolean = false,
+               overlapping: Boolean = false): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(ExtractManyExpr(Bridge.expression(c), patterns,
+      asciiCaseInsensitive, overlapping, findStarts = true))
+  }
+
   /** polars str.strip_chars (both ends, char set). */
   def stripChars(c: Column, chars: String): Column = {
     val esc = java.util.regex.Pattern.quote(chars).replace("\\", "\\\\")

@@ -42,6 +42,31 @@ object QueriesMisc6 {
       s.read.format("graft-ipc").load(tmp).orderBy(col("p_partkey"))
     }),
 
+    // polars str.contains_any + str.extract_many (find_many.rs) — the
+    // closed vocabulary (no pattern a substring of another, space-separated
+    // words) makes the leftmost-first scan equal a regex-alternation
+    // findall, which is what the oracle expresses.
+    "str_contains_any" -> ((s, d) => {
+      val pats = scrubPairs.take(8).map(_._1)
+      t(s, d, "documents").select(
+        col("doc_id"),
+        gf.containsAny(col("text"), pats).as("has_any"),
+        array_join(gf.extractMany(col("text"), pats), "|").as("matched"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // polars str.find_many: byte offsets (ASCII text, so = char offsets;
+    // DuckDB's 1-based strpos - 1 gives the first one).
+    "str_find_many" -> ((s, d) => {
+      val pats = scrubPairs.take(8).map(_._1)
+      t(s, d, "documents").select(
+        col("doc_id"),
+        size(gf.findMany(col("text"), pats)).cast("long").as("n_matches"),
+        try_element_at(gf.findMany(col("text"), pats), lit(1))
+          .cast("long").as("first_pos"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SURVEY §1.2 unsigned contract made executable: u32 widens losslessly
     // into i64; u64 carries in Decimal(20,0) (exact to 2^64-1 and beyond on
     // arithmetic, no wraparound); the documented Long-with-check path
@@ -87,6 +112,26 @@ object QueriesMisc6 {
 
     "io_ipc_roundtrip" ->
       "SELECT * FROM part ORDER BY p_partkey",
+
+    "str_contains_any" -> {
+      val pats = scrubPairs.take(8).map(_._1)
+      val likes = pats.map(p => s"text LIKE '%$p%'").mkString(" OR ")
+      val alt = pats.mkString("(", "|", ")")
+      s"""SELECT doc_id, ($likes) AS has_any,
+         |  coalesce(array_to_string(regexp_extract_all(text, '$alt'), '|'), '')
+         |    AS matched
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "str_find_many" -> {
+      val pats = scrubPairs.take(8).map(_._1)
+      val alt = pats.mkString("(", "|", ")")
+      val firsts = pats.map(p => s"nullif(strpos(text, '$p'), 0)").mkString(", ")
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(text, '$alt')) AS n_matches,
+         |  least($firsts) - 1 AS first_pos
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     "dtype_unsigned" ->
       """SELECT v_str,

@@ -78,6 +78,49 @@ class ReplaceManyExprSpec extends SparkSpec {
     assert(r == "X X straße") // ß is not ASCII: strasse must NOT match straße
   }
 
+  test("contains_any / extract_many / find_many match their regex formulations on real data") {
+    val pats = QueriesMisc6.scrubPairs.take(8).map(_._1)
+    val alt = pats.mkString("(", "|", ")")
+    val docs = util.t(spark, "/root/testdata/sf0.01", "documents")
+    val mismatched = docs.select(
+      gf.containsAny(col("text"), pats).as("ca"),
+      (coalesce(length(regexp_extract(col("text"), alt, 1)), lit(0)) > 0).as("ca_re"),
+      gf.extractMany(col("text"), pats).as("em"),
+      expr(s"regexp_extract_all(text, '$alt', 1)").as("em_re"),
+      gf.findMany(col("text"), pats).as("fm"))
+      .filter(!(col("ca") <=> col("ca_re")) || !(col("em") <=> col("em_re")))
+      .count()
+    assert(mismatched == 0)
+  }
+
+  test("extract/find overlapping and edge semantics") {
+    val df = spark.sql("SELECT 'Samwise met Sam and samWISE' AS s")
+    def em(pats: Seq[String], ov: Boolean, ci: Boolean = false): Seq[String] =
+      df.select(gf.extractMany(col("s"), pats, ci, ov).as("r"))
+        .head().getSeq[String](0)
+    def fm(pats: Seq[String], ov: Boolean): Seq[Int] =
+      df.select(gf.findMany(col("s"), pats, overlapping = ov).as("r"))
+        .head().getSeq[Int](0)
+
+    // non-overlapping leftmost-first: 'Sam' consumes, 'Samwise' never matches
+    assert(em(Seq("Sam", "Samwise"), ov = false) == Seq("Sam", "Sam"))
+    // listed first, the longer pattern wins at position 0
+    assert(em(Seq("Samwise", "Sam"), ov = false) == Seq("Samwise", "Sam"))
+    // overlapping reports both, ordered by (end, pattern index)
+    assert(em(Seq("Sam", "Samwise"), ov = true) == Seq("Sam", "Samwise", "Sam"))
+    // find_many returns byte offsets
+    assert(fm(Seq("Sam", "Samwise"), ov = false) == Seq(0, 12))
+    assert(fm(Seq("Sam", "Samwise"), ov = true) == Seq(0, 0, 12))
+    // ascii case-insensitive extracts the INPUT slice, not the pattern
+    assert(em(Seq("samwise"), ov = false, ci = true) == Seq("Samwise", "samWISE"))
+    // null in, null out; no patterns present -> empty list
+    val edge = spark.sql("SELECT cast(null as string) AS s")
+      .select(gf.extractMany(col("s"), Seq("x")).as("r")).head()
+    assert(edge.isNullAt(0))
+    assert(df.select(gf.extractMany(col("s"), Seq("zzz")).as("r"))
+      .head().getSeq[String](0).isEmpty)
+  }
+
   test("replace_many stays inside a codegen stage") {
     val tree = spark.range(100)
       .select(concat(lit("the quick fox "), col("id").cast("string")).as("s"))
