@@ -390,6 +390,11 @@ final class LazyFrame(val df: DataFrame) {
 
   def sinkJson(path: String): Unit = df.write.mode("overwrite").json(path)
 
+  /** Arrow IPC / Feather v2 sink (polars' interchange format) — see
+    * [[graft.sources.ArrowIpc]]: per-partition files, bounded batches. */
+  def sinkIpc(path: String, batchRows: Int = 4096): Unit =
+    graft.sources.ArrowIpc.write(df, path, batchRows)
+
   def explainFormatted(): String = {
     val qe = df.queryExecution
     qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
@@ -401,6 +406,11 @@ object LazyFrame {
 
   def scanParquet(spark: SparkSession, path: String): LazyFrame =
     LazyFrame(spark.read.parquet(path))
+
+  /** Arrow IPC scan via the graft-ipc DSv2 connector (per-record-batch
+    * splits, columnar, pruning). */
+  def scanIpc(spark: SparkSession, path: String): LazyFrame =
+    LazyFrame(spark.read.format("graft-ipc").load(path))
 
   def scanCsv(spark: SparkSession, path: String, header: Boolean = true,
               inferSchema: Boolean = true): LazyFrame =

@@ -31,6 +31,13 @@ object GraftFunctions {
       s"$fn: $arg must be a string literal, got $other")
   }
 
+  private def strArrayLit(e: Expression, fn: String, arg: String): Seq[String] = e match {
+    case ca: org.apache.spark.sql.catalyst.expressions.CreateArray =>
+      ca.children.map(strLit(_, fn, arg))
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be array('..', ..) of string literals, got $other")
+  }
+
   /** (identifier, info, builder) triples in SparkSessionExtensions shape. */
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_minhash"),
@@ -74,6 +81,36 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_normalize(text, form)")
         NormalizeExpr(args.head, strLit(args(1), "graft_normalize", "form"))
+      }),
+    (FunctionIdentifier("graft_replace_many"),
+      new ExpressionInfo(classOf[ReplaceManyExpr].getName, "graft_replace_many"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_replace_many(s, array(pat...), array(repl...))")
+        ReplaceManyExpr(args.head,
+          strArrayLit(args(1), "graft_replace_many", "patterns"),
+          strArrayLit(args(2), "graft_replace_many", "replacements"))
+      }),
+    (FunctionIdentifier("graft_contains_any"),
+      new ExpressionInfo(classOf[ContainsAnyExpr].getName, "graft_contains_any"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_contains_any(s, array(pat...))")
+        ContainsAnyExpr(args.head,
+          strArrayLit(args(1), "graft_contains_any", "patterns"))
+      }),
+    (FunctionIdentifier("graft_extract_many"),
+      new ExpressionInfo(classOf[ExtractManyExpr].getName, "graft_extract_many"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_extract_many(s, array(pat...))")
+        ExtractManyExpr(args.head,
+          strArrayLit(args(1), "graft_extract_many", "patterns"))
+      }),
+    (FunctionIdentifier("graft_find_many"),
+      new ExpressionInfo(classOf[ExtractManyExpr].getName, "graft_find_many"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_find_many(s, array(pat...))")
+        ExtractManyExpr(args.head,
+          strArrayLit(args(1), "graft_find_many", "patterns"),
+          findStarts = true)
       }))
 
   def register(spark: SparkSession): Unit =

@@ -66,6 +66,19 @@ class GraftSqlSpec extends SparkSpec {
     assert(d == 10.0)
   }
 
+  test("the multi-pattern family resolves in SQL") {
+    val r = spark.sql(
+      """SELECT graft_replace_many('a b c', array('a','c'), array('x','y')) AS rep,
+        |       graft_contains_any('hello world', array('wor','xyz')) AS ca,
+        |       graft_extract_many('ab ab', array('ab')) AS em,
+        |       graft_find_many('ab ab', array('ab')) AS fm""".stripMargin)
+      .collect()(0)
+    assert(r.getString(0) == "x b y")
+    assert(r.getBoolean(1))
+    assert(r.getSeq[String](2) == Seq("ab", "ab"))
+    assert(r.getSeq[Int](3) == Seq(0, 3))
+  }
+
   test("bad argument types fail analysis with the expression's message") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_cosine(array(1, 2), array(3, 4))").collect()
