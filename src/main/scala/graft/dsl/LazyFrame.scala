@@ -395,6 +395,19 @@ final class LazyFrame(val df: DataFrame) {
   def sinkIpc(path: String, batchRows: Int = 4096): Unit =
     graft.sources.ArrowIpc.write(df, path, batchRows)
 
+  /** polars SinkMultiple / collect_all with common-subplan elimination
+    * (reference CSPE, SURVEY §2.1): Spark has no cross-action CSE, so the
+    * shared prefix — THIS frame — is persisted once, every sink reads the
+    * materialized plan (InMemoryTableScan, spec-asserted), and the handle
+    * is released afterwards even if a sink throws. At 100 TB prefer a
+    * parquet/IPC staging sink over memory for very wide prefixes; the
+    * mechanism is the same. */
+  def sinkMultiple(sinks: Seq[LazyFrame => Unit]): Unit = {
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try sinks.foreach(f => f(this))
+    finally df.unpersist(blocking = false)
+  }
+
   def explainFormatted(): String = {
     val qe = df.queryExecution
     qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))

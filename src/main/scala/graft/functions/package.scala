@@ -186,6 +186,15 @@ package object functions {
       asciiCaseInsensitive, overlapping, findStarts = false))
   }
 
+  /** polars Array(inner, SIZE) — SURVEY §1.2: Spark has no fixed-width
+    * array dtype, so the size contract is enforced at the boundary instead:
+    * conforming rows (and nulls) pass through; a wrong-width row raises,
+    * matching polars' strict cast. assert_true keeps the whole check inside
+    * codegen. */
+  def fixedSizeArray(c: Column, n: Int): Column =
+    when(assert_true(c.isNull || size(c) === n,
+      lit(s"fixed-size array[$n] violated")).isNull, c)
+
   /** polars str.find_many — UTF-8 byte start offsets of every occurrence. */
   def findMany(c: Column, patterns: Seq[String],
                asciiCaseInsensitive: Boolean = false,

@@ -94,6 +94,37 @@ class LazyFrameSpec extends SparkSpec {
     assert(rows("max").getString(2) == "y")
   }
 
+  test("sinkMultiple shares one materialized prefix across sinks, then releases it") {
+    val base = java.nio.file.Files.createTempDirectory("graft_multi").toString
+    val shared = lf.withColumns("i2" -> (col("i") * 2))
+    var sawCachedScan = false
+    shared.sinkMultiple(Seq(
+      f => {
+        // each sink's plan must read the materialized prefix, not rescan
+        val plan = f.filter(col("i") > 1).collect().queryExecution.executedPlan.toString
+        sawCachedScan = plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage")
+        f.filter(col("i") > 1).sinkParquet(s"$base/a")
+      },
+      f => f.selectNames("k", "i2").sinkParquet(s"$base/b")))
+    assert(sawCachedScan, "sink plans did not read the persisted prefix")
+    assert(shared.collect().storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "prefix persist leaked after sinkMultiple")
+    assert(spark.read.parquet(s"$base/a").count() > 0)
+    assert(spark.read.parquet(s"$base/b").columns.toSeq == Seq("k", "i2"))
+  }
+
+  test("fixedSizeArray enforces the width contract, passes nulls") {
+    val ok = spark.sql(
+      "SELECT * FROM VALUES (array(1,2,3)), (cast(null as array<int>)) AS t(a)")
+      .select(graft.functions.fixedSizeArray(col("a"), 3).as("a")).collect()
+    assert(ok.length == 2 && ok(1).isNullAt(0))
+    val e = intercept[Exception] {
+      spark.sql("SELECT array(1,2) AS a")
+        .select(graft.functions.fixedSizeArray(col("a"), 3).as("a")).collect()
+    }
+    assert(e.getMessage.contains("fixed-size array[3]"))
+  }
+
   test("sample and shuffle are deterministic per seed") {
     val s1 = lf.sample(0.6, seed = 7).collect().collect().toSeq
     val s2 = lf.sample(0.6, seed = 7).collect().collect().toSeq
