@@ -49,14 +49,36 @@ object Similarity {
     array_min(scored).getField("cid")
   }
 
-  /** IVF search: bucket corpus and queries by nearest centroid, search only
-    * within the bucket (nprobe=1). Equi-join on cell id → shuffle-bounded. */
+  /** The `nprobe` nearest centroid ids for a vector (FAISS-IVF multi-probe):
+    * per-centroid cosine scored with the codegen'd kernel, array_sort on the
+    * (negated-similarity, cid) structs, first nprobe cell ids. */
+  def nearestCentroids(vec: Column, centroids: Seq[(Int, Array[Double])],
+                       nprobe: Int): Column = {
+    val cents = array(centroids.map { case (id, v) =>
+      struct(lit(id).as("cid"), array(v.map(lit): _*).as("cvec"))
+    }: _*)
+    val scored = transform(cents, c =>
+      struct((-dotProduct(vec, c.getField("cvec")) /
+        (l2Norm(vec) * l2Norm(c.getField("cvec")))).as("negsim"),
+        c.getField("cid").as("cid")))
+    transform(slice(array_sort(scored), 1, nprobe), s => s.getField("cid"))
+  }
+
+  /** IVF search: the corpus is bucketed once by nearest centroid; each
+    * query probes its `nprobe` nearest cells (query side explodes — queries
+    * are the small broadcast side, so replication is nprobe× a small set).
+    * Equi-join on cell id → shuffle-bounded; each (query, corpus) pair
+    * meets at most once because a corpus vector lives in exactly one cell.
+    * nprobe = #centroids degenerates to exact brute force (spec-asserted);
+    * recall rises monotonically with nprobe like FAISS-IVF. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, qidCol: String,
-              centroids: Seq[(Int, Array[Double])], k: Int): DataFrame = {
+              centroids: Seq[(Int, Array[Double])], k: Int,
+              nprobe: Int = 1): DataFrame = {
     val c = corpus.withColumn("__cell", assignToCentroid(col(vecCol), centroids))
     val q = broadcast(queries
-      .withColumn("__cell", assignToCentroid(col(vecCol), centroids))
+      .withColumn("__cell",
+        explode(nearestCentroids(col(vecCol), centroids, nprobe)))
       .select(col(qidCol), col("__cell"), col(vecCol).as("__qvec")))
     val scored = c.join(q, Seq("__cell"))
       .withColumn("cosine", round(cosineSimilarity(col(vecCol), col("__qvec")), 4))

@@ -95,6 +95,31 @@ class TextSpec extends SparkSpec {
     assert(top == Seq(0L, 1L))
   }
 
+  test("ivf nprobe: all-cells probing equals brute force; recall rises with nprobe") {
+    val vecs = graft.queries.util.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = vecs.limit(5)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    // deterministic centroids: 4 fixed unit-ish directions in the emb dim
+    val dim = vecs.select(size(col("embedding"))).as[Int].head()
+    val cents = (0 until 4).map(c =>
+      c -> Array.tabulate(dim)(i => math.sin(1.0 + c * 37 + i * 7)))
+    def hits(nprobe: Int): Map[Long, Set[Long]] =
+      Similarity.ivfTopK(vecs, q, "vec_id", "embedding", "qid", cents, k = 3,
+        nprobe = nprobe)
+        .select(col("qid").cast("long"), col("vec_id").cast("long")).as[(Long, Long)]
+        .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", "qid", 3)
+      .select(col("qid").cast("long"), col("vec_id").cast("long")).as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // probing every cell = exact search
+    assert(hits(4) == exact)
+    def recall(h: Map[Long, Set[Long]]): Double =
+      exact.map { case (k2, v) => (h.getOrElse(k2, Set.empty) & v).size.toDouble / v.size }
+        .sum / exact.size
+    assert(recall(hits(2)) >= recall(hits(1)))
+    assert(recall(hits(4)) == 1.0)
+  }
+
   test("multimodal frame sampling emits duration/every + 1 frames") {
     val df = Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "payload")
     val assets = Multimodal.asAssets(df, "id", "payload", "video")
