@@ -40,6 +40,14 @@ final class GroupBy(df: DataFrame, keys: Seq[Column]) {
       .filter(col("__rn") <= n).drop("__rn"))
   }
 
+  /** polars group_by().tail(n): per-group last-n by explicit order. */
+  def tail(n: Int, orderBy: Column*): LazyFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys: _*).orderBy(orderBy.map(_.desc): _*)
+    LazyFrame(df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn"))
+  }
+
   /** polars group_by().agg(col(x).implode()) — group values to a list with a
     * deterministic (sorted) order, since Spark collect order is unstable. */
   def implodeSorted(valueCol: String, as: String): LazyFrame =

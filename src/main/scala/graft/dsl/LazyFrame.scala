@@ -317,11 +317,16 @@ final class LazyFrame(val df: DataFrame) {
   def sample(fraction: Double, seed: Long): LazyFrame =
     LazyFrame(df.sample(withReplacement = false, fraction, seed))
 
-  /** polars shuffle(seed): deterministic random permutation — a full sort
-    * by a seeded hash. Only for bounded outputs; at scale prefer
-    * per-partition local shuffles (sortWithinPartitions). */
-  def shuffle(seed: Long): LazyFrame =
-    LazyFrame(df.orderBy(xxhash64(struct(df.columns.map(col): _*), lit(seed))))
+  /** polars shuffle(seed): deterministic pseudorandom permutation. Rows are
+    * hash-repartitioned on a seeded content hash and locally sorted by it —
+    * one shuffle, no range-sampling pass, no global sort, every task busy:
+    * the same permutation quality as sorting by the hash, at the scalable
+    * plan shape. Duplicate rows hash identically and stay adjacent (ties),
+    * as in any content-hash shuffle. */
+  def shuffle(seed: Long): LazyFrame = {
+    val h = xxhash64(struct(df.columns.map(col): _*), lit(seed))
+    LazyFrame(df.repartition(h).sortWithinPartitions(h))
+  }
 
   /** polars describe(): per-column count / null_count / mean / std / min /
     * max / median for numeric columns; count / null_count / min / max for

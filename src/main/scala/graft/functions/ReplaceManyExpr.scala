@@ -25,9 +25,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * The chained-`replace` composition ([[graft.functions.replaceManyChained]])
   * differs on exactly those cascading/overlapping cases AND rescans the
   * string once per pattern — O(patterns) passes. This expression walks a
-  * byte-trie built once on the driver: O(1) automaton step per byte
-  * regardless of pattern count, the right shape for PII-scrub lists with
-  * hundreds of patterns at 100 TB.
+  * byte-trie built once on the driver: independent of pattern COUNT
+  * (one shared trie descent per position, O(max pattern length) worst case,
+  * O(1) typical — most positions miss on the first byte), the right shape
+  * for PII-scrub lists with hundreds of patterns at 100 TB.
   *
   * Byte-level matching is UTF-8-safe: a valid pattern starts with a lead
   * byte, which can never equal a continuation byte, so matches always start

@@ -176,6 +176,17 @@ class LazyFrameSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("k", "__salt", "w") && out.count() == 1)
   }
 
+  test("groupBy head/tail take the first/last n per group along the order") {
+    val df = LazyFrame(spark.sql(
+      "SELECT * FROM VALUES ('a',1),('a',2),('a',3),('b',9),('b',8) AS t(g, v)"))
+    val h = df.groupByNames("g").head(2, col("v")).collect()
+      .orderBy("g", "v").collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(h == Seq(("a", 1), ("a", 2), ("b", 8), ("b", 9)))
+    val t2 = df.groupByNames("g").tail(2, col("v")).collect()
+      .orderBy("g", "v").collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(t2 == Seq(("a", 2), ("a", 3), ("b", 8), ("b", 9)))
+  }
+
   test("aggOrdered returns groups in first-appearance order") {
     val df = Seq(("z", 1), ("a", 2), ("z", 3), ("m", 4), ("a", 5)).toDF("k", "i")
     val out = LazyFrame(df).groupByNames("k")
