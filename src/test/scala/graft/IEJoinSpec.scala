@@ -58,6 +58,31 @@ class IEJoinSpec extends SparkSpec {
     assert(IEJoin.join(a, b, col("a_x"), "<=", col("b_x")).count() == 25)
   }
 
+  test("randomized: grid equals BNLJ on skewed/duplicated/null data, all operators") {
+    (1 to 2).foreach { seed =>
+      // heavy duplication (modulo) + nulls + a skewed hot value
+      val a = spark.range(200).selectExpr("id AS a_key",
+        s"CASE WHEN id % 11 = 0 THEN CAST(NULL AS DOUBLE) " +
+          s"WHEN id % 7 = 0 THEN 42.0 ELSE CAST(xxhash64(id, $seed) % 50 AS DOUBLE) END AS a_x")
+      val b = spark.range(200).selectExpr("id AS b_key",
+        s"CASE WHEN id % 13 = 0 THEN CAST(NULL AS DOUBLE) " +
+          s"WHEN id % 5 = 0 THEN 42.0 ELSE CAST(xxhash64(id + 1000, $seed) % 50 AS DOUBLE) END AS b_x")
+      Seq("<", "<=", ">", ">=").foreach { op =>
+        val grid = IEJoin.join(a, b, col("a_x"), op, col("b_x"), buckets = 5)
+          .select(col("a_key"), col("b_key"))
+        val pred = op match {
+          case "<"  => col("a_x") < col("b_x")
+          case "<=" => col("a_x") <= col("b_x")
+          case ">"  => col("a_x") > col("b_x")
+          case ">=" => col("a_x") >= col("b_x")
+        }
+        val bnlj = a.join(b, pred).select(col("a_key"), col("b_key"))
+        assert(grid.exceptAll(bnlj).count() == 0 && bnlj.exceptAll(grid).count() == 0,
+          s"seed=$seed op=$op differs")
+      }
+    }
+  }
+
   test("plan is an equi-join on the cell id — no BroadcastNestedLoopJoin") {
     val (a, b) = sides("/root/testdata/sf0.001")
     val plan = IEJoin.join(a, b, col("a_price"), "<", col("b_price"),
