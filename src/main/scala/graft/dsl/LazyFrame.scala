@@ -417,6 +417,34 @@ final class LazyFrame(val df: DataFrame) {
     val qe = df.queryExecution
     qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
   }
+
+  /** polars profile(): execute the plan and return per-operator runtime
+    * metrics. Spark-first mapping: the physical plan runs once (distributed
+    * action, nothing materializes on the driver) and each operator's SQL
+    * metrics — output rows, per-node wall times, shuffle/spill bytes — come
+    * back as a (node_id, node, metric, value) frame. Unlike polars' wall
+    * clock per node, these are Spark's own accumulator metrics, which is
+    * what you'd watch on a 1000-executor run anyway. */
+  def profile(): DataFrame = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val qe = df.queryExecution
+    qe.toRdd.foreach(_ => ()) // execute fully; metrics accumulate per node
+    // AQE wraps re-planned subtrees in leaf QueryStageExec nodes — descend
+    // into them explicitly (TreeNode.collect treats them as leaves)
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
+      case q: QueryStageExec => p +: walk(q.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    val rows = walk(qe.executedPlan).zipWithIndex.flatMap { case (n, i) =>
+      n.metrics.toSeq.sortBy(_._1).map { case (name, m) =>
+        (i.toLong, n.nodeName, name, m.value)
+      }
+    }
+    import df.sparkSession.implicits._
+    rows.toDF("node_id", "node", "metric", "value")
+  }
 }
 
 object LazyFrame {

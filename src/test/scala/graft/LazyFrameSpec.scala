@@ -176,6 +176,15 @@ class LazyFrameSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("k", "__salt", "w") && out.count() == 1)
   }
 
+  test("profile() returns executed per-operator metrics") {
+    val p = lf.groupByNames("k").agg(sum(col("v")).as("sv")).profile()
+    val byNode = p.collect().map(r =>
+      (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(byNode.exists { case (node, metric, v) =>
+      node.contains("HashAggregate") && metric == "numOutputRows" && v > 0
+    }, s"no aggregate output-rows metric in:\n${byNode.mkString("\n")}")
+  }
+
   test("groupBy head/tail take the first/last n per group along the order") {
     val df = LazyFrame(spark.sql(
       "SELECT * FROM VALUES ('a',1),('a',2),('a',3),('b',9),('b',8) AS t(g, v)"))
