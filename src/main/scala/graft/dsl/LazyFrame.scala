@@ -109,8 +109,18 @@ final class LazyFrame(val df: DataFrame) {
 
   // ---- joins --------------------------------------------------------------
 
-  def join(other: LazyFrame, on: Seq[String], how: String = "inner"): LazyFrame =
-    LazyFrame(df.join(other.df, on, how))
+  /** polars join: key columns coalesce (Spark using-join), and right-side
+    * NON-key columns whose names collide with the left get the polars
+    * `suffix` (default "_right") instead of becoming ambiguous. */
+  def join(other: LazyFrame, on: Seq[String], how: String = "inner",
+           suffix: String = "_right"): LazyFrame = {
+    val leftCols = df.columns.toSet
+    val renamed = other.df.columns.foldLeft(other.df) { (d, c) =>
+      if (!on.contains(c) && leftCols.contains(c)) d.withColumnRenamed(c, c + suffix)
+      else d
+    }
+    LazyFrame(df.join(renamed, on, how))
+  }
 
   def joinOn(other: LazyFrame, cond: Column, how: String = "inner"): LazyFrame =
     LazyFrame(df.join(other.df, cond, how))

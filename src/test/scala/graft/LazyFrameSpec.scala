@@ -135,6 +135,15 @@ class LazyFrameSpec extends SparkSpec {
     assert(p1.toSet == lf.collect().collect().toSet)
   }
 
+  test("join suffixes colliding right-side non-key columns like polars") {
+    val l = LazyFrame(spark.sql("SELECT * FROM VALUES (1, 'x') AS t(id, name)"))
+    val r = LazyFrame(spark.sql("SELECT * FROM VALUES (1, 'y', 9) AS t(id, name, extra)"))
+    val j = l.join(r, Seq("id"))
+    assert(j.collect().columns.toSeq == Seq("id", "name", "name_right", "extra"))
+    val row = j.collect().head()
+    assert(row.getString(1) == "x" && row.getString(2) == "y")
+  }
+
   test("joinValidate enforces key cardinality and names the bad side") {
     val dim = LazyFrame(Seq(("a", 1), ("b", 2)).toDF("k", "v2"))
     val dupDim = LazyFrame(Seq(("a", 1), ("a", 9)).toDF("k", "v2"))
