@@ -230,6 +230,37 @@ final class LazyFrame(val df: DataFrame) {
     LazyFrame(df.withColumn(name, e))
   }
 
+  /** polars df.explode("a", "b", ...): several list columns explode in
+    * LOCKSTEP (position-aligned; shorter lists pad with null), not as a
+    * cross product — arrays_zip + one Generate, so it stays a single
+    * narrow pipeline op. */
+  def explodeMany(names: Seq[String], outer: Boolean = false): LazyFrame = {
+    require(names.size >= 2, "explodeMany needs at least two columns")
+    val zipped = arrays_zip(names.map(col): _*)
+    val e = if (outer) explode_outer(zipped) else explode(zipped)
+    val tmp = df.withColumn("__graft_z", e)
+    val unpacked = names.foldLeft(tmp)((d, n) =>
+      d.withColumn(n, col("__graft_z")(n)))
+    LazyFrame(unpacked.drop("__graft_z"))
+  }
+
+  /** polars df.update(other, on, how): values of shared non-key columns are
+    * replaced by `other`'s values where matched AND non-null (polars'
+    * default null-preserving semantics); how = "left" keeps every row of
+    * this frame, "inner" keeps matches only. Column order is preserved. */
+  def update(other: LazyFrame, on: Seq[String], how: String = "left"): LazyFrame = {
+    require(how == "left" || how == "inner", s"update supports left/inner, got '$how'")
+    val shared = other.df.columns.filterNot(on.contains).filter(df.columns.contains).toSeq
+    val renamed = shared.foldLeft(other.df.select((on ++ shared).map(col): _*)) {
+      (d, c) => d.withColumnRenamed(c, s"__graft_u_$c")
+    }
+    val joined = df.join(renamed, on, how)
+    val updated = shared.foldLeft(joined) { (d, c) =>
+      d.withColumn(c, coalesce(col(s"__graft_u_$c"), col(c)))
+    }
+    LazyFrame(updated.select(df.columns.map(col).toSeq: _*))
+  }
+
   /** polars unnest: struct column → top-level columns. */
   def unnest(name: String): LazyFrame = {
     val others = df.columns.filterNot(_ == name).map(col)

@@ -67,6 +67,36 @@ object QueriesMisc6 {
         .orderBy(col("doc_id"))
     }),
 
+    // polars df.explode("a","b") — multi-column LOCKSTEP explode
+    // (position-aligned), reference plan.rs Explode on several columns.
+    "explode_multi" -> ((s, d) => {
+      import graft.dsl.LazyFrame
+      // ONE sorted struct list -> two projections: the pairing survives
+      // duplicate l_linenumber values (a shared total order on both sides)
+      val lists = t(s, d, "lineitem").filter(col("l_orderkey") <= 500)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(struct(
+          col("l_linenumber"), col("l_quantity"), col("l_extendedprice")))).as("rows"))
+        .select(col("l_orderkey"),
+          transform(col("rows"), x => x.getField("l_quantity")).as("qty"),
+          transform(col("rows"), x => x.getField("l_extendedprice")).as("price"))
+      LazyFrame(lists).explodeMany(Seq("qty", "price")).collect()
+        .select(col("l_orderkey"), col("qty"), col("price"))
+        .orderBy(col("l_orderkey"), col("qty"), col("price"))
+    }),
+
+    // polars df.update(other, on): matched rows take the other frame's
+    // non-null values for shared columns; unmatched rows keep their own.
+    "misc_update" -> ((s, d) => {
+      import graft.dsl.LazyFrame
+      val part = t(s, d, "part")
+      val delta = part.filter(col("p_partkey") % 10 === 0)
+        .select(col("p_partkey"), (col("p_retailprice") + 1.0).as("p_retailprice"))
+      LazyFrame(part).update(LazyFrame(delta), Seq("p_partkey")).collect()
+        .select(col("p_partkey"), col("p_retailprice"), col("p_brand"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // SURVEY §1.2 unsigned contract made executable: u32 widens losslessly
     // into i64; u64 carries in Decimal(20,0) (exact to 2^64-1 and beyond on
     // arithmetic, no wraparound); the documented Long-with-check path
@@ -112,6 +142,21 @@ object QueriesMisc6 {
 
     "io_ipc_roundtrip" ->
       "SELECT * FROM part ORDER BY p_partkey",
+
+    "explode_multi" ->
+      """SELECT l_orderkey, unnest(qs) AS qty, unnest(ps) AS price FROM (
+        |  SELECT l_orderkey,
+        |    list(l_quantity ORDER BY l_linenumber, l_quantity, l_extendedprice) AS qs,
+        |    list(l_extendedprice ORDER BY l_linenumber, l_quantity, l_extendedprice) AS ps
+        |  FROM lineitem WHERE l_orderkey <= 500 GROUP BY 1)
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "misc_update" ->
+      """SELECT p_partkey,
+        |  CASE WHEN p_partkey % 10 = 0 THEN p_retailprice + 1.0
+        |       ELSE p_retailprice END AS p_retailprice,
+        |  p_brand
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "str_contains_any" -> {
       val pats = scrubPairs.take(8).map(_._1)

@@ -135,6 +135,28 @@ class LazyFrameSpec extends SparkSpec {
     assert(p1.toSet == lf.collect().collect().toSet)
   }
 
+  test("explodeMany zips positionally, pads short lists with null") {
+    val df = LazyFrame(spark.sql(
+      "SELECT * FROM VALUES (1, array(10, 20), array('a')) AS t(id, xs, ys)"))
+    val rows = df.explodeMany(Seq("xs", "ys")).collect()
+      .select("id", "xs", "ys").collect()
+      .map(r => (r.getInt(0), r.get(1), r.get(2))).toSeq
+    assert(rows == Seq((1, 10, "a"), (1, 20, null)))
+  }
+
+  test("update patches matched non-null values, keeps the rest") {
+    val base = LazyFrame(spark.sql(
+      "SELECT * FROM VALUES (1, 'a', 10), (2, 'b', 20), (3, 'c', 30) AS t(id, s, v)"))
+    val patch = LazyFrame(spark.sql(
+      "SELECT * FROM VALUES (2, 'B', cast(null as int)), (9, 'Z', 99) AS t(id, s, v)"))
+    val out = base.update(patch, Seq("id")).collect()
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+    // id=2: s patched, v stays (patch null is preserved-as-old); id=9 ignored (left)
+    assert(out == Seq((1, "a", 10), (2, "B", 20), (3, "c", 30)))
+    val inner = base.update(patch, Seq("id"), how = "inner").collect().count()
+    assert(inner == 1)
+  }
+
   test("join suffixes colliding right-side non-key columns like polars") {
     val l = LazyFrame(spark.sql("SELECT * FROM VALUES (1, 'x') AS t(id, name)"))
     val r = LazyFrame(spark.sql("SELECT * FROM VALUES (1, 'y', 9) AS t(id, name, extra)"))
