@@ -351,6 +351,15 @@ final class LazyFrame(val df: DataFrame) {
     LazyFrame(graft.ops.Distributed.withRowNumber(df, name, orderBy)
       .withColumn(name, col(name) - 1))
 
+  /** polars map_batches: arbitrary per-partition transformation — the
+    * typed escape hatch when no Column composition expresses the logic.
+    * Each partition streams through `f` (bounded memory if `f` streams);
+    * prefer expressions/native kernels wherever possible — this exits
+    * codegen. Cf. the batched multimodal decode for the canonical use. */
+  def mapBatches[T: org.apache.spark.sql.Encoder](
+      f: Iterator[Row] => Iterator[T]): org.apache.spark.sql.Dataset[T] =
+    df.mapPartitions(f)
+
   // ---- caching / terminal -------------------------------------------------
 
   /** polars sample(fraction, seed): Bernoulli row sample — executes at the

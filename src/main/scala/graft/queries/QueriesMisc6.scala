@@ -85,6 +85,17 @@ object QueriesMisc6 {
         .orderBy(col("l_orderkey"), col("qty"), col("price"))
     }),
 
+    // polars pivot with MULTIPLE aggregations per pivoted value
+    // (values=[...], aggregate_function per column) — Spark pivot takes an
+    // agg list natively; column naming <value>_<alias> matches both sides.
+    "pivot_multi" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg((round(sum(col("l_quantity")) * 100) / 100).as("qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
+
     // polars df.update(other, on): matched rows take the other frame's
     // non-null values for shared columns; unmatched rows keep their own.
     "misc_update" -> ((s, d) => {
@@ -150,6 +161,14 @@ object QueriesMisc6 {
         |    list(l_extendedprice ORDER BY l_linenumber, l_quantity, l_extendedprice) AS ps
         |  FROM lineitem WHERE l_orderkey <= 500 GROUP BY 1)
         |ORDER BY 1, 2, 3""".stripMargin,
+
+    "pivot_multi" ->
+      """SELECT l_returnflag,
+        |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) * 100) / 100 AS "F_qty",
+        |  count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS "F_n",
+        |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) * 100) / 100 AS "O_qty",
+        |  count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS "O_n"
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "misc_update" ->
       """SELECT p_partkey,
