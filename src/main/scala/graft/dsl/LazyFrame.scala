@@ -445,6 +445,19 @@ final class LazyFrame(val df: DataFrame) {
 
   def sinkJson(path: String): Unit = df.write.mode("overwrite").json(path)
 
+  /** Bucketed-table sink: co-locates data on `key` at write time so that
+    * REPEATED joins/aggregations on that key skip the exchange entirely
+    * (PlanSpec proves the zero-shuffle SortMergeJoin). The 100 TB answer
+    * for fact-fact joins that recur — pay one shuffle at ingest, none per
+    * query. */
+  def sinkBucketed(table: String, buckets: Int, key: String,
+                   sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.bucketBy(buckets, key).mode("overwrite")
+    val s = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
+            else w.sortBy(key)
+    s.saveAsTable(table)
+  }
+
   /** Arrow IPC / Feather v2 sink (polars' interchange format) — see
     * [[graft.sources.ArrowIpc]]: per-partition files, bounded batches. */
   def sinkIpc(path: String, batchRows: Int = 4096): Unit =
