@@ -196,8 +196,13 @@ final class LazyFrame(val df: DataFrame) {
     join(other, on, how)
   }
 
+  /** polars join_where (arbitrary predicates). Planner-upgraded: when the
+    * predicate conjunction contains a simple inequality between one column
+    * of each side, the join routes through the grid-partitioned
+    * [[graft.ops.IEJoin]] (no BNLJ) with the remaining conjuncts as
+    * residual filters; otherwise it falls back to the theta-join. */
   def joinWhere(other: LazyFrame, predicates: Column): LazyFrame =
-    LazyFrame(df.join(other.df, predicates, "inner"))
+    LazyFrame(graft.ops.IEJoin.joinWhereAuto(df, other.df, predicates))
 
   /** Inequality-led join (polars join_where / IEJoin shape): grid-
     * partitioned equi-join on range-bucket cells instead of a

@@ -79,4 +79,88 @@ object IEJoin {
       .join(rcells, col("__graft_cl") === col("__graft_cr") && pred1 && residual)
       .drop("__graft_cl", "__graft_cr")
   }
+
+  /** join_where planner: split the predicate into conjuncts, find the first
+    * simple inequality `leftCol op rightCol` between the two sides, and
+    * route through [[join]] with the remaining conjuncts as residual. When
+    * no such conjunct exists (or a name is ambiguous across sides), fall
+    * back to the theta-join — correctness never depends on the upgrade. */
+  def joinWhereAuto(left: DataFrame, right: DataFrame, predicates: Column): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Expression => CExpr,
+      GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    import org.apache.spark.sql.graft.Bridge
+
+    // Column-API trees arrive as UnresolvedFunction("and"/"<"/...) nodes;
+    // typed nodes appear once analyzed — match both shapes.
+    def asFn(e: CExpr): Option[(String, Seq[CExpr])] = e match {
+      case f: UnresolvedFunction if f.nameParts.nonEmpty =>
+        Some((f.nameParts.last.toLowerCase, f.arguments))
+      case _ => None
+    }
+    def conjuncts(e: CExpr): Seq[CExpr] = e match {
+      case CAnd(a, b) => conjuncts(a) ++ conjuncts(b)
+      case _ => asFn(e) match {
+        case Some(("and", Seq(a, b))) => conjuncts(a) ++ conjuncts(b)
+        case _ => Seq(e)
+      }
+    }
+    val lCols = left.columns.toSet
+    val rCols = right.columns.toSet
+    // a name usable as a grid axis must belong to exactly one side
+    def side(name: String): Option[Boolean] = // Some(true)=left, Some(false)=right
+      (lCols.contains(name), rCols.contains(name)) match {
+        case (true, false) => Some(true)
+        case (false, true) => Some(false)
+        case _ => None
+      }
+    def attr(e: CExpr): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case _ => None
+    }
+    // (leftName, op, rightName) normalized so the left side is first
+    def asIneq(e: CExpr): Option[(String, String, String)] = {
+      val parts = e match {
+        case LessThan(a, b)           => Some((a, "<", b))
+        case LessThanOrEqual(a, b)    => Some((a, "<=", b))
+        case GreaterThan(a, b)        => Some((a, ">", b))
+        case GreaterThanOrEqual(a, b) => Some((a, ">=", b))
+        case _ => asFn(e) match {
+          case Some((op @ ("<" | "<=" | ">" | ">="), Seq(a, b))) => Some((a, op, b))
+          case _ => None
+        }
+      }
+      parts.flatMap { case (a, op, b) =>
+        (attr(a), attr(b)) match {
+          case (Some(an), Some(bn)) =>
+            (side(an), side(bn)) match {
+              case (Some(true), Some(false)) => Some((an, op, bn))
+              case (Some(false), Some(true)) => // flip: b op' a with sides swapped
+                val flipped = op match {
+                  case "<" => ">"; case "<=" => ">="; case ">" => "<"; case ">=" => "<="
+                }
+                Some((bn, flipped, an))
+              case _ => None
+            }
+          case _ => None
+        }
+      }
+    }
+
+    val all = conjuncts(Bridge.eagerExpression(predicates))
+    val hit = all.iterator.map(c => (c, asIneq(c))).collectFirst {
+      case (c, Some(t)) => (c, t)
+    }
+    hit match {
+      case Some((chosen, (ln, op, rn))) =>
+        val rest = all.filterNot(_ eq chosen)
+        val residual =
+          if (rest.isEmpty) org.apache.spark.sql.functions.lit(true)
+          else rest.map(Bridge.column).reduce(_ && _)
+        join(left, right, org.apache.spark.sql.functions.col(ln), op,
+          org.apache.spark.sql.functions.col(rn), residual)
+      case None =>
+        left.join(right, predicates, "inner")
+    }
+  }
 }

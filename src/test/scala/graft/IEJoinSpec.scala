@@ -83,6 +83,25 @@ class IEJoinSpec extends SparkSpec {
     }
   }
 
+  test("joinWhere auto-routes inequality conjuncts through the grid, falls back otherwise") {
+    val (a, b) = sides("/root/testdata/sf0.001")
+    // upgraded: a_price < b_price is a simple cross-side inequality
+    val auto = IEJoin.joinWhereAuto(a, b,
+      col("a_price") < col("b_price") && col("a_size") > col("b_size"))
+    val p1 = auto.queryExecution.executedPlan.toString
+    assert(p1.contains("__graft_cl") && !p1.contains("BroadcastNestedLoopJoin"),
+      s"inequality conjunct not grid-routed:\n$p1")
+    val bnlj = a.join(b, col("a_price") < col("b_price") && col("a_size") > col("b_size"))
+    assert(pairs(auto) == pairs(bnlj))
+    // flipped sides normalize (b on the left of the comparison)
+    val flipped = IEJoin.joinWhereAuto(a, b, col("b_price") > col("a_price"))
+    assert(pairs(flipped.select(col("a_key"), col("b_key"))) ==
+      pairs(a.join(b, col("a_price") < col("b_price")).select(col("a_key"), col("b_key"))))
+    // no simple cross-side inequality (arithmetic operand): falls back, stays correct
+    val fb = IEJoin.joinWhereAuto(a, b, col("a_price") + lit(0.0) < col("b_price"))
+    assert(pairs(fb) == pairs(a.join(b, col("a_price") < col("b_price"))))
+  }
+
   test("plan is an equi-join on the cell id — no BroadcastNestedLoopJoin") {
     val (a, b) = sides("/root/testdata/sf0.001")
     val plan = IEJoin.join(a, b, col("a_price"), "<", col("b_price"),
