@@ -85,6 +85,19 @@ object QueriesMisc6 {
         .orderBy(col("l_orderkey"), col("qty"), col("price"))
     }),
 
+    // polars scan(include_file_paths=...) — the provenance column every
+    // multi-file pipeline wants. Spark-first: the hidden _metadata struct
+    // on any file scan; DuckDB's filename=true reads the same files.
+    "io_file_paths" -> ((s, d) => {
+      val tmp = "/tmp/graft_io/fp_part"
+      t(s, d, "part").write.mode("overwrite")
+        .partitionBy("p_size").parquet(tmp)
+      s.read.parquet(tmp)
+        .select(col("p_partkey"), col("p_size").cast("long").as("p_size"),
+          regexp_replace(col("_metadata.file_path"), "^.*/", "").as("fname"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // polars pivot with MULTIPLE aggregations per pivoted value
     // (values=[...], aggregate_function per column) — Spark pivot takes an
     // agg list natively; column naming <value>_<alias> matches both sides.
@@ -161,6 +174,13 @@ object QueriesMisc6 {
         |    list(l_extendedprice ORDER BY l_linenumber, l_quantity, l_extendedprice) AS ps
         |  FROM lineitem WHERE l_orderkey <= 500 GROUP BY 1)
         |ORDER BY 1, 2, 3""".stripMargin,
+
+    "io_file_paths" ->
+      """SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+        |  regexp_replace(filename, '^.*/', '') AS fname
+        |FROM read_parquet('/tmp/graft_io/fp_part/*/*.parquet',
+        |                  filename=true, hive_partitioning=true)
+        |ORDER BY p_partkey""".stripMargin,
 
     "pivot_multi" ->
       """SELECT l_returnflag,
