@@ -98,6 +98,12 @@ class PlanSpec extends SparkSpec {
     // join key at write time; repeated joins then skip the exchange entirely
     spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
     spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+    // a fresh JVM's in-memory catalog forgets the tables but the warehouse
+    // directories persist — clear the locations or CTAS refuses to create
+    Seq("graft_bkt_orders", "graft_bkt_lineitem").foreach { t =>
+      val p = new org.apache.hadoop.fs.Path(s"/tmp/graft_test/warehouse/$t")
+      p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, true)
+    }
     spark.read.parquet(s"$sf/orders.parquet")
       .select("o_orderkey", "o_totalprice")
       .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
