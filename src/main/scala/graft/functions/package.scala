@@ -170,6 +170,31 @@ package object functions {
   def replaceManyChained(c: Column, pairs: Seq[(String, String)]): Column =
     pairs.foldLeft(c) { case (acc, (from, to)) => replace(acc, lit(from), lit(to)) }
 
+  /** polars Expr.replace(mapping) — VALUE recode (any dtype, not string
+    * search): mapped values change, unmapped values pass through unchanged.
+    * One broadcast map literal + a codegen'd lookup per row. */
+  def replaceValues(c: Column, mapping: Seq[(Any, Any)]): Column = {
+    val m = map(mapping.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    coalesce(try_element_at(m, c), c)
+  }
+
+  /** polars Expr.replace_strict(mapping, default): EVERY non-null value
+    * must be mapped; unmapped values take `default` when given, otherwise
+    * the row raises (polars' strict contract). The output dtype follows the
+    * mapping's values, so recodes may change type. Nulls pass through. */
+  def replaceStrict(c: Column, mapping: Seq[(Any, Any)],
+                    default: Option[Column] = None): Column = {
+    val m = map(mapping.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val hit = try_element_at(m, c)
+    default match {
+      case Some(d) => when(c.isNull, lit(null)).otherwise(coalesce(hit, d))
+      case None =>
+        when(c.isNull, lit(null))
+          .when(assert_true(hit.isNotNull,
+            concat(lit("replace_strict: unmapped value "), c.cast("string"))).isNull, hit)
+    }
+  }
+
   /** polars str.contains_any — one automaton pass, early exit. */
   def containsAny(c: Column, patterns: Seq[String],
                   asciiCaseInsensitive: Boolean = false): Column = {

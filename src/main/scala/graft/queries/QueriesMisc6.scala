@@ -121,6 +121,19 @@ object QueriesMisc6 {
         .orderBy(col("p_partkey"))
     }),
 
+    // polars Expr.replace / replace_strict — value RECODE (reference
+    // test_replace.py / test_replace_strict.py): partial mapping passes
+    // unmapped values through; strict mapping retypes via the full map.
+    "misc_recode" -> ((s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        gf.replaceValues(col("o_orderpriority"),
+          Seq("1-URGENT" -> "U", "2-HIGH" -> "H")).as("pri_part"),
+        gf.replaceStrict(col("o_orderpriority"),
+          Seq("1-URGENT" -> 1, "2-HIGH" -> 2, "3-MEDIUM" -> 3,
+            "4-NOT SPECIFIED" -> 4, "5-LOW" -> 5)).as("pri_code"))
+        .orderBy(col("o_orderkey"))),
+
     // SURVEY §1.2 unsigned contract made executable: u32 widens losslessly
     // into i64; u64 carries in Decimal(20,0) (exact to 2^64-1 and beyond on
     // arithmetic, no wraparound); the documented Long-with-check path
@@ -216,6 +229,15 @@ object QueriesMisc6 {
          |  least($firsts) - 1 AS first_pos
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    "misc_recode" ->
+      """SELECT o_orderkey,
+        |  CASE o_orderpriority WHEN '1-URGENT' THEN 'U' WHEN '2-HIGH' THEN 'H'
+        |       ELSE o_orderpriority END AS pri_part,
+        |  CASE o_orderpriority WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+        |       WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4
+        |       WHEN '5-LOW' THEN 5 END AS pri_code
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "dtype_unsigned" ->
       """SELECT v_str,

@@ -113,6 +113,25 @@ class LazyFrameSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/b").columns.toSeq == Seq("k", "i2"))
   }
 
+  test("replaceStrict raises on unmapped values; replaceValues passes them through") {
+    val df = spark.sql("SELECT * FROM VALUES ('a'), ('b'), (cast(null as string)) AS t(s)")
+    val soft = df.select(graft.functions.replaceValues(col("s"), Seq("a" -> "A")).as("r"))
+      .collect().map(r => Option(r.getString(0))).toSeq
+    assert(soft == Seq(Some("A"), Some("b"), None))
+    val strictOk = df.filter(col("s").isNotNull)
+      .select(graft.functions.replaceStrict(col("s"), Seq("a" -> 1, "b" -> 2)).as("r"))
+      .collect().map(_.getInt(0)).toSeq.sorted
+    assert(strictOk == Seq(1, 2))
+    val e = intercept[Exception] {
+      df.select(graft.functions.replaceStrict(col("s"), Seq("a" -> 1)).as("r")).collect()
+    }
+    assert(e.getMessage.contains("unmapped value"))
+    // nulls pass through strict
+    val nullRow = spark.sql("SELECT cast(null as string) AS s")
+      .select(graft.functions.replaceStrict(col("s"), Seq("a" -> 1)).as("r")).head()
+    assert(nullRow.isNullAt(0))
+  }
+
   test("fixedSizeArray enforces the width contract, passes nulls") {
     val ok = spark.sql(
       "SELECT * FROM VALUES (array(1,2,3)), (cast(null as array<int>)) AS t(a)")
