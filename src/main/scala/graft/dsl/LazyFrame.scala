@@ -356,6 +356,37 @@ final class LazyFrame(val df: DataFrame) {
     LazyFrame(graft.ops.Distributed.withRowNumber(df, name, orderBy)
       .withColumn(name, col(name) - 1))
 
+  /** polars shrink_dtype(): downcast integer columns to the smallest type
+    * that holds their observed range — ONE distributed min/max agg pass
+    * (driver sees 2 numbers per column), then plain casts. The 100 TB
+    * memory-tuning knob before a wide shuffle or a cache. */
+  def shrinkDtypes(): LazyFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val intCols = df.schema.fields.filter(f =>
+      f.dataType == LongType || f.dataType == IntegerType || f.dataType == ShortType)
+    if (intCols.isEmpty) this
+    else {
+      val aggs = intCols.flatMap(f =>
+        Seq(min(col(f.name)).cast("long"), max(col(f.name)).cast("long")))
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      val casts = intCols.zipWithIndex.flatMap { case (f, i) =>
+        if (row.isNullAt(2 * i)) None // all-null column: leave as is
+        else {
+          val (lo, hi) = (row.getLong(2 * i), row.getLong(2 * i + 1))
+          val target =
+            if (lo >= Byte.MinValue && hi <= Byte.MaxValue) ByteType
+            else if (lo >= Short.MinValue && hi <= Short.MaxValue) ShortType
+            else if (lo >= Int.MinValue && hi <= Int.MaxValue) IntegerType
+            else LongType
+          if (target == f.dataType) None else Some(f.name -> target)
+        }
+      }.toMap
+      LazyFrame(df.select(df.columns.map { c =>
+        casts.get(c).map(t => col(c).cast(t).as(c)).getOrElse(col(c))
+      }.toSeq: _*))
+    }
+  }
+
   /** polars map_batches: arbitrary per-partition transformation — the
     * typed escape hatch when no Column composition expresses the logic.
     * Each partition streams through `f` (bounded memory if `f` streams);

@@ -113,6 +113,21 @@ class LazyFrameSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/b").columns.toSeq == Seq("k", "i2"))
   }
 
+  test("shrinkDtypes downcasts integers to the smallest fitting type") {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType, StringType}
+    val df = LazyFrame(spark.sql(
+      """SELECT * FROM VALUES (1L, 300L, 100000L, 'x', cast(null as bigint))
+        |AS t(tiny, small, med, s, empty)""".stripMargin))
+    val shrunk = df.shrinkDtypes().collect()
+    val types = shrunk.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("tiny") == ByteType)
+    assert(types("small") == ShortType)
+    assert(types("med") == IntegerType)
+    assert(types("s") == StringType)            // untouched
+    assert(types("empty").typeName == "long")   // all-null stays as is
+    assert(shrunk.head().getByte(0) == 1.toByte)
+  }
+
   test("replaceStrict raises on unmapped values; replaceValues passes them through") {
     val df = spark.sql("SELECT * FROM VALUES ('a'), ('b'), (cast(null as string)) AS t(s)")
     val soft = df.select(graft.functions.replaceValues(col("s"), Seq("a" -> "A")).as("r"))
