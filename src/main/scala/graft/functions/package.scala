@@ -170,6 +170,12 @@ package object functions {
   def replaceManyChained(c: Column, pairs: Seq[(String, String)]): Column =
     pairs.foldLeft(c) { case (acc, (from, to)) => replace(acc, lit(from), lit(to)) }
 
+  /** polars Expr.hash(seed) — stable 64-bit row hash. Mapped to xxhash64
+    * (hash values are engine-specific in polars too; only stability within
+    * an engine is contractual). */
+  def hashRows(seed: Long, cols: Column*): Column =
+    xxhash64((lit(seed) +: cols): _*)
+
   /** polars Expr.replace(mapping) — VALUE recode (any dtype, not string
     * search): mapped values change, unmapped values pass through unchanged.
     * One broadcast map literal + a codegen'd lookup per row. */

@@ -113,6 +113,14 @@ class LazyFrameSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/b").columns.toSeq == Seq("k", "i2"))
   }
 
+  test("hashRows is deterministic per seed and sensitive to it") {
+    val df = spark.range(10).toDF("id")
+    val a = df.select(graft.functions.hashRows(7, col("id")).as("h")).collect().map(_.getLong(0)).toSeq
+    val b = df.select(graft.functions.hashRows(7, col("id")).as("h")).collect().map(_.getLong(0)).toSeq
+    val c = df.select(graft.functions.hashRows(8, col("id")).as("h")).collect().map(_.getLong(0)).toSeq
+    assert(a == b && a != c)
+  }
+
   test("shrinkDtypes downcasts integers to the smallest fitting type") {
     import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType, StringType}
     val df = LazyFrame(spark.sql(
