@@ -93,6 +93,28 @@ class PlanSpec extends SparkSpec {
     assert(planOf(df).contains("*(1) Project"), "hot path fell out of codegen")
   }
 
+  test("AQE splits a skewed join partition at runtime (the hot-key safety net)") {
+    withSQLConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16384",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8192",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // one hot key carrying ~90% of the left side
+      val skewed = spark.range(200000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 0L ELSE id END AS k", "id AS v")
+      val dim = spark.range(1000).selectExpr("id AS k", "id * 2 AS w")
+      val j = skewed.join(dim, "k")
+      // execute THIS plan (count() would execute a different QueryExecution)
+      j.queryExecution.toRdd.foreach(_ => ())
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), s"AQE final plan missing:\n$p")
+      assert(p.contains("skew=true"), s"skew-split did not trigger:\n$p")
+    }
+  }
+
   test("bucketed tables join with ZERO shuffle (the co-located fact-fact path)") {
     // the 100 TB recipe the prompt names: bucket both fact tables on the
     // join key at write time; repeated joins then skip the exchange entirely
