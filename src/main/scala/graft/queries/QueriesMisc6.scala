@@ -4,9 +4,12 @@ import org.apache.spark.sql.functions._
 import graft.queries.util._
 import graft.{functions => gf}
 
-/** Round-5 batch: native single-pass replace_many (§2.9, reference
-  * `find_many.rs` Aho-Corasick semantics) with a PII-scrub-sized pattern
-  * list.
+/** Round-5 batch: the multi-pattern automaton family (§2.9, reference
+  * `find_many.rs` — replace_many / contains_any / find_many with a
+  * PII-scrub-sized pattern list), Arrow IPC round-trip (§2.2), lockstep
+  * multi-column explode + update + multi-agg pivot + value recoding
+  * (§2.1/§2.9), file-path provenance scan, and the §1.2 dtype-fidelity
+  * contracts (unsigned widening, ns truncation) made executable.
   */
 object QueriesMisc6 {
 
