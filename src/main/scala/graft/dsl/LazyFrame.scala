@@ -305,6 +305,19 @@ final class LazyFrame(val df: DataFrame) {
   def vstack(others: LazyFrame*): LazyFrame =
     LazyFrame(others.foldLeft(df)((a, b) => a.unionByName(b.df, allowMissingColumns = true)))
 
+  /** polars concat(how="align"): frames are FULL-outer joined on the
+    * columns common to all of them (the alignment keys), then sorted by
+    * those keys — each frame contributes its non-key columns where its key
+    * exists, null elsewhere. One shuffled join per frame; keys must be
+    * unique per frame for polars semantics (as in polars itself). */
+  def concatAlign(others: LazyFrame*): LazyFrame = {
+    val keys = others.map(_.df.columns.toSet)
+      .foldLeft(df.columns.toSet)(_ intersect _).toSeq.sorted
+    require(keys.nonEmpty, "concat(how=align) needs at least one common column")
+    val joined = others.foldLeft(df)((a, b) => a.join(b.df, keys, "full"))
+    LazyFrame(joined.orderBy(keys.map(col): _*))
+  }
+
   /** polars concat how=vertical_relaxed: shared columns are coerced to their
     * supertype before the union (reference
     * crates/polars-core/src/utils/supertype.rs; polars does this inside the

@@ -101,6 +101,18 @@ object QueriesMisc6 {
         .orderBy(col("p_partkey"))
     }),
 
+    // polars concat(how="align") — full-outer alignment on the common key
+    // columns, each frame contributing where its key exists.
+    "concat_align" -> ((s, d) => {
+      import graft.dsl.LazyFrame
+      val o = t(s, d, "orders")
+      val a = o.filter(col("o_orderkey") <= 1000)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val b = o.filter(col("o_orderkey").between(500, 1500))
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      LazyFrame(a).concatAlign(LazyFrame(b)).collect()
+    }),
+
     // polars pivot with MULTIPLE aggregations per pivoted value
     // (values=[...], aggregate_function per column) — Spark pivot takes an
     // agg list natively; column naming <value>_<alias> matches both sides.
@@ -197,6 +209,13 @@ object QueriesMisc6 {
         |FROM read_parquet('/tmp/graft_io/fp_part/*/*.parquet',
         |                  filename=true, hive_partitioning=true)
         |ORDER BY p_partkey""".stripMargin,
+
+    "concat_align" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority
+        |FROM (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 1000) a
+        |FULL JOIN (SELECT o_orderkey, o_orderpriority FROM orders
+        |           WHERE o_orderkey BETWEEN 500 AND 1500) b USING (o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "pivot_multi" ->
       """SELECT l_returnflag,
