@@ -369,6 +369,14 @@ final class LazyFrame(val df: DataFrame) {
     LazyFrame(graft.ops.Distributed.withRowNumber(df, name, orderBy)
       .withColumn(name, col(name) - 1))
 
+  /** polars DataFrame.equals — same schema, same rows. Polars compares in
+    * row order; Spark frames carry no order (§7.1 discipline), so this is
+    * the multiset comparison: equal iff neither side has rows the other
+    * lacks. Two distributed exceptAll counts, no driver materialization. */
+  def frameEquals(other: LazyFrame): Boolean =
+    df.schema == other.df.schema &&
+      df.exceptAll(other.df).isEmpty && other.df.exceptAll(df).isEmpty
+
   /** polars shrink_dtype(): downcast integer columns to the smallest type
     * that holds their observed range — ONE distributed min/max agg pass
     * (driver sees 2 numbers per column), then plain casts. The 100 TB

@@ -113,6 +113,16 @@ class LazyFrameSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/b").columns.toSeq == Seq("k", "i2"))
   }
 
+  test("frameEquals compares schema and row multisets") {
+    val a = LazyFrame(spark.sql("SELECT * FROM VALUES (1, 'x'), (2, 'y') AS t(i, s)"))
+    val b = LazyFrame(spark.sql("SELECT * FROM VALUES (2, 'y'), (1, 'x') AS t(i, s)"))
+    val c = LazyFrame(spark.sql("SELECT * FROM VALUES (1, 'x'), (1, 'x') AS t(i, s)"))
+    assert(a.frameEquals(b))        // order-free
+    assert(!a.frameEquals(c))       // multiplicity matters
+    val d = LazyFrame(spark.sql("SELECT * FROM VALUES (1L, 'x'), (2L, 'y') AS t(i, s)"))
+    assert(!a.frameEquals(d))       // schema (int vs long) matters
+  }
+
   test("hashRows is deterministic per seed and sensitive to it") {
     val df = spark.range(10).toDF("id")
     val a = df.select(graft.functions.hashRows(7, col("id")).as("h")).collect().map(_.getLong(0)).toSeq
