@@ -71,6 +71,15 @@ object QueriesText {
         Dedup.simhash(col("text"), 16).as("simhash"))
         .orderBy(col("doc_id"))),
 
+    // pairs -> duplicate clusters (connected components, min-label
+    // propagation): the canonical-doc assignment step after near-dup
+    // detection. Oracle closes the same pair set with a recursive CTE.
+    "dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.nearDuplicates(t(s, d, "documents"), "doc_id", "text",
+        w = 3, k = 4, b = 2, threshold = 0.5)
+      Dedup.duplicateClusters(pairs, "id_a", "id_b").orderBy(col("doc_id"))
+    }),
+
     "sim_bruteforce_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val queriesDf = emb.filter(col("vec_id") < 3)
@@ -111,6 +120,33 @@ object QueriesText {
 
   private def minhashSql(i: Int, w: Int) =
     s"list_min(list_transform(${shinglesSql(w)}, s -> md5('$i' || ':' || s)))"
+
+  /** Shared SQL replica of the MinHash+LSH+Jaccard pair pipeline (sig k=4,
+    * b=2 bands of r=2, exact-Jaccard verify) — checking only at the
+    * pipeline level would hide bugs, so both the pairs oracle and the
+    * clusters oracle rebuild the whole thing from these CTEs. */
+  private lazy val nearPairsCte: String = {
+    val sigs = (0 to 3).map(i => s"${minhashSql(i, 3)} AS mh$i").mkString(", ")
+    s"""sig AS (
+       | SELECT doc_id, $sigs, ${shinglesSql(3)} AS sh FROM documents),
+       |banded AS (
+       | SELECT doc_id, 0 AS band_id, md5(mh0 || '|' || mh1) AS band_hash, sh FROM sig
+       | UNION ALL
+       | SELECT doc_id, 1, md5(mh2 || '|' || mh3), sh FROM sig),
+       |cand AS (
+       | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       | FROM banded a JOIN banded b
+       |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       |  AND a.doc_id < b.doc_id),
+       |verified AS (
+       | SELECT id_a, id_b,
+       |  round(len(list_distinct(list_intersect(sa.sh, sb.sh)))
+       |   / (len(list_distinct(sa.sh)) + len(list_distinct(sb.sh))
+       |      - len(list_distinct(list_intersect(sa.sh, sb.sh)))), 4) AS jaccard
+       | FROM cand
+       | JOIN sig sa ON sa.doc_id = id_a
+       | JOIN sig sb ON sb.doc_id = id_b)""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "text_token_stats" ->
@@ -166,31 +202,22 @@ object QueriesText {
       s"""SELECT doc_id, ${minhashSql(0, 3)} AS mh0, ${minhashSql(1, 3)} AS mh1
          |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
 
-    "dedup_near_pairs" -> {
-      // replicate: sig k=4 (i=0..3), bands b=2 (r=2), candidates, jaccard>=0.5
-      val sigs = (0 to 3).map(i => s"${minhashSql(i, 3)} AS mh$i").mkString(", ")
-      s"""WITH sig AS (
-         | SELECT doc_id, $sigs, ${shinglesSql(3)} AS sh FROM documents),
-         |banded AS (
-         | SELECT doc_id, 0 AS band_id, md5(mh0 || '|' || mh1) AS band_hash, sh FROM sig
-         | UNION ALL
-         | SELECT doc_id, 1, md5(mh2 || '|' || mh3), sh FROM sig),
-         |cand AS (
-         | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         | FROM banded a JOIN banded b
-         |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-         |  AND a.doc_id < b.doc_id),
-         |verified AS (
-         | SELECT id_a, id_b,
-         |  round(len(list_distinct(list_intersect(sa.sh, sb.sh)))
-         |   / (len(list_distinct(sa.sh)) + len(list_distinct(sb.sh))
-         |      - len(list_distinct(list_intersect(sa.sh, sb.sh)))), 4) AS jaccard
-         | FROM cand
-         | JOIN sig sa ON sa.doc_id = id_a
-         | JOIN sig sb ON sb.doc_id = id_b)
+    "dedup_near_pairs" ->
+      s"""WITH $nearPairsCte
          |SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
-         |ORDER BY id_a, id_b""".stripMargin
-    },
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $nearPairsCte,
+         |fp AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM fp
+         |          UNION ALL SELECT id_b, id_a FROM fp),
+         |reach AS (
+         | SELECT a, b FROM edges
+         | UNION
+         | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" -> {
       // 16-bit simhash: per bit, majority vote over distinct tokens

@@ -230,4 +230,45 @@ object Dedup {
 
   /** Hamming distance between two simhash values. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Duplicate CLUSTERS from near-dup pairs — the step after
+    * [[nearDuplicates]] in every real dedup pipeline: connected components
+    * by iterative min-label propagation, so each document gets the smallest
+    * id in its component as `cluster_id` (the canonical-doc assignment).
+    *
+    * Each iteration is one equi-join + one groupBy (shuffle-bounded, no
+    * driver data); `localCheckpoint` cuts the growing lineage per round.
+    * Iterations are bounded by the largest cluster's diameter — near-dup
+    * clusters are shallow (pairs share LSH buckets), so this converges in
+    * a handful of rounds; for adversarial diameters the alternating
+    * small-star/large-star variant (Kiveris et al.) is the known upgrade.
+    * Only ids that appear in `pairs` are emitted; unpaired documents are
+    * their own singleton clusters by definition. */
+  def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String,
+                        maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.groupBy(col("src").as("doc_id"))
+      .agg(min(col("dst")).as("__mn"))
+      .select(col("doc_id"), least(col("doc_id"), col("__mn")).as("cluster_id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("cluster_id")).as("__nmin"))
+      val next = labels.join(neighborMin, Seq("doc_id"))
+        .select(col("doc_id"),
+          least(col("cluster_id"), col("__nmin")).as("cluster_id"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("cluster_id", "__old"), Seq("doc_id"))
+        .filter(col("cluster_id") < col("__old")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
 }

@@ -95,6 +95,17 @@ class TextSpec extends SparkSpec {
     assert(top == Seq(0L, 1L))
   }
 
+  test("duplicateClusters: chains collapse to one component, components stay apart") {
+    // chain 1-2-3-4 (diameter > 1 forces real propagation), pair 10-11,
+    // and 20-21-22 sharing a hub
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L), (21L, 22L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("ivf nprobe: all-cells probing equals brute force; recall rises with nprobe") {
     val vecs = graft.queries.util.t(spark, "/root/testdata/sf0.001", "embeddings")
     val q = vecs.limit(5)
