@@ -79,6 +79,12 @@ class GraftSqlSpec extends SparkSpec {
     assert(r.getSeq[Int](3) == Seq(0, 3))
   }
 
+  test("every graft function name is resolvable in the session catalog") {
+    gf.GraftFunctions.all.map(_._1.funcName).foreach { n =>
+      assert(spark.catalog.functionExists(n), s"$n not registered")
+    }
+  }
+
   test("bad argument types fail analysis with the expression's message") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_cosine(array(1, 2), array(3, 4))").collect()
