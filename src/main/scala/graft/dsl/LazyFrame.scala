@@ -520,6 +520,9 @@ final class LazyFrame(val df: DataFrame) {
   def sinkIpc(path: String, batchRows: Int = 4096): Unit =
     graft.sources.ArrowIpc.write(df, path, batchRows)
 
+  def sinkAvro(path: String, syncInterval: Int = 64 * 1024): Unit =
+    graft.sources.Avro.write(df, path, syncInterval)
+
   /** polars SinkMultiple / collect_all with common-subplan elimination
     * (reference CSPE, SURVEY §2.1): Spark has no cross-action CSE, so the
     * shared prefix — THIS frame — is persisted once, every sink reads the
@@ -577,6 +580,9 @@ object LazyFrame {
     * splits, columnar, pruning). */
   def scanIpc(spark: SparkSession, path: String): LazyFrame =
     LazyFrame(spark.read.format("graft-ipc").load(path))
+
+  def scanAvro(spark: SparkSession, path: String): LazyFrame =
+    LazyFrame(spark.read.format("graft-avro").load(path))
 
   def scanCsv(spark: SparkSession, path: String, header: Boolean = true,
               inferSchema: Boolean = true): LazyFrame =

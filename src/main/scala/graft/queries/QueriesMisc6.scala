@@ -45,6 +45,16 @@ object QueriesMisc6 {
       s.read.format("graft-ipc").load(tmp).orderBy(col("p_partkey"))
     }),
 
+    // Avro container format (crates/polars-io/src/avro/) as a DSv2 connector
+    // on avro-core: distributed write, sync-marker-aligned byte-range read
+    // splits, reader-schema column pruning. orders exercises timestamp-µs,
+    // int64, double, and string fidelity through the container format.
+    "io_avro_roundtrip" -> ((s, d) => {
+      val tmp = "/tmp/graft_io/avro_orders"
+      graft.sources.Avro.write(t(s, d, "orders"), tmp)
+      s.read.format("graft-avro").load(tmp).orderBy(col("o_orderkey"))
+    }),
+
     // polars str.contains_any + str.extract_many (find_many.rs) — the
     // closed vocabulary (no pattern a substring of another, space-separated
     // words) makes the leftmost-first scan equal a regex-alternation
@@ -194,6 +204,9 @@ object QueriesMisc6 {
 
     "io_ipc_roundtrip" ->
       "SELECT * FROM part ORDER BY p_partkey",
+
+    "io_avro_roundtrip" ->
+      "SELECT * FROM orders ORDER BY o_orderkey",
 
     "explode_multi" ->
       """SELECT l_orderkey, unnest(qs) AS qty, unnest(ps) AS price FROM (
