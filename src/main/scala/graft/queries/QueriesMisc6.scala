@@ -45,6 +45,19 @@ object QueriesMisc6 {
       s.read.format("graft-ipc").load(tmp).orderBy(col("p_partkey"))
     }),
 
+    // polars group_by(maintain_order=true) (§2.5): result order = first
+    // appearance of each group along event_id, reconstructed via
+    // GroupBy.aggOrdered (min(order) agg + result-side sort — never a sort
+    // of the input) and materialized as an explicit rank so the hash
+    // compare actually checks the order.
+    "agg_maintain_order" -> ((s, d) => {
+      val g = lf(s, d, "events").groupByNames("event_type")
+        .aggOrdered(col("event_id"),
+          count(lit(1)).as("n"), min(col("event_id")).as("first_seen"))
+      graft.ops.Distributed.withRowNumber(g.df, "idx", Seq(col("first_seen")))
+        .select(col("idx"), col("event_type"), col("n"), col("first_seen"))
+    }),
+
     // Avro container format (crates/polars-io/src/avro/) as a DSv2 connector
     // on avro-core: distributed write, sync-marker-aligned byte-range read
     // splits, reader-schema column pruning. orders exercises timestamp-µs,
@@ -207,6 +220,13 @@ object QueriesMisc6 {
 
     "io_avro_roundtrip" ->
       "SELECT * FROM orders ORDER BY o_orderkey",
+
+    "agg_maintain_order" ->
+      """SELECT CAST(row_number() OVER (ORDER BY first_seen) AS BIGINT) AS idx,
+        | event_type, n, first_seen FROM (
+        | SELECT event_type, count(*) AS n, min(event_id) AS first_seen
+        | FROM events GROUP BY 1) g
+        |ORDER BY idx""".stripMargin,
 
     "explode_multi" ->
       """SELECT l_orderkey, unnest(qs) AS qty, unnest(ps) AS price FROM (
