@@ -97,6 +97,13 @@ object QueriesText {
         planes, threshold = 0.3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // substring-level dedup (Lee et al. 2022 recipe, fixed-width spans):
+    // 8-token spans shared by >=2 distinct docs, one md5-keyed shuffle,
+    // top-50 via TakeOrderedAndProject
+    "dedup_ngram_spans" -> ((s, d) =>
+      Dedup.repeatedSpans(t(s, d, "documents"), "doc_id", "text",
+        n = 8, minDocs = 2, topK = 50)),
+
     "multimodal_frames" -> ((s, d) => {
       val assets = Multimodal.asAssets(
         t(s, d, "documents").select(col("doc_id"), col("text"), col("n_chars")),
@@ -149,6 +156,17 @@ object QueriesText {
   }
 
   val oracle: Map[String, String] = Map(
+    "dedup_ngram_spans" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        | FROM documents),
+        |g AS (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS span
+        | FROM t, unnest(range(1, len(toks) - 6)) AS r(i)
+        | WHERE len(toks) >= 8)
+        |SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+        |FROM g GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY n_docs DESC, n_occ DESC, span LIMIT 50""".stripMargin,
+
     "text_token_stats" ->
       """SELECT doc_id,
         | CASE WHEN trim(text) = '' THEN 0

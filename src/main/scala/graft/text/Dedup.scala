@@ -194,6 +194,38 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Repeated token-span detection (substring-level dedup, the public
+    * "Deduplicating Training Data Makes Language Models Better" recipe
+    * restricted to fixed-width spans): lowercase-whitespace tokenize, slide
+    * an `n`-token window, and surface spans appearing in >= `minDocs`
+    * DISTINCT documents, most-shared first.
+    *
+    * Scale shape: ONE shuffle, on md5(span) — 16-byte digest keys, the same
+    * policy as [[exact]]; the raw span text rides as a value column, never a
+    * key. Map-side partial aggregation bounds the shuffle to distinct spans
+    * per partition; the final top-k is TakeOrderedAndProject (no global
+    * sort materialization). Window expansion is per-row `transform` over
+    * token arrays — linear work, no self-join anywhere. */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 8, minDocs: Int = 2, topK: Int = 50): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "\\s+"), x => x =!= "")
+    val spans = df
+      .select(col(idCol).as("__id"), toks.as("__toks"))
+      .filter(size(col("__toks")) >= n)
+      .select(col("__id"), explode(
+        transform(sequence(lit(1), size(col("__toks")) - (n - 1)),
+          i => array_join(slice(col("__toks"), i, lit(n)), " "))).as("span"))
+    spans
+      .groupBy(md5(col("span")).as("__h"))
+      .agg(first(col("span")).as("span"),
+        countDistinct(col("__id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("span"))
+      .limit(topK)
+      .select("span", "n_docs", "n_occ")
+  }
+
   /** Exact dedup: keep the smallest id per distinct text digest.
     * Aggregates on md5(text), not text itself — tiny shuffle keys. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -23,6 +23,24 @@ class TextSpec extends SparkSpec {
     assert(same == 1.0 && diff == 0.0)
   }
 
+  test("repeatedSpans finds cross-doc spans, counts in-doc repeats as occurrences only") {
+    val shared = "one two three four five six seven eight"
+    val df = Seq(
+      (1L, s"intro $shared tail words here"),
+      (2L, s"$shared different ending entirely"),
+      (3L, s"$shared middle $shared"), // span twice in ONE doc
+      (4L, "nothing in common with anything else at all today friends"))
+      .toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(df, "doc_id", "text", n = 8, minDocs = 2)
+      .as[(String, Long, Long)].collect()
+    val hit = out.find(_._1 == shared)
+    assert(hit.nonEmpty, s"shared span not found in ${out.toSeq}")
+    assert(hit.get._2 == 3, s"expected 3 distinct docs, got ${hit.get}")
+    assert(hit.get._3 == 4, s"expected 4 occurrences, got ${hit.get}")
+    // no span from doc 4 (unique text) may appear
+    assert(!out.exists(_._1.contains("nothing in common")))
+  }
+
   test("minhash LSH finds a near-duplicate pair") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val df = Seq((1L, base), (2L, base + " extra"), (3L, "completely different words here nothing shared at all ever"))
