@@ -122,6 +122,20 @@ object PolarsSqlShims {
     shim2("ends_with")((e, s) => call_function("endswith", e, s)),
     shim2("starts_with")((e, s) => call_function("startswith", e, s)),
     shim2("strpos")((e, s) => call_function("instr", e, s)),
+    // NOTE on `div`: Spark 4 ships a builtin `div` (truncating toward zero);
+    // polars-SQL DIV floor-divides. Per the no-override policy the builtin
+    // stands — they agree for non-negative operands, documented divergence
+    // for negatives.
+    // datetime conversion function (polars Datetime cast)
+    shim1("datetime")(_.cast("timestamp")),
+    // unnest as a SELECT-level generator (polars-SQL table_functions.rs):
+    // alias for Spark's explode
+    (FunctionIdentifier("unnest"),
+      new ExpressionInfo("graft.functions.PolarsSqlShims", "unnest"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"unnest expects 1 argument, got ${args.length}")
+        org.apache.spark.sql.catalyst.expressions.Explode(args.head)
+      }),
     // aggregates
     shimGroupConcat,
     shim1("total")(e => coalesce(sum(e), lit(0.0))),

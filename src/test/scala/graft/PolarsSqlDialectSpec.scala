@@ -51,6 +51,11 @@ class PolarsSqlDialectSpec extends SparkSpec {
     val r10 = one("SELECT quantile_cont(v, 0.5) AS qc, quantile_disc(v, 0.5) AS qd, " +
       "covar(v, v) AS cv FROM tbl")
     assert(r10.getDouble(0) == 0.0 && r10.getDouble(1) == 0.0 && r10.getDouble(2) > 0)
+    // 11. datetime conversion + unnest generator
+    val r11 = one("SELECT datetime('2024-03-05 07:08:09') AS dt")
+    assert(r11.getTimestamp(0).toString.startsWith("2024-03-05 07:08:09"))
+    assert(spark.sql("SELECT unnest(array(1, 2, 3)) AS u").collect().map(_.getInt(0)).toSeq
+      == Seq(1, 2, 3))
   }
 
   test("shims reject non-literal format/separator args with a clear error") {
