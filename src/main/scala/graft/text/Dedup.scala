@@ -204,17 +204,17 @@ object Dedup {
     * policy as [[exact]]; the raw span text rides as a value column, never a
     * key. Map-side partial aggregation bounds the shuffle to distinct spans
     * per partition; the final top-k is TakeOrderedAndProject (no global
-    * sort materialization). Window expansion is per-row `transform` over
-    * token arrays — linear work, no self-join anywhere. */
+    * sort materialization). Window expansion is the native one-pass
+    * [[graft.functions.ShinglesExpr]] kernel (codegen'd, no interpreted
+    * HOFs) — linear work, no self-join anywhere. Documents shorter than `n`
+    * tokens emit one degenerate short span (the ShinglesExpr contract);
+    * the token-count filter below drops those. */
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
                     n: Int = 8, minDocs: Int = 2, topK: Int = 50): DataFrame = {
-    val toks = filter(split(lower(col(textCol)), "\\s+"), x => x =!= "")
     val spans = df
-      .select(col(idCol).as("__id"), toks.as("__toks"))
-      .filter(size(col("__toks")) >= n)
-      .select(col("__id"), explode(
-        transform(sequence(lit(1), size(col("__toks")) - (n - 1)),
-          i => array_join(slice(col("__toks"), i, lit(n)), " "))).as("span"))
+      .select(col(idCol).as("__id"),
+        explode(shingles(col(textCol), n)).as("span"))
+      .filter(size(split(col("span"), " ")) === n)
     spans
       .groupBy(md5(col("span")).as("__h"))
       .agg(first(col("span")).as("span"),
