@@ -361,6 +361,12 @@ final class LazyFrame(val df: DataFrame) {
   def dropNulls(subset: Seq[String] = Nil): LazyFrame =
     LazyFrame(if (subset.isEmpty) df.na.drop() else df.na.drop(subset))
 
+  /** polars drop_nans: drop rows with NaN in `subset` (nulls pass through —
+    * distinct from [[dropNulls]], matching the reference's split). */
+  def dropNans(subset: Seq[String]): LazyFrame =
+    LazyFrame(df.filter(
+      subset.map(c => coalesce(!isnan(col(c)), lit(true))).reduce(_ && _)))
+
   // ---- row index ----------------------------------------------------------
 
   /** polars with_row_index — requires explicit order (SURVEY §7.1).

@@ -122,6 +122,26 @@ package object functions {
     num / den
   }
 
+  /** polars ewm_sum(alpha): y_i = Σ_j (1-α)^(i-j) x_j — the ewm_mean
+    * numerator without normalization. Same bounded-window fold as
+    * [[ewmMeanRows]] (O(n·span), exact when groups are shorter than
+    * `span`). */
+  def ewmSumRows(c: Column, w: WindowSpec, span: Int, alpha: Double): Column = {
+    val vals = collect_list(c).over(w.rowsBetween(-(span - 1), Window.currentRow))
+    val n = size(vals)
+    aggregate(
+      zip_with(vals, sequence(lit(0), n - 1), (v, i) =>
+        v * pow(lit(1 - alpha), (n - 1 - i).cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+  }
+
+  /** polars shift_and_fill: shift by n (positive = backward/lag, negative =
+    * forward/lead, polars sign convention) with a fill value for the
+    * out-of-partition slots only — pre-existing nulls shift through
+    * unfilled, exactly polars' contract (lag/lead default semantics). */
+  def shiftFill(c: Column, n: Int, fill: Any, w: WindowSpec): Column =
+    if (n >= 0) lag(c, n, fill).over(w) else lead(c, -n, fill).over(w)
+
   // ---- horizontal (row-wise across columns) --------------------------------
 
   def sumHorizontal(cols: Column*): Column =
