@@ -200,11 +200,12 @@ object Dedup {
     * an `n`-token window, and surface spans appearing in >= `minDocs`
     * DISTINCT documents, most-shared first.
     *
-    * Scale shape: ONE shuffle, on md5(span) — 16-byte digest keys, the same
-    * policy as [[exact]]; the raw span text rides as a value column, never a
-    * key. Map-side partial aggregation bounds the shuffle to distinct spans
-    * per partition; the final top-k is TakeOrderedAndProject (no global
-    * sort materialization). Window expansion is the native one-pass
+    * Scale shape: the canonical two-exchange exact count-distinct ladder —
+    * partial aggregation on (md5(span), id), final aggregation on md5(span)
+    * — so every shuffle is keyed by the 16-byte digest (the [[exact]]
+    * policy); the raw span text rides as a value column, never a key
+    * (PlanSpec pins this). The final top-k is TakeOrderedAndProject (no
+    * global sort materialization). Window expansion is the native one-pass
     * [[graft.functions.ShinglesExpr]] kernel (codegen'd, no interpreted
     * HOFs) — linear work, no self-join anywhere. Documents shorter than `n`
     * tokens emit one degenerate short span (the ShinglesExpr contract);

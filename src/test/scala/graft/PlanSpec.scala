@@ -148,4 +148,40 @@ class PlanSpec extends SparkSpec {
     }
     assert(joined > 0)
   }
+
+  test("SQL subqueries compile to joins: EXISTS->semi, NOT EXISTS->anti, scalar->aggregated outer") {
+    val q = (name: String) => {
+      val p = graft.SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") || name == "sql_scalar_corr",
+        s"$name fell back to BNLJ:\n$p")
+      p
+    }
+    assert(q("sql_exists_corr").contains("LeftSemi"),
+      "correlated EXISTS should plan as a left semi join")
+    assert(q("sql_not_exists").contains("LeftAnti"),
+      "correlated NOT EXISTS should plan as a left anti join")
+    // the correlated scalar aggregate becomes a join against the grouped
+    // subquery — never a per-row re-evaluation
+    val sc = q("sql_scalar_corr")
+    assert(sc.contains("HashAggregate") &&
+      (sc.contains("SortMergeJoin") || sc.contains("BroadcastHashJoin") ||
+        sc.contains("ShuffledHashJoin")),
+      s"scalar subquery should join an aggregated side:\n$sc")
+  }
+
+  test("repeatedSpans plans as the 2-exchange exact-distinct ladder + TakeOrderedAndProject") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.text.Dedup.repeatedSpans(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // count(DISTINCT doc) is the canonical two-exchange ladder: partial agg
+    // on (digest, id), then final agg on digest — both keyed by the 16-byte
+    // md5, never by span text
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 2, s"expected the 2-exchange distinct ladder, got $shuffles:\n$plan")
+    assert("hashpartitioning\\(__h".r.findAllIn(plan).size +
+      "hashpartitioning\\(_groupingexpression".r.findAllIn(plan).size == 2,
+      s"an exchange is keyed by something other than the span digest:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k cut should avoid a global sort:\n$plan")
+  }
 }
