@@ -25,7 +25,8 @@ object SparkEntry {
       QueriesExtra.queries ++ QueriesScalar2.queries ++ QueriesExtra2.queries ++
       QueriesWindow2.queries ++ QueriesMisc3.queries ++ QueriesMisc4.queries ++
       QueriesMisc5.queries ++ QueriesCat.queries ++ QueriesDialect.queries ++
-      QueriesMisc6.queries ++ QueriesSql.queries ++ QueriesMisc7.queries
+      QueriesMisc6.queries ++ QueriesSql.queries ++ QueriesMisc7.queries ++
+      QueriesMisc8.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys → driver records rows-only checks. */
@@ -35,5 +36,6 @@ object SparkEntry {
       QueriesExtra.oracle ++ QueriesScalar2.oracle ++ QueriesExtra2.oracle ++
       QueriesWindow2.oracle ++ QueriesMisc3.oracle ++ QueriesMisc4.oracle ++
       QueriesMisc5.oracle ++ QueriesCat.oracle ++ QueriesDialect.oracle ++
-      QueriesMisc6.oracle ++ QueriesSql.oracle ++ QueriesMisc7.oracle
+      QueriesMisc6.oracle ++ QueriesSql.oracle ++ QueriesMisc7.oracle ++
+      QueriesMisc8.oracle
 }

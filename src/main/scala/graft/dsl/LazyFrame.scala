@@ -299,6 +299,54 @@ final class LazyFrame(val df: DataFrame) {
       .withColumnsRenamed(keyValues.map(v => v.toString -> s"$colPrefix$v").toMap))
   }
 
+  /** polars unstack(step, how) (DataFrame::unstack, reference
+    * `py-polars/src/polars/dataframe/frame.py:9895`): reshape a long frame
+    * to wide without aggregation. `how="vertical"`: the output has `step`
+    * rows and element `i` (in `order`) lands at row `i % step`, column
+    * `name_{i / step}`; `how="horizontal"` transposes that indexing with
+    * `step` columns. Row positions come from the range-partitioned row
+    * number (no single-task window); the output is one `step`-row frame per
+    * `n/step` chunk — inherently a bounded-output reshape, same class as
+    * transpose/pivot. */
+  def unstack(step: Int, order: Seq[Column], how: String = "vertical"): LazyFrame = {
+    require(step > 0, "unstack step must be positive")
+    require(how == "vertical" || how == "horizontal", s"unstack how=$how")
+    val names = df.columns.toSeq
+    val idxd = graft.ops.Distributed.withRowNumber(df, "__idx", order)
+      .withColumn("__idx", col("__idx") - 1)
+    val (rowId, chunkId) =
+      if (how == "vertical") (col("__idx") % step, col("__idx") / step)
+      else (col("__idx") / step, col("__idx") % step)
+    val tagged = idxd.withColumn("__row", rowId.cast("long"))
+      .withColumn("__chunk", chunkId.cast("long"))
+    val nChunks = tagged.agg(max(col("__chunk"))).head().getLong(0).toInt + 1
+    val wide = tagged.groupBy(col("__row"))
+      .pivot("__chunk", 0 until nChunks)
+      .agg(first(struct(names.map(col): _*)))
+    val outCols = for (n <- names; j <- 0 until nChunks)
+      yield col(s"$j").getField(n).as(s"${n}_$j")
+    LazyFrame(wide.select(col("__row") +: outCols: _*)
+      .orderBy(col("__row")).drop("__row"))
+  }
+
+  /** polars partition_by (DataFrame::partition_by): split into one frame
+    * per distinct key tuple. The key set is collected on the driver — this
+    * is a DRIVER-BOUNDED op by contract (polars returns a dict of frames,
+    * which is only sane for enumerable keys). Each returned frame is a
+    * filter over the input plan, so Catalyst pushes the key predicate into
+    * the scan; for non-enumerable keys use `sinkParquet(partitionBy = ...)`,
+    * the scale path. */
+  def partitionByKeys(keys: Seq[String]): Map[Seq[Any], LazyFrame] = {
+    val ks = df.select(keys.map(col): _*).distinct().collect()
+    ks.map { r =>
+      val tuple = keys.indices.map(r.get)
+      val cond = keys.zip(tuple).map { case (k, v) =>
+        if (v == null) col(k).isNull else col(k) === lit(v)
+      }.reduce(_ && _)
+      tuple -> LazyFrame(df.filter(cond))
+    }.toMap
+  }
+
   // ---- concat -------------------------------------------------------------
 
   /** Vertical concat (polars concat how=vertical/diagonal). */

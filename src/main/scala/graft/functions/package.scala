@@ -135,6 +135,21 @@ package object functions {
       lit(0.0), (acc, x) => acc + x)
   }
 
+  /** polars ewm_sum_by(half_life): time-decayed running sum
+    * y_i = Σ_{t_j ≤ t_i} x_j · 0.5^((t_i − t_j)/half_life), bounded to a
+    * trailing `horizonMicros` range window (the weight at the horizon is
+    * 0.5^(horizon/half_life) — pick horizon ≥ 60 half-lives and the
+    * truncation is below double precision). Same collect-then-fold shape as
+    * the `ewm_mean_by` query path: one window, no self-join. */
+  def ewmSumBy(v: Column, tMicros: Column, w: WindowSpec,
+               halfLifeMicros: Long, horizonMicros: Long): Column = {
+    val hist = collect_list(struct(tMicros.as("t"), v.as("v")))
+      .over(w.rangeBetween(-horizonMicros, Window.currentRow))
+    aggregate(hist, lit(0.0), (acc, e) =>
+      acc + e.getField("v") *
+        pow(lit(0.5), (tMicros - e.getField("t")) / lit(halfLifeMicros.toDouble)))
+  }
+
   /** polars shift_and_fill: shift by n (positive = backward/lag, negative =
     * forward/lead, polars sign convention) with a fill value for the
     * out-of-partition slots only — pre-existing nulls shift through
@@ -163,6 +178,51 @@ package object functions {
 
   def nanSafeMin(c: Column): Column = min(when(!isnan(c), c))
   def nanSafeMax(c: Column): Column = max(when(!isnan(c), c))
+
+  /** polars nan_min / nan_max (reference
+    * `crates/polars-plan/src/dsl/function_expr/mod.rs` NanMin/NanMax):
+    * aggregate min/max that PROPAGATES NaN — any NaN in the group poisons
+    * the result, the dual of [[nanSafeMin]]/[[nanSafeMax]]. Written as an
+    * explicit two-branch form rather than relying on Spark's NaN total
+    * ordering so the semantics read off the expression. */
+  def nanMin(c: Column): Column =
+    when(count(when(isnan(c), lit(1))) > 0, lit(Double.NaN))
+      .otherwise(min(c))
+  def nanMax(c: Column): Column =
+    when(count(when(isnan(c), lit(1))) > 0, lit(Double.NaN))
+      .otherwise(max(c))
+
+  // ---- bitwise unary inspection (polars bitwise_count_* / leading / trailing) --
+
+  /** polars bitwise_count_ones (reference
+    * `crates/polars-plan/src/dsl/function_expr/bitwise.rs`): popcount over
+    * the two's-complement representation. Spark's `bit_count` is exactly
+    * that for integral types. */
+  def bitCountOnes(c: Column): Column = bit_count(c)
+
+  /** polars bitwise_count_zeros over a `width`-bit integer. */
+  def bitCountZeros(c: Column, width: Int = 64): Column =
+    lit(width) - bit_count(c)
+
+  /** polars bitwise_leading_zeros over a `width`-bit integer. For a
+    * positive value `length(bin(x))` is exactly `floor(log2 x) + 1` with no
+    * float round-off; negatives have the sign bit set (0 leading zeros) and
+    * `bin` renders all 64 bits. For sub-64-bit widths the value is masked to
+    * `width` bits first, so callers pass the ORIGINAL dtype's width with the
+    * raw two's-complement bits (e.g. an i32 upcast keeps bit 31 as sign). */
+  def bitLeadingZeros(c: Column, width: Int = 64): Column = {
+    val x = if (width == 64) c.cast("long")
+            else c.cast("long").bitwiseAND(lit((1L << width) - 1))
+    when(x === 0, lit(width)).otherwise(lit(width) - length(bin(x)))
+  }
+
+  /** polars bitwise_trailing_zeros: isolate the lowest set bit with
+    * `x & -x`, then popcount the mask below it — integer-exact, no log. */
+  def bitTrailingZeros(c: Column, width: Int = 64): Column = {
+    val x = c.cast("long")
+    when(x === 0, lit(width))
+      .otherwise(bit_count(x.bitwiseAND(-x) - 1))
+  }
 
   // ---- strings -------------------------------------------------------------
 

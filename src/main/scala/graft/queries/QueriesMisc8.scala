@@ -1,0 +1,419 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.util._
+import graft.{functions => gf}
+
+/** Round-6 batch 2 — the remaining Expr/DataFrame method-level audit gaps
+  * (reference `py-polars/src/polars/expr/expr.py`, `dataframe/frame.py`):
+  * rolling_quantile / rolling_skew / rolling_kurtosis, cumulative_eval +
+  * cum_count, nan_min / nan_max, bottom_k / top_k_by, Expr.dot, ewm_sum_by,
+  * bitwise_count_ones/zeros + leading/trailing zeros, is_sorted, str.strptime,
+  * str.json_path_match, arg_true + agg_groups, unstack — plus two
+  * training-data ops beyond the reference: byte-budget shard packing over
+  * the distributed prefix sum, and deterministic stratified hash sampling.
+  */
+object QueriesMisc8 {
+
+  // Central-moment skew/kurt from windowed power sums: the SAME double-
+  // arithmetic formula runs on both engines (the fused online algorithms
+  // differ in the last ulp between implementations, which flips round()).
+  private def momentCols(v: org.apache.spark.sql.Column,
+                         w: org.apache.spark.sql.expressions.WindowSpec) = {
+    val n = count(v).over(w).cast("double")
+    val s1 = sum(v).over(w)
+    val s2 = sum(v * v).over(w)
+    val s3 = sum(v * v * v).over(w)
+    val s4 = sum(v * v * v * v).over(w)
+    val m = s1 / n
+    val m2 = s2 / n - m * m
+    val m3 = s3 / n - lit(3.0) * m * s2 / n + lit(2.0) * m * m * m
+    val m4 = s4 / n - lit(4.0) * m * s3 / n +
+      lit(6.0) * m * m * s2 / n - lit(3.0) * m * m * m * m
+    (n, m2, m3, m4)
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    // polars rolling_quantile / rolling_skew / rolling_kurtosis
+    // (Expr::rolling_*, reference function_expr/rolling.rs): interpolated
+    // quantiles + population (bias=true) skew / Fisher kurtosis over a
+    // 4-row trailing window. Spark `percentile` and DuckDB `quantile_cont`
+    // share the pos = p·(n−1) linear-interpolation definition.
+    "win_rolling_quantile" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-3, Window.currentRow)
+      val (n, m2, m3, m4) = momentCols(col("value"), w)
+      t(s, d, "events").filter(col("user_id") <= 20).select(
+        col("event_id"), col("user_id"),
+        round(expr("percentile(value, 0.25)").over(w), 4).as("roll_p25"),
+        round(expr("percentile(value, 0.75)").over(w), 4).as("roll_p75"),
+        round(when(n >= 3 && m2 > 1e-12, m3 / pow(m2, 1.5)), 4).as("roll_skew"),
+        round(when(n >= 4 && m2 > 1e-12, m4 / (m2 * m2) - 3.0), 4).as("roll_kurt"))
+        .orderBy(col("event_id"))
+    }),
+
+    // polars cumulative_eval (Expr::cumulative_eval: run an expression over
+    // the expanding prefix — here a running median, the canonical non-
+    // decomposable example) + cum_count (non-null prefix count; nulls
+    // injected so it diverges from the row counter).
+    "win_cumeval" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events").filter(col("user_id") <= 10)
+        .withColumn("v", when(col("event_type") === "error", lit(null))
+          .otherwise(col("value")))
+        .select(col("event_id"), col("user_id"),
+          round(expr("percentile(v, 0.5)").over(w), 4).as("run_median"),
+          count(col("v")).over(w).as("cum_count"))
+        .orderBy(col("event_id"))
+    }),
+
+    // polars nan_min / nan_max (NaN-propagating) vs the NaN-skipping
+    // min/max — both pairs over one group so the split is visible.
+    "agg_nan_minmax" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("v", when(col("value") < 1.0, lit(Double.NaN))
+          .otherwise(col("value")))
+        .groupBy(col("event_type")).agg(
+          round(gf.nanMin(col("v")), 4).as("nan_min"),
+          round(gf.nanMax(col("v")), 4).as("nan_max"),
+          round(gf.nanSafeMin(col("v")), 4).as("safe_min"),
+          round(gf.nanSafeMax(col("v")), 4).as("safe_max"))
+        .orderBy(col("event_type"))),
+
+    // polars bottom_k + top_k_by (Expr/DataFrame ::bottom_k, ::top_k_by):
+    // both plan as TakeOrderedAndProject — a per-partition heap + driver
+    // merge of k rows, never a global sort. Tie-broken on the key for a
+    // deterministic oracle.
+    "misc_bottom_k" -> ((s, d) => {
+      val c = lf(s, d, "customer")
+      val bottom = c.bottomK(10, col("c_acctbal"), col("c_custkey"))
+        .select(lit("bottom").as("tag"), col("c_custkey"), col("c_acctbal"))
+      val topBy = c.topK(10, length(col("c_name")) * col("c_acctbal"), col("c_custkey"))
+        .select(lit("top_by").as("tag"), col("c_custkey"), col("c_acctbal"))
+      bottom.vstack(topBy).sort(col("tag"), col("c_custkey")).df
+    }),
+
+    // polars Expr.dot: Σ a_i·b_i as a grouped aggregate.
+    "agg_dot" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy(col("l_returnflag")).agg(
+        round(sum(col("l_quantity") * col("l_extendedprice")), 2).as("dot"),
+        round(sum(col("l_discount") * col("l_tax")), 6).as("dot_rates"))
+        .orderBy(col("l_returnflag"))),
+
+    // polars ewm_sum_by(half_life): time-decayed running sum along the ts
+    // axis (half-life 1 min, 1 h horizon ⇒ truncated weights < 1e-18 —
+    // below the round(4) gate by 14 orders).
+    "win_ewm_sum_by" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tm"))
+      t(s, d, "events").filter(col("user_id") <= 20)
+        .select(col("event_id"), col("user_id"), col("value"),
+          unix_micros(col("ts")).as("tm"))
+        .select(col("event_id"), col("user_id"),
+          round(gf.ewmSumBy(col("value"), col("tm"), w,
+            halfLifeMicros = 60000000L, horizonMicros = 3600000000L), 4)
+            .as("ewm_sum_t"))
+        .orderBy(col("event_id"))
+    }),
+
+    // polars bitwise_count_ones/count_zeros/leading_zeros/trailing_zeros
+    // (function_expr/bitwise.rs): two's-complement bit inspection — exact
+    // integer forms (bin-length for leading, x & −x isolation for trailing),
+    // no float log. Negative and zero inputs included.
+    "math_bit_counts" -> ((s, d) =>
+      t(s, d, "part").filter(col("p_partkey") <= 2000)
+        .select(col("p_partkey"),
+          col("p_partkey").cast("long").as("x"),
+          (col("p_partkey").cast("long") - 1000L).as("y"))
+        .select(col("p_partkey"),
+          gf.bitCountOnes(col("x")).as("ones_x"),
+          gf.bitCountZeros(col("x")).as("zeros_x"),
+          gf.bitLeadingZeros(col("x")).as("lead_x"),
+          gf.bitTrailingZeros(col("x")).as("trail_x"),
+          gf.bitCountOnes(col("y")).as("ones_y"),
+          gf.bitLeadingZeros(col("y")).as("lead_y"),
+          gf.bitTrailingZeros(col("y")).as("trail_y"))
+        .orderBy(col("p_partkey"))),
+
+    // polars is_sorted (Expr::is_sorted): per-group monotonicity flags via
+    // one lag pass — no sort issued, just the adjacent-pair reduction.
+    "misc_is_sorted" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events").filter(col("user_id") <= 50)
+        .select(col("user_id"),
+          coalesce(col("value") >= lag(col("value"), 1).over(w), lit(true)).as("asc_ok"),
+          coalesce(col("value") <= lag(col("value"), 1).over(w), lit(true)).as("desc_ok"))
+        .groupBy(col("user_id")).agg(
+          expr("bool_and(asc_ok)").as("sorted_asc"),
+          expr("bool_and(desc_ok)").as("sorted_desc"))
+        .orderBy(col("user_id"))
+    }),
+
+    // polars str.json_path_match (JSONPath subset): direct field, nested
+    // path into a constructed document, array index.
+    "str_json_path" -> ((s, d) =>
+      t(s, d, "events").filter(col("user_id") <= 50)
+        .withColumn("j", concat(lit("{\"a\":{\"b\":["),
+          get_json_object(col("props"), "$.k"), lit(",2,3]},\"t\":\""),
+          col("event_type"), lit("\"}")))
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").as("k"),
+          get_json_object(col("j"), "$.a.b[0]").as("b0"),
+          get_json_object(col("j"), "$.t").as("t"))
+        .orderBy(col("event_id"))),
+
+    // polars str.strptime / str.to_date / str.to_datetime: format-string
+    // parsing round-trips (render with one format, parse back with it).
+    "str_strptime" -> ((s, d) =>
+      t(s, d, "orders").filter(col("o_orderkey") <= 5000)
+        .withColumn("s_date", date_format(col("o_orderdate"), "dd/MMM/yyyy"))
+        .withColumn("s_ts", concat(date_format(col("o_orderdate"), "yyyy-MM-dd"),
+          lit(" "), lpad(col("o_orderkey") % 24, 2, "0"), lit(":30:05")))
+        .select(col("o_orderkey"),
+          to_date(col("s_date"), "dd/MMM/yyyy").as("parsed_date"),
+          to_timestamp(col("s_ts"), "yyyy-MM-dd HH:mm:ss").as("parsed_ts"))
+        .orderBy(col("o_orderkey"))),
+
+    // polars arg_true + agg_groups: 0-based positions (series order =
+    // l_linenumber) where the predicate holds, and each group's full
+    // position list. Arrays '|'-serialize for the hash gate.
+    "misc_index_ops" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+      t(s, d, "lineitem").filter(col("l_orderkey") <= 1000)
+        .select(col("l_orderkey"), col("l_quantity"),
+          (row_number().over(w) - 1).as("pos"))
+        .groupBy(col("l_orderkey")).agg(
+          array_join(sort_array(collect_list(
+            when(col("l_quantity") > 40, col("pos")))), "|").as("arg_true"),
+          array_join(sort_array(collect_list(col("pos"))), "|").as("agg_groups"))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    // polars unstack(step, how="vertical"): positional long→wide reshape,
+    // no aggregation — nation's 25 rows to a 5×5 grid of names.
+    "misc_unstack" -> ((s, d) =>
+      lf(s, d, "nation").select(col("n_name"))
+        .unstack(step = 5, order = Seq(col("n_name")))
+        .df),
+
+    // Training-data op (beyond reference): pack documents into contiguous
+    // byte-budget shards — shard k = docs whose preceding running total sits
+    // in [k·B, (k+1)·B). Runs on the range-partitioned prefix sum
+    // (Distributed.withPrefixSum — no single-task window), and the shard id
+    // is INTEGRAL division so the assignment stays exact past double's 2^53
+    // mantissa at corpus scale.
+    "text_pack_shards" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+      val summed = graft.ops.Distributed.withPrefixSum(
+        docs, col("n_chars"), Seq(col("doc_id")), "run_chars")
+      summed
+        .withColumn("shard", expr("(run_chars - n_chars) div 100000"))
+        .groupBy(col("shard")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("shard"))
+    }),
+
+    // Training-data op (beyond reference): stratified DETERMINISTIC sampling
+    // — per language, keep the ⌈10%⌉ of docs with the smallest
+    // md5(doc_id), the standard hash-sampling recipe (reproducible across
+    // runs/engines, no RNG state). The rank form is exact per stratum; the
+    // windowless scale variant (filter md5 < threshold) trades exactness
+    // for zero shuffles.
+    "misc_sample_stratified" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      t(s, d, "documents")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+        .filter(col("rn") <= ceil(col("n") * 0.1))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "win_rolling_quantile" ->
+      """WITH t AS (
+        | SELECT event_id, user_id, value,
+        |  count(value) OVER w::DOUBLE AS n,
+        |  sum(value) OVER w AS s1, sum(value*value) OVER w AS s2,
+        |  sum(value*value*value) OVER w AS s3,
+        |  sum(value*value*value*value) OVER w AS s4,
+        |  quantile_cont(value, 0.25) OVER w AS p25,
+        |  quantile_cont(value, 0.75) OVER w AS p75
+        | FROM events WHERE user_id <= 20
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)),
+        |m AS (
+        | SELECT event_id, user_id, n, p25, p75, s1/n AS mu,
+        |  s2/n - (s1/n)*(s1/n) AS m2,
+        |  s3/n - 3.0*(s1/n)*s2/n + 2.0*(s1/n)*(s1/n)*(s1/n) AS m3,
+        |  s4/n - 4.0*(s1/n)*s3/n + 6.0*(s1/n)*(s1/n)*s2/n
+        |    - 3.0*(s1/n)*(s1/n)*(s1/n)*(s1/n) AS m4
+        | FROM t)
+        |SELECT event_id, user_id, round(p25, 4) AS roll_p25,
+        | round(p75, 4) AS roll_p75,
+        | round(CASE WHEN n >= 3 AND m2 > 1e-12 THEN m3 / power(m2, 1.5) END, 4)
+        |   AS roll_skew,
+        | round(CASE WHEN n >= 4 AND m2 > 1e-12 THEN m4 / (m2*m2) - 3.0 END, 4)
+        |   AS roll_kurt
+        |FROM m ORDER BY event_id""".stripMargin,
+
+    "win_cumeval" ->
+      """WITH t AS (
+        | SELECT event_id, user_id,
+        |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v,
+        |  ts FROM events WHERE user_id <= 10)
+        |SELECT event_id, user_id,
+        | round(quantile_cont(v, 0.5) OVER w, 4) AS run_median,
+        | count(v) OVER w AS cum_count
+        |FROM t
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "agg_nan_minmax" ->
+      """WITH t AS (
+        | SELECT event_type,
+        |  CASE WHEN value < 1.0 THEN 'NaN'::DOUBLE ELSE value END AS v
+        | FROM events)
+        |SELECT event_type,
+        | round(CASE WHEN bool_or(isnan(v)) THEN 'NaN'::DOUBLE ELSE min(v) END, 4)
+        |   AS nan_min,
+        | round(CASE WHEN bool_or(isnan(v)) THEN 'NaN'::DOUBLE ELSE max(v) END, 4)
+        |   AS nan_max,
+        | round(min(CASE WHEN isnan(v) THEN NULL ELSE v END), 4) AS safe_min,
+        | round(max(CASE WHEN isnan(v) THEN NULL ELSE v END), 4) AS safe_max
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "misc_bottom_k" ->
+      """SELECT * FROM (
+        | SELECT 'bottom' AS tag, c_custkey, c_acctbal FROM customer
+        |  ORDER BY c_acctbal, c_custkey LIMIT 10)
+        |UNION ALL
+        |SELECT * FROM (
+        | SELECT 'top_by' AS tag, c_custkey, c_acctbal FROM customer
+        |  ORDER BY length(c_name) * c_acctbal DESC, c_custkey DESC LIMIT 10)
+        |ORDER BY tag, c_custkey""".stripMargin,
+
+    "agg_dot" ->
+      """SELECT l_returnflag,
+        | round(sum(l_quantity * l_extendedprice), 2) AS dot,
+        | round(sum(l_discount * l_tax), 6) AS dot_rates
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "win_ewm_sum_by" ->
+      """WITH base AS (
+        | SELECT event_id, user_id, value, epoch_us(ts) AS tm
+        | FROM events WHERE user_id <= 20),
+        |h AS (
+        | SELECT event_id, user_id, value, tm,
+        |  array_agg(struct_pack(t := tm, v := value)) OVER
+        |    (PARTITION BY user_id ORDER BY tm
+        |     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS hist
+        | FROM base)
+        |SELECT event_id, user_id,
+        | round(list_sum(list_transform(hist,
+        |   e -> e.v * power(0.5, (tm - e.t) / 60000000.0))), 4) AS ewm_sum_t
+        |FROM h ORDER BY event_id""".stripMargin,
+
+    "math_bit_counts" ->
+      """WITH t AS (
+        | SELECT p_partkey, p_partkey::BIGINT AS x, p_partkey::BIGINT - 1000 AS y
+        | FROM part WHERE p_partkey <= 2000)
+        |SELECT p_partkey,
+        | bit_count(x) AS ones_x,
+        | 64 - bit_count(x) AS zeros_x,
+        | CASE WHEN x = 0 THEN 64 ELSE 64 - length(bin(x)) END AS lead_x,
+        | CASE WHEN x = 0 THEN 64 ELSE bit_count((x & -x) - 1) END AS trail_x,
+        | bit_count(y) AS ones_y,
+        | CASE WHEN y = 0 THEN 64 ELSE 64 - length(bin(y)) END AS lead_y,
+        | CASE WHEN y = 0 THEN 64 ELSE bit_count((y & -y) - 1) END AS trail_y
+        |FROM t ORDER BY p_partkey""".stripMargin,
+
+    "misc_is_sorted" ->
+      """WITH t AS (
+        | SELECT user_id,
+        |  coalesce(value >= lag(value, 1) OVER w, true) AS asc_ok,
+        |  coalesce(value <= lag(value, 1) OVER w, true) AS desc_ok
+        | FROM events WHERE user_id <= 50
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, bool_and(asc_ok) AS sorted_asc,
+        | bool_and(desc_ok) AS sorted_desc
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "str_json_path" ->
+      """WITH t AS (
+        | SELECT event_id, props, event_type,
+        |  '{"a":{"b":[' || json_extract_string(props, '$.k') || ',2,3]},"t":"'
+        |    || event_type || '"}' AS j
+        | FROM events WHERE user_id <= 50)
+        |SELECT event_id,
+        | json_extract_string(props, '$.k') AS k,
+        | json_extract_string(j, '$.a.b[0]') AS b0,
+        | json_extract_string(j, '$.t') AS t
+        |FROM t ORDER BY event_id""".stripMargin,
+
+    "str_strptime" ->
+      """WITH t AS (
+        | SELECT o_orderkey,
+        |  strftime(o_orderdate, '%d/%b/%Y') AS s_date,
+        |  strftime(o_orderdate, '%Y-%m-%d') || ' ' ||
+        |    lpad((o_orderkey % 24)::VARCHAR, 2, '0') || ':30:05' AS s_ts
+        | FROM orders WHERE o_orderkey <= 5000)
+        |SELECT o_orderkey,
+        | strptime(s_date, '%d/%b/%Y')::DATE AS parsed_date,
+        | strptime(s_ts, '%Y-%m-%d %H:%M:%S') AS parsed_ts
+        |FROM t ORDER BY o_orderkey""".stripMargin,
+
+    "misc_index_ops" ->
+      """WITH t AS (
+        | SELECT l_orderkey, l_quantity,
+        |  row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) - 1 AS pos
+        | FROM lineitem WHERE l_orderkey <= 1000)
+        |SELECT l_orderkey,
+        | coalesce(array_to_string(
+        |   list(pos ORDER BY pos) FILTER (WHERE l_quantity > 40), '|'), '')
+        |   AS arg_true,
+        | array_to_string(list(pos ORDER BY pos), '|') AS agg_groups
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "text_pack_shards" ->
+      """WITH t AS (
+        | SELECT doc_id, n_chars,
+        |  sum(n_chars) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_chars
+        | FROM documents)
+        |SELECT ((run_chars - n_chars) // 100000)::BIGINT AS shard,
+        | count(*) AS n_docs, sum(n_chars)::BIGINT AS chars,
+        | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "misc_sample_stratified" ->
+      """WITH t AS (
+        | SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY lang) AS n
+        | FROM documents)
+        |SELECT doc_id, lang FROM t WHERE rn <= ceil(n * 0.1)
+        |ORDER BY doc_id""".stripMargin,
+
+    "misc_unstack" ->
+      """WITH t AS (
+        | SELECT n_name, row_number() OVER (ORDER BY n_name) - 1 AS idx
+        | FROM nation)
+        |SELECT
+        | max(CASE WHEN idx // 5 = 0 THEN n_name END) AS n_name_0,
+        | max(CASE WHEN idx // 5 = 1 THEN n_name END) AS n_name_1,
+        | max(CASE WHEN idx // 5 = 2 THEN n_name END) AS n_name_2,
+        | max(CASE WHEN idx // 5 = 3 THEN n_name END) AS n_name_3,
+        | max(CASE WHEN idx // 5 = 4 THEN n_name END) AS n_name_4
+        |FROM t GROUP BY idx % 5 ORDER BY min(idx)""".stripMargin
+  )
+}

@@ -287,6 +287,53 @@ class LazyFrameSpec extends SparkSpec {
     assert(out == Seq(("z", 4L), ("a", 7L), ("m", 4L)))
   }
 
+  test("unstack matches the reference's documented example (both directions)") {
+    // reference py-polars/src/polars/dataframe/frame.py:9895 doctest:
+    // x = A..H, y = 1..8; vertical step=4 → row i gets elements i and i+4
+    val df = ('A' to 'H').zip(1 to 8).map { case (x, y) => (x.toString, y) }
+      .toDF("x", "y")
+    val v = LazyFrame(df).unstack(step = 4, order = Seq(col("y")))
+    assert(v.columns == Seq("x_0", "x_1", "y_0", "y_1"))
+    val vRows = v.collectRows().map(r =>
+      (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(vRows == Seq(("A", "E", 1, 5), ("B", "F", 2, 6),
+      ("C", "G", 3, 7), ("D", "H", 4, 8)))
+    val h = LazyFrame(df).unstack(step = 2, order = Seq(col("y")),
+      how = "horizontal")
+    val hRows = h.collectRows().map(r =>
+      (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(hRows == Seq(("A", "B", 1, 2), ("C", "D", 3, 4),
+      ("E", "F", 5, 6), ("G", "H", 7, 8)))
+  }
+
+  test("partitionByKeys splits into per-key frames incl. null keys") {
+    val df = Seq(("a", 1), ("b", 2), ("a", 3), (null, 4)).toDF("k", "v")
+    val parts = LazyFrame(df).partitionByKeys(Seq("k"))
+    assert(parts.keySet == Set(Seq("a"), Seq("b"), Seq(null)))
+    assert(parts(Seq("a")).count() == 2)
+    assert(parts(Seq(null)).collectRows().map(_.getInt(1)).toSeq == Seq(4))
+  }
+
+  test("bit helpers: sub-64-bit width masks; known values") {
+    val df = Seq(0L, 1L, 8L, -1L, 1024L).toDF("x")
+    val out = df.select(
+      graft.functions.bitLeadingZeros(col("x")).as("lz64"),
+      graft.functions.bitTrailingZeros(col("x")).as("tz"),
+      graft.functions.bitLeadingZeros(col("x"), width = 16).as("lz16"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
+    // -1L masked to 16 bits = 0xFFFF → 0 leading zeros in a 16-bit view
+    assert(out == Seq((64, 64, 16), (63, 0, 15), (60, 3, 12),
+      (0, 0, 0), (53, 10, 5)))
+  }
+
+  test("nanMin/nanMax propagate NaN; nanSafe skip it") {
+    val df = Seq(1.0, 2.0, Double.NaN).toDF("v")
+    val r = df.agg(graft.functions.nanMin(col("v")).as("nmin"),
+      graft.functions.nanMax(col("v")).as("nmax"),
+      graft.functions.nanSafeMax(col("v")).as("smax")).head()
+    assert(r.getDouble(0).isNaN && r.getDouble(1).isNaN && r.getDouble(2) == 2.0)
+  }
+
   test("flatMapGroups emits arbitrary rows per group (group_by().apply)") {
     // per key: emit (key, running total) for each row in i-order — a shape
     // no single agg expresses (n rows out per n-row group, sequential state)
