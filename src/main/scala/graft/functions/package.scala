@@ -192,6 +192,34 @@ package object functions {
     when(count(when(isnan(c), lit(1))) > 0, lit(Double.NaN))
       .otherwise(max(c))
 
+  /** polars lower_bound / upper_bound (FunctionExpr::LowerBound/UpperBound):
+    * the dtype's representable extrema as literals — resolved at plan time
+    * from the static type, exactly the reference's semantics. */
+  def lowerBound(dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType    => lit(Byte.MinValue)
+      case ShortType   => lit(Short.MinValue)
+      case IntegerType => lit(Int.MinValue)
+      case LongType    => lit(Long.MinValue)
+      case FloatType   => lit(Float.NegativeInfinity)
+      case DoubleType  => lit(Double.NegativeInfinity)
+      case other => throw new IllegalArgumentException(s"lower_bound: $other")
+    }
+  }
+  def upperBound(dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType    => lit(Byte.MaxValue)
+      case ShortType   => lit(Short.MaxValue)
+      case IntegerType => lit(Int.MaxValue)
+      case LongType    => lit(Long.MaxValue)
+      case FloatType   => lit(Float.PositiveInfinity)
+      case DoubleType  => lit(Double.PositiveInfinity)
+      case other => throw new IllegalArgumentException(s"upper_bound: $other")
+    }
+  }
+
   // ---- bitwise unary inspection (polars bitwise_count_* / leading / trailing) --
 
   /** polars bitwise_count_ones (reference

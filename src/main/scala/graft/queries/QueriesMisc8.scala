@@ -198,6 +198,43 @@ object QueriesMisc8 {
         .unstack(step = 5, order = Seq(col("n_name")))
         .df),
 
+    // polars `.arr` namespace over the fixed-size Array dtype (reference
+    // `crates/polars-plan/src/dsl/function_expr/array.rs`): width enforced
+    // by fixedSizeArray (the Array-vs-List contract), then element fold /
+    // get / any / all / arg_max — embeddings are the 64-wide fixture.
+    "arr_ops" -> ((s, d) => {
+      val e = gf.fixedSizeArray(col("embedding"), 64)
+      val ed = transform(e, x => x.cast("double"))
+      t(s, d, "embeddings").select(
+        col("vec_id"),
+        round(aggregate(ed, lit(0.0), (a, x) => a + x), 6).as("arr_sum"),
+        round(aggregate(ed, lit(0.0), (a, x) => a + x) / 64.0, 6).as("arr_mean"),
+        round(element_at(ed, 5), 6).as("arr_get4"),
+        exists(ed, x => x > 0.2).as("arr_any_big"),
+        forall(ed, x => abs(x) < lit(1.0)).as("arr_all_unit"),
+        (array_position(ed, array_max(ed)) - 1).as("arr_argmax"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // polars rolling_rank (Expr::rolling_rank): rank of the CURRENT value
+    // among its trailing window — min and average tie methods, computed as
+    // one fold over the windowed list (no self-join).
+    "win_rolling_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-3, Window.currentRow)
+      val vals = collect_list(col("value")).over(w)
+      val less = aggregate(vals, lit(0L), (a, x) =>
+        a + when(x < col("value"), 1L).otherwise(0L))
+      val eq = aggregate(vals, lit(0L), (a, x) =>
+        a + when(x === col("value"), 1L).otherwise(0L))
+      t(s, d, "events").filter(col("user_id") <= 20)
+        .select(col("event_id"), col("user_id"),
+          (less + 1L).as("rank_min"),
+          round(less.cast("double") + (eq.cast("double") + 1.0) / 2.0, 4)
+            .as("rank_avg"))
+        .orderBy(col("event_id"))
+    }),
+
     // Training-data op (beyond reference): pack documents into contiguous
     // byte-budget shards — shard k = docs whose preceding running total sits
     // in [k·B, (k+1)·B). Runs on the range-partitioned prefix sum
@@ -382,6 +419,33 @@ object QueriesMisc8 {
         |   AS arg_true,
         | array_to_string(list(pos ORDER BY pos), '|') AS agg_groups
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "arr_ops" ->
+      """WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+        |SELECT vec_id,
+        | round(list_sum(e), 6) AS arr_sum,
+        | round(list_sum(e) / 64.0, 6) AS arr_mean,
+        | round(e[5], 6) AS arr_get4,
+        | len(list_filter(e, x -> x > 0.2)) > 0 AS arr_any_big,
+        | len(list_filter(e, x -> abs(x) >= 1.0)) = 0 AS arr_all_unit,
+        | (list_position(e, list_max(e)) - 1)::BIGINT AS arr_argmax
+        |FROM t ORDER BY vec_id""".stripMargin,
+
+    "win_rolling_rank" ->
+      """WITH t AS (
+        | SELECT event_id, user_id, value,
+        |  array_agg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS vals
+        | FROM events WHERE user_id <= 20)
+        |SELECT event_id, user_id,
+        | (list_sum(list_transform(vals,
+        |    x -> CASE WHEN x < value THEN 1 ELSE 0 END)) + 1)::BIGINT AS rank_min,
+        | round(list_sum(list_transform(vals,
+        |    x -> CASE WHEN x < value THEN 1 ELSE 0 END))::DOUBLE +
+        |  (list_sum(list_transform(vals,
+        |    x -> CASE WHEN x = value THEN 1 ELSE 0 END))::DOUBLE + 1.0) / 2.0, 4)
+        |   AS rank_avg
+        |FROM t ORDER BY event_id""".stripMargin,
 
     "text_pack_shards" ->
       """WITH t AS (

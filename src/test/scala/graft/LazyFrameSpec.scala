@@ -326,6 +326,19 @@ class LazyFrameSpec extends SparkSpec {
       (0, 0, 0), (53, 10, 5)))
   }
 
+  test("lowerBound/upperBound resolve the dtype extrema as literals") {
+    import org.apache.spark.sql.types._
+    val r = Seq(1).toDF("i").select(
+      graft.functions.lowerBound(IntegerType).as("lo_i"),
+      graft.functions.upperBound(LongType).as("hi_l"),
+      graft.functions.upperBound(DoubleType).as("hi_d")).head()
+    assert(r.getInt(0) == Int.MinValue && r.getLong(1) == Long.MaxValue &&
+      r.getDouble(2).isPosInfinity)
+    intercept[IllegalArgumentException] {
+      graft.functions.lowerBound(StringType)
+    }
+  }
+
   test("nanMin/nanMax propagate NaN; nanSafe skip it") {
     val df = Seq(1.0, 2.0, Double.NaN).toDF("v")
     val r = df.agg(graft.functions.nanMin(col("v")).as("nmin"),
