@@ -590,6 +590,23 @@ final class LazyFrame(val df: DataFrame) {
     finally df.unpersist(blocking = false)
   }
 
+  /** polars collect_batches (LazyFrame::collect_batches): stream the result
+    * to the driver in bounded chunks instead of one materialized frame.
+    * Spark-first mapping: `toLocalIterator` pulls ONE partition at a time —
+    * driver memory is bounded by the largest partition, never the result. */
+  def collectBatches(batchRows: Int = 4096): Iterator[Seq[Row]] =
+    {
+      import scala.jdk.CollectionConverters._
+      df.toLocalIterator().asScala.grouped(batchRows)
+    }
+
+  /** polars sink_batches: run a callback per batch of the result. Spark-first
+    * mapping: the callback runs DISTRIBUTED, once per output partition on
+    * the executors (the scale path — nothing funnels through the driver).
+    * For a driver-side consumer use [[collectBatches]]. */
+  def sinkBatches(f: Iterator[Row] => Unit): Unit =
+    df.foreachPartition(f)
+
   def explainFormatted(): String = {
     val qe = df.queryExecution
     qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))

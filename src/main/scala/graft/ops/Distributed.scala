@@ -28,7 +28,7 @@ object Distributed {
     * single-task window. Ties in `ord` get arbitrary but distinct numbers
     * (same contract as `row_number` over a non-total order). */
   def withRowNumber(df: DataFrame, name: String, ord: Seq[Column]): DataFrame =
-    withScanned(df, ord) { (ranged, w) =>
+    withScanned(df, ord, count(lit(1)).cast("long")) { (ranged, w) =>
       ranged.withColumn("__val", row_number().over(w).cast("long"))
     }.withColumnRenamed("__scan", name)
 
@@ -36,7 +36,7 @@ object Distributed {
     * without a single-task window. */
   def withPrefixSum(df: DataFrame, value: Column, ord: Seq[Column],
                     name: String): DataFrame =
-    withScanned(df, ord) { (ranged, w) =>
+    withScanned(df, ord, sum(value)) { (ranged, w) =>
       ranged.withColumn("__val",
         sum(value).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     }.withColumnRenamed("__scan", name)
@@ -44,36 +44,32 @@ object Distributed {
   /** Shared skeleton: range-repartition on `ord`, compute a per-partition
     * running value `__val` with `local`, then shift each partition by the
     * sum of all earlier partitions' totals. `__scan` = the corrected global
-    * running value.
+    * running value. `total` must be the ORDER-INDEPENDENT aggregate equal to
+    * the final running value of a partition (count for row numbers, sum for
+    * prefix sums) — the offsets branch is then a plain partial aggregate
+    * over the shared range exchange: no second sort, no second window pass
+    * over the data, and no dependence on intra-partition order at all.
     *
     * CORRECTNESS PRECONDITION: the input lineage must be deterministic
     * (no un-cached sample()/rand()/shuffle-order-sensitive expressions).
-    * The per-partition totals are derived from the SAME window pass that
-    * computes `__val` (the final running value per partition), so both the
-    * data branch and the offsets branch share one canonical exchange+window
-    * subtree and Spark's ReuseExchange evaluates the shuffle once. With a
-    * non-deterministic upstream AND exchange reuse disabled, the two plan
-    * branches could re-evaluate the source differently — cache or
-    * checkpoint upstream in that case. */
-  private def withScanned(df: DataFrame, ord: Seq[Column])(
+    * Both branches hang off the SAME range exchange, which AQE's exchange
+    * reuse evaluates once; with a non-deterministic upstream AND exchange
+    * reuse disabled, cache or checkpoint upstream. */
+  private def withScanned(df: DataFrame, ord: Seq[Column], total: Column)(
       local: (DataFrame, org.apache.spark.sql.expressions.WindowSpec) => DataFrame): DataFrame = {
     val ranged = df.repartitionByRange(ord: _*).withColumn("__dp", spark_partition_id())
     val w = Window.partitionBy(col("__dp")).orderBy(ord: _*)
-    // one Window exec computes the running value AND the partition total
-    // (final running value over the full frame) — `total` is not evaluated
-    // against a second pass over the source anymore
-    val localized = local(ranged, w).withColumn("__t",
-      last(col("__val")).over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val localized = local(ranged, w)
 
-    // N rows (one per range partition; __t is constant within a partition):
-    // the keyless window here is metadata-scale by construction
-    val totals = localized.groupBy(col("__dp")).agg(max(col("__t")).as("__t"))
+    // N rows (one per range partition): partial agg map-side, then the
+    // boundary-carry window is metadata-scale by construction
+    val totals = ranged.groupBy(col("__dp")).agg(total.as("__t"))
     val wOff = Window.orderBy(col("__dp")).rowsBetween(Window.unboundedPreceding, -1)
     val offsets = totals.select(col("__dp"),
       coalesce(sum(col("__t")).over(wOff), lit(0L)).as("__off"))
 
     localized.join(broadcast(offsets), Seq("__dp"))
       .withColumn("__scan", col("__off") + col("__val"))
-      .drop("__dp", "__val", "__off", "__t")
+      .drop("__dp", "__val", "__off")
   }
 }

@@ -326,6 +326,15 @@ class LazyFrameSpec extends SparkSpec {
       (0, 0, 0), (53, 10, 5)))
   }
 
+  test("collectBatches streams bounded chunks; sinkBatches runs per partition") {
+    val df = spark.range(100).toDF("i").repartition(4)
+    val batches = LazyFrame(df).collectBatches(batchRows = 30).toSeq
+    assert(batches.map(_.size).sum == 100 && batches.forall(_.size <= 30))
+    val acc = spark.sparkContext.longAccumulator("n")
+    LazyFrame(df).sinkBatches(rows => acc.add(rows.size))
+    assert(acc.value == 100)
+  }
+
   test("lowerBound/upperBound resolve the dtype extrema as literals") {
     import org.apache.spark.sql.types._
     val r = Seq(1).toDF("i").select(

@@ -184,4 +184,29 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k cut should avoid a global sort:\n$plan")
   }
+
+  test("bottomK plans as TakeOrderedAndProject, same as topK") {
+    val cust = graft.dsl.LazyFrame(spark.read.parquet(s"$sf/customer.parquet"))
+    val p = planOf(cust.bottomK(10, col("c_acctbal"), col("c_custkey")).df)
+    assert(p.contains("TakeOrderedAndProject"), s"bottomK global-sorted:\n$p")
+  }
+
+  test("pack-shards prefix sum range-partitions; no data-row single-task window") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+    val summed = graft.ops.Distributed.withPrefixSum(
+      docs, col("n_chars"), Seq(col("doc_id")), "run_chars")
+    val p = planOf(summed)
+    assert(p.contains("rangepartitioning"),
+      s"prefix sum should range-partition on the order key:\n$p")
+    // exactly two windows: the per-range-partition running sum (parallel)
+    // and the boundary-carry pass; the latter is the ONLY single-partition
+    // exchange and sits above a HashAggregate (#partitions rows, metadata
+    // scale), never above the data
+    assert("Window ".r.findAllIn(p).size == 2, s"unexpected windows:\n$p")
+    assert("Exchange SinglePartition".r.findAllIn(p).size == 1,
+      s"expected exactly the boundary-carry single-partition exchange:\n$p")
+    assert(p.contains("HashAggregate(keys=[__dp"),
+      s"offsets branch should be a plain per-partition aggregate:\n$p")
+  }
 }
