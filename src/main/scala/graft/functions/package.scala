@@ -150,6 +150,15 @@ package object functions {
         pow(lit(0.5), (tMicros - e.getField("t")) / lit(halfLifeMicros.toDouble)))
   }
 
+  /** polars rolling_map: an arbitrary expression over each trailing
+    * window's values, exposed as an array — the generic escape hatch for
+    * shapes the dedicated rolling_* forms don't cover. `f` composes Column
+    * HOFs (aggregate/transform/filter), so the result is still one window
+    * pass with no UDF; state is O(window) per row. */
+  def rollingMap(c: Column, w: WindowSpec, window: Int,
+                 f: Column => Column): Column =
+    f(collect_list(c).over(w.rowsBetween(-(window - 1), Window.currentRow)))
+
   /** polars shift_and_fill: shift by n (positive = backward/lag, negative =
     * forward/lead, polars sign convention) with a fill value for the
     * out-of-partition slots only — pre-existing nulls shift through

@@ -235,6 +235,32 @@ object QueriesMisc8 {
         .orderBy(col("event_id"))
     }),
 
+    // polars is_finite / is_infinite + arctan2 (FunctionExpr::Atan2,
+    // BooleanFunction::IsFinite/IsInfinite): inf/NaN injected so all three
+    // states appear (finite / infinite / NaN is NEITHER finite nor infinite).
+    "math_float_flags" -> ((s, d) => {
+      val v = when(col("event_type") === "error", lit(Double.PositiveInfinity))
+        .when(col("value") < 1.0, lit(Double.NaN))
+        .otherwise(col("value"))
+      t(s, d, "events").filter(col("user_id") <= 50).select(
+        col("event_id"),
+        (!isnan(v) && abs(v) =!= lit(Double.PositiveInfinity)).as("is_finite"),
+        (abs(v) === lit(Double.PositiveInfinity)).as("is_infinite"),
+        round(atan2(col("value"), lit(10.0)), 6).as("at2"))
+        .orderBy(col("event_id"))
+    }),
+
+    // polars dt.is_leap_year / dt.days_in_month — the Gregorian rule spelled
+    // out (no engine builtin assumed on either side).
+    "dt_calendar_flags" -> ((s, d) =>
+      t(s, d, "orders").filter(col("o_orderkey") <= 5000)
+        .withColumn("y", year(col("o_orderdate")))
+        .select(col("o_orderkey"),
+          ((col("y") % 4 === 0 && col("y") % 100 =!= 0) ||
+            col("y") % 400 === 0).as("is_leap"),
+          dayofmonth(last_day(col("o_orderdate"))).as("days_in_month"))
+        .orderBy(col("o_orderkey"))),
+
     // Training-data op (beyond reference): pack documents into contiguous
     // byte-budget shards — shard k = docs whose preceding running total sits
     // in [k·B, (k+1)·B). Runs on the range-partitioned prefix sum
@@ -446,6 +472,25 @@ object QueriesMisc8 {
         |    x -> CASE WHEN x = value THEN 1 ELSE 0 END))::DOUBLE + 1.0) / 2.0, 4)
         |   AS rank_avg
         |FROM t ORDER BY event_id""".stripMargin,
+
+    "math_float_flags" ->
+      """WITH t AS (
+        | SELECT event_id, value,
+        |  CASE WHEN event_type = 'error' THEN 'Infinity'::DOUBLE
+        |       WHEN value < 1.0 THEN 'NaN'::DOUBLE ELSE value END AS v
+        | FROM events WHERE user_id <= 50)
+        |SELECT event_id,
+        | (NOT isnan(v) AND abs(v) <> 'Infinity'::DOUBLE) AS is_finite,
+        | (abs(v) = 'Infinity'::DOUBLE) AS is_infinite,
+        | round(atan2(value, 10.0), 6) AS at2
+        |FROM t ORDER BY event_id""".stripMargin,
+
+    "dt_calendar_flags" ->
+      """SELECT o_orderkey,
+        | ((year(o_orderdate) % 4 = 0 AND year(o_orderdate) % 100 <> 0)
+        |   OR year(o_orderdate) % 400 = 0) AS is_leap,
+        | day(last_day(o_orderdate))::INT AS days_in_month
+        |FROM orders WHERE o_orderkey <= 5000 ORDER BY o_orderkey""".stripMargin,
 
     "text_pack_shards" ->
       """WITH t AS (

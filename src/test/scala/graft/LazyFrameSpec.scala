@@ -326,6 +326,18 @@ class LazyFrameSpec extends SparkSpec {
       (0, 0, 0), (53, 10, 5)))
   }
 
+  test("rollingMap runs an arbitrary HOF over each trailing window") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(("a", 1, 1.0), ("a", 2, 5.0), ("a", 3, 2.0), ("a", 4, 9.0))
+      .toDF("k", "i", "v")
+    val w = Window.partitionBy(col("k")).orderBy(col("i"))
+    // rolling range (max - min) over a 3-row window: not a dedicated form
+    val out = df.select(graft.functions.rollingMap(col("v"), w, 3,
+      a => array_max(a) - array_min(a)).as("r"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(out == Seq(0.0, 4.0, 4.0, 7.0))
+  }
+
   test("collectBatches streams bounded chunks; sinkBatches runs per partition") {
     val df = spark.range(100).toDF("i").repartition(4)
     val batches = LazyFrame(df).collectBatches(batchRows = 30).toSeq
