@@ -266,6 +266,12 @@ package object functions {
   /** polars str.zfill. */
   def zfill(c: Column, width: Int): Column = lpad(c, width, "0")
 
+  /** polars str.escape_regex: neutralize regex metacharacters so the value
+    * can be used as a literal pattern (one replace pass — the inverse need
+    * of `replace_many` literal scrubbing). */
+  def escapeRegex(c: Column): Column =
+    regexp_replace(c, "([.^$*+?()\\[\\]{}|\\\\])", "\\\\$1")
+
   /** polars str.count_matches (regex) → Spark regexp_count. */
   def countMatches(c: Column, pattern: String): Column = regexp_count(c, lit(pattern))
 

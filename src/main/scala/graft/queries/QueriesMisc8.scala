@@ -261,6 +261,58 @@ object QueriesMisc8 {
           dayofmonth(last_day(col("o_orderdate"))).as("days_in_month"))
         .orderBy(col("o_orderkey"))),
 
+    // polars str.escape_regex + str.head/tail: metacharacters injected so
+    // the escape provably neutralizes them (regexp_count of the escaped
+    // pattern against the raw string must be exactly 1).
+    "str_escape_head_tail" -> ((s, d) => {
+      val raw = concat(lit("a.b*("), col("p_brand"), lit(")?[x]"))
+      val esc = gf.escapeRegex(raw)
+      t(s, d, "part").filter(col("p_partkey") <= 2000).select(
+        col("p_partkey"),
+        esc.as("escaped"),
+        regexp_count(raw, esc).as("self_hits"),
+        substring(col("p_type"), 1, 6).as("head6"),
+        substring(col("p_type"), -4, 4).as("tail4"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // polars list.median/var/std/n_unique/drop_nulls (ListFunction): the
+    // stats as explicit folds (same double path both engines — engine-native
+    // list_aggregate('stddev') may differ in the last ulp); median = mean of
+    // the two middle elements of the sorted 64-wide vector.
+    "list_stats" -> ((s, d) => {
+      val ed = transform(col("embedding"), x => x.cast("double"))
+      val s1 = aggregate(ed, lit(0.0), (a, x) => a + x)
+      val s2 = aggregate(ed, lit(0.0), (a, x) => a + x * x)
+      val v = (s2 - s1 * s1 / 64.0) / 63.0
+      val srt = array_sort(ed)
+      t(s, d, "embeddings").select(
+        col("vec_id"),
+        round(v, 6).as("l_var"),
+        round(sqrt(v), 6).as("l_std"),
+        round((element_at(srt, 32) + element_at(srt, 33)) / 2.0, 6).as("l_median"),
+        size(array_distinct(ed)).as("l_nuniq"),
+        size(filter(concat(array(lit(null).cast("double")), slice(ed, 1, 3)),
+          x => x.isNotNull)).as("l_dropn"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // polars dt.iso_year / dt.century / dt.millennium / dt.is_business_day /
+    // dt.replace(day=1): ISO week-year vs calendar year; century boundary
+    // rule from the reference (1900 ends the 19th, 1901 begins the 20th —
+    // series/mod.rs:166-169); weekday mask Mon-Fri; component replace via
+    // make_date.
+    "dt_iso_parts" -> ((s, d) =>
+      t(s, d, "orders").filter(col("o_orderkey") <= 5000).select(
+        col("o_orderkey"),
+        expr("extract(YEAROFWEEK FROM o_orderdate)").cast("int").as("iso_year"),
+        expr("(year(o_orderdate) - 1) div 100 + 1").cast("int").as("century"),
+        expr("(year(o_orderdate) - 1) div 1000 + 1").cast("int").as("millennium"),
+        (!dayofweek(col("o_orderdate")).isin(1, 7)).as("is_bizday"),
+        make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1))
+          .as("month_floor"))
+        .orderBy(col("o_orderkey"))),
+
     // Training-data op (beyond reference): pack documents into contiguous
     // byte-budget shards — shard k = docs whose preceding running total sits
     // in [k·B, (k+1)·B). Runs on the range-partitioned prefix sum
@@ -490,6 +542,45 @@ object QueriesMisc8 {
         | ((year(o_orderdate) % 4 = 0 AND year(o_orderdate) % 100 <> 0)
         |   OR year(o_orderdate) % 400 = 0) AS is_leap,
         | day(last_day(o_orderdate))::INT AS days_in_month
+        |FROM orders WHERE o_orderkey <= 5000 ORDER BY o_orderkey""".stripMargin,
+
+    "str_escape_head_tail" ->
+      """WITH t AS (
+        | SELECT p_partkey, p_type,
+        |  'a.b*(' || p_brand || ')?[x]' AS raw
+        | FROM part WHERE p_partkey <= 2000)
+        |SELECT p_partkey,
+        | regexp_replace(raw, '([.^$*+?()\[\]{}|\\])', '\\\1', 'g') AS escaped,
+        | len(regexp_extract_all(raw,
+        |   regexp_replace(raw, '([.^$*+?()\[\]{}|\\])', '\\\1', 'g')))
+        |   AS self_hits,
+        | p_type[1:6] AS head6,
+        | p_type[-4:] AS tail4
+        |FROM t ORDER BY p_partkey""".stripMargin,
+
+    "list_stats" ->
+      """WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |m AS (
+        | SELECT vec_id, e, list_sort(e) AS srt,
+        |  (list_sum(list_transform(e, x -> x*x))
+        |    - list_sum(e) * list_sum(e) / 64.0) / 63.0 AS v
+        | FROM t)
+        |SELECT vec_id,
+        | round(v, 6) AS l_var,
+        | round(sqrt(v), 6) AS l_std,
+        | round((srt[32] + srt[33]) / 2.0, 6) AS l_median,
+        | len(list_distinct(e))::INT AS l_nuniq,
+        | len(list_filter([NULL, e[1], e[2], e[3]],
+        |   x -> x IS NOT NULL))::INT AS l_dropn
+        |FROM m ORDER BY vec_id""".stripMargin,
+
+    "dt_iso_parts" ->
+      """SELECT o_orderkey,
+        | isoyear(o_orderdate)::INT AS iso_year,
+        | ((year(o_orderdate) - 1) // 100 + 1)::INT AS century,
+        | ((year(o_orderdate) - 1) // 1000 + 1)::INT AS millennium,
+        | dayofweek(o_orderdate) NOT IN (0, 6) AS is_bizday,
+        | make_date(year(o_orderdate), month(o_orderdate), 1) AS month_floor
         |FROM orders WHERE o_orderkey <= 5000 ORDER BY o_orderkey""".stripMargin,
 
     "text_pack_shards" ->
