@@ -111,6 +111,12 @@ object GraftFunctions {
         ExtractManyExpr(args.head,
           strArrayLit(args(1), "graft_find_many", "patterns"),
           findStarts = true)
+      }),
+    (FunctionIdentifier("graft_reinterpret"),
+      new ExpressionInfo(classOf[ReinterpretExpr].getName, "graft_reinterpret"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_reinterpret(x, mode)")
+        ReinterpretExpr(args.head, strLit(args(1), "graft_reinterpret", "mode"))
       }))
 
   def register(spark: SparkSession): Unit =
