@@ -261,6 +261,21 @@ object QueriesMisc8 {
           dayofmonth(last_day(col("o_orderdate"))).as("days_in_month"))
         .orderBy(col("o_orderkey"))),
 
+    // Decimal dtype fidelity (§1.2; polars Decimal128): grouped sums and
+    // products in exact decimal arithmetic — no float drift by
+    // construction. Output scales pinned on both sides so the hash gate
+    // compares identical renderings.
+    "dtype_decimal_exact" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_extendedprice").cast("decimal(12,2)").as("p"),
+          col("l_quantity").cast("decimal(12,2)").as("q"))
+        .groupBy(col("l_returnflag")).agg(
+          sum(col("p")).cast("decimal(38,2)").as("sum_p"),
+          sum(col("p") * col("q")).cast("decimal(38,4)").as("sum_pq"),
+          min(col("p")).cast("decimal(38,2)").as("min_p"))
+        .orderBy(col("l_returnflag"))),
+
     // polars str.escape_regex + str.head/tail: metacharacters injected so
     // the escape provably neutralizes them (regexp_count of the escaped
     // pattern against the raw string must be exactly 1).
@@ -543,6 +558,17 @@ object QueriesMisc8 {
         |   OR year(o_orderdate) % 400 = 0) AS is_leap,
         | day(last_day(o_orderdate))::INT AS days_in_month
         |FROM orders WHERE o_orderkey <= 5000 ORDER BY o_orderkey""".stripMargin,
+
+    "dtype_decimal_exact" ->
+      """WITH t AS (
+        | SELECT l_returnflag,
+        |  l_extendedprice::DECIMAL(12,2) AS p, l_quantity::DECIMAL(12,2) AS q
+        | FROM lineitem)
+        |SELECT l_returnflag,
+        | sum(p)::DECIMAL(38,2) AS sum_p,
+        | sum(p * q)::DECIMAL(38,4) AS sum_pq,
+        | min(p)::DECIMAL(38,2) AS min_p
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "str_escape_head_tail" ->
       """WITH t AS (
