@@ -347,6 +347,42 @@ final class LazyFrame(val df: DataFrame) {
     }.toMap
   }
 
+  /** polars insert_column(index, col): place a computed column at a fixed
+    * position (pure projection — free at plan time). */
+  def insertColumn(index: Int, name: String, c: Column): LazyFrame = {
+    require(index >= 0 && index <= df.columns.length, s"index $index out of range")
+    val (before, after) = df.columns.map(col).splitAt(index)
+    LazyFrame(df.select(before ++ Seq(c.as(name)) ++ after: _*))
+  }
+
+  /** polars replace_column: swap one column's content, keeping its slot. */
+  def replaceColumn(name: String, c: Column): LazyFrame = {
+    require(df.columns.contains(name), s"no column $name")
+    LazyFrame(df.select(df.columns.map(n =>
+      if (n == name) c.as(name) else col(n)): _*))
+  }
+
+  /** polars map_columns: apply one expression template to several columns
+    * in place. */
+  def mapColumns(names: Seq[String], f: Column => Column): LazyFrame = {
+    val s = names.toSet
+    LazyFrame(df.select(df.columns.map(n =>
+      if (s(n)) f(col(n)).as(n) else col(n)): _*))
+  }
+
+  /** polars glimpse(): one line per column — name, dtype, first values.
+    * Driver-bounded by construction (reads `n` rows once). */
+  def glimpse(n: Int = 10): String = {
+    val rows = df.limit(n).collect()
+    val header = s"Rows: ${rows.length}${if (rows.length == n) "+" else ""}, " +
+      s"Columns: ${df.columns.length}"
+    val lines = df.schema.fields.zipWithIndex.map { case (f, i) =>
+      val vals = rows.map(r => String.valueOf(r.get(i))).mkString(", ")
+      s"$$ ${f.name} <${f.dataType.simpleString}> $vals"
+    }
+    (header +: lines).mkString("\n")
+  }
+
   // ---- concat -------------------------------------------------------------
 
   /** Vertical concat (polars concat how=vertical/diagonal). */

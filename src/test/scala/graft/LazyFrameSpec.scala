@@ -326,6 +326,19 @@ class LazyFrameSpec extends SparkSpec {
       (0, 0, 0), (53, 10, 5)))
   }
 
+  test("insertColumn/replaceColumn/mapColumns keep slots; glimpse renders") {
+    val df = Seq((1, 2.0, "x"), (3, 4.0, "y")).toDF("a", "b", "c")
+    val ins = LazyFrame(df).insertColumn(1, "n", col("a") * 10)
+    assert(ins.columns == Seq("a", "n", "b", "c"))
+    val rep = LazyFrame(df).replaceColumn("b", col("b") + 1)
+    assert(rep.columns == Seq("a", "b", "c") &&
+      rep.collectRows().map(_.getDouble(1)).toSeq == Seq(3.0, 5.0))
+    val mapped = LazyFrame(df).mapColumns(Seq("a"), c => c * 100)
+    assert(mapped.collectRows().map(_.getInt(0)).toSeq == Seq(100, 300))
+    val g = LazyFrame(df).glimpse()
+    assert(g.contains("Columns: 3") && g.contains("$ b <double> 2.0, 4.0"))
+  }
+
   test("rollingMap runs an arbitrary HOF over each trailing window") {
     import org.apache.spark.sql.expressions.Window
     val df = Seq(("a", 1, 1.0), ("a", 2, 5.0), ("a", 3, 2.0), ("a", 4, 9.0))
