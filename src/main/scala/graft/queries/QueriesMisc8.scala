@@ -348,6 +348,29 @@ object QueriesMisc8 {
         .orderBy(col("shard"))
     }),
 
+    // Training-data op (beyond reference): sentence-level corpus dedup —
+    // split every document, drop sentences that appear in MORE THAN ONE
+    // document (cross-doc boilerplate, the Lee et al. 2022 sentence pass),
+    // rebuild each document in original order. Every stage is md5-keyed
+    // (16-byte shuffle keys, never sentence text) and hash-parallel: one
+    // groupBy for global dup detection, one anti-join on digests, one
+    // per-doc re-implode bounded by document length.
+    "text_dedup_sentences" -> ((s, d) => {
+      val sent = t(s, d, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), "\\. ")))
+        .toDF("doc_id", "pos", "sentence")
+      val dups = sent.groupBy(md5(col("sentence")).as("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1).select(col("h"))
+      val kept = sent.join(dups, md5(col("sentence")) === dups("h"), "left_anti")
+      kept.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("sentence")))),
+          x => x.getField("sentence")), ". ")).as("rebuilt_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Training-data op (beyond reference): stratified DETERMINISTIC sampling
     // — per language, keep the ⌈10%⌉ of docs with the smallest
     // md5(doc_id), the standard hash-sampling recipe (reproducible across
@@ -619,6 +642,20 @@ object QueriesMisc8 {
         | count(*) AS n_docs, sum(n_chars)::BIGINT AS chars,
         | min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "text_dedup_sentences" ->
+      """WITH sent AS (
+        | SELECT doc_id, unnest(string_split(text, '. ')) AS sentence,
+        |        generate_subscripts(string_split(text, '. '), 1) AS pos
+        | FROM documents),
+        |dups AS (
+        | SELECT md5(sentence) AS h FROM sent
+        | GROUP BY 1 HAVING count(DISTINCT doc_id) > 1),
+        |kept AS (
+        | SELECT * FROM sent WHERE md5(sentence) NOT IN (SELECT h FROM dups))
+        |SELECT doc_id, count(*) AS n_kept,
+        | md5(string_agg(sentence, '. ' ORDER BY pos)) AS rebuilt_md5
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "misc_sample_stratified" ->
       """WITH t AS (
