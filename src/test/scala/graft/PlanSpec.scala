@@ -185,6 +185,22 @@ class PlanSpec extends SparkSpec {
       s"top-k cut should avoid a global sort:\n$plan")
   }
 
+  test("sentence dedup shuffles on digests/ids only, never sentence text") {
+    val plan = graft.SparkEntry.queries("text_dedup_sentences")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // every hash exchange must key on an md5 digest, the doc id, or a
+    // grouping alias of one of those — a text-keyed exchange would ship
+    // full sentences through the shuffle
+    val keys = "Exchange hashpartitioning\\(([a-zA-Z_#0-9]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(keys.nonEmpty, s"no hash exchanges found:\n$plan")
+    keys.foreach { k =>
+      assert(k.startsWith("h#") || k.startsWith("doc_id#") ||
+        k.startsWith("md5(") || k.startsWith("_groupingexpression"),
+        s"exchange keyed by $k (text-sized key?):\n$plan")
+    }
+  }
+
   test("bottomK plans as TakeOrderedAndProject, same as topK") {
     val cust = graft.dsl.LazyFrame(spark.read.parquet(s"$sf/customer.parquet"))
     val p = planOf(cust.bottomK(10, col("c_acctbal"), col("c_custkey")).df)
