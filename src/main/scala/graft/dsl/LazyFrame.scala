@@ -299,6 +299,25 @@ final class LazyFrame(val df: DataFrame) {
       .withColumnsRenamed(keyValues.map(v => v.toString -> s"$colPrefix$v").toMap))
   }
 
+  /** polars pipe: apply a function to the frame (composition sugar). */
+  def pipe[T](f: LazyFrame => T): T = f(this)
+
+  /** polars Expr.reshape((n, k)) on a flat column: regroup consecutive
+    * elements (along `order`) into fixed-width arrays — one output row per
+    * chunk of `k`. Same positional machinery as [[unstack]] (range-
+    * partitioned row numbers, no single-task window); a short final chunk
+    * is emitted short, polars' behavior for non-divisible lengths. */
+  def reshapeRows(name: String, k: Int, order: Seq[Column]): LazyFrame = {
+    require(k > 0, "reshape width must be positive")
+    val idxd = graft.ops.Distributed.withRowNumber(df.select(col(name)), "__idx", order)
+      .withColumn("__idx", col("__idx") - 1)
+    LazyFrame(idxd.withColumn("__chunk", (col("__idx") / k).cast("long"))
+      .groupBy(col("__chunk"))
+      .agg(transform(array_sort(collect_list(struct(col("__idx"), col(name)))),
+        x => x.getField(name)).as(name))
+      .orderBy(col("__chunk")).drop("__chunk"))
+  }
+
   /** polars unstack(step, how) (DataFrame::unstack, reference
     * `py-polars/src/polars/dataframe/frame.py:9895`): reshape a long frame
     * to wide without aggregation. `how="vertical"`: the output has `step`

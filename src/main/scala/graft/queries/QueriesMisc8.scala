@@ -191,6 +191,14 @@ object QueriesMisc8 {
         .orderBy(col("l_orderkey"))
     }),
 
+    // polars Expr.reshape((n, 5)): flat column → fixed-width arrays along
+    // the order ('|'-serialized for the hash gate; short final chunk kept).
+    "misc_reshape_rows" -> ((s, d) =>
+      lf(s, d, "customer").select(col("c_custkey"))
+        .reshapeRows("c_custkey", 7, Seq(col("c_custkey")))
+        .select(array_join(col("c_custkey"), "|").as("chunk"))
+        .df),
+
     // polars unstack(step, how="vertical"): positional long→wide reshape,
     // no aggregation — nation's 25 rows to a 5×5 grid of names.
     "misc_unstack" -> ((s, d) =>
@@ -666,6 +674,14 @@ object QueriesMisc8 {
         | FROM documents)
         |SELECT doc_id, lang FROM t WHERE rn <= ceil(n * 0.1)
         |ORDER BY doc_id""".stripMargin,
+
+    "misc_reshape_rows" ->
+      """WITH t AS (
+        | SELECT c_custkey,
+        |  (row_number() OVER (ORDER BY c_custkey) - 1) // 7 AS ck
+        | FROM customer)
+        |SELECT array_to_string(list(c_custkey ORDER BY c_custkey), '|') AS chunk
+        |FROM t GROUP BY ck ORDER BY min(c_custkey)""".stripMargin,
 
     "misc_unstack" ->
       """WITH t AS (
