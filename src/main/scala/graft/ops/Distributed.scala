@@ -28,15 +28,18 @@ object Distributed {
     * single-task window. Ties in `ord` get arbitrary but distinct numbers
     * (same contract as `row_number` over a non-total order). */
   def withRowNumber(df: DataFrame, name: String, ord: Seq[Column]): DataFrame =
-    withScanned(df, ord, count(lit(1)).cast("long")) { (ranged, w) =>
+    withScanned(df, ord, count(lit(1)).cast("long"), count(lit(1))) { (ranged, w) =>
       ranged.withColumn("__val", row_number().over(w).cast("long"))
     }.withColumnRenamed("__scan", name)
 
   /** Adds `name` = running sum of `value` along `ord` (inclusive frame)
-    * without a single-task window. */
+    * without a single-task window. Null semantics match the global window:
+    * the running sum is null only while NO non-null value has been seen yet
+    * anywhere in the global order — a range partition whose local prefix is
+    * all-null still inherits the sum carried from earlier partitions. */
   def withPrefixSum(df: DataFrame, value: Column, ord: Seq[Column],
                     name: String): DataFrame =
-    withScanned(df, ord, sum(value)) { (ranged, w) =>
+    withScanned(df, ord, sum(value), count(value)) { (ranged, w) =>
       ranged.withColumn("__val",
         sum(value).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     }.withColumnRenamed("__scan", name)
@@ -49,13 +52,19 @@ object Distributed {
     * prefix sums) — the offsets branch is then a plain partial aggregate
     * over the shared range exchange: no second sort, no second window pass
     * over the data, and no dependence on intra-partition order at all.
+    * `contrib` counts the rows that CONTRIBUTE to the running value
+    * (`count(value)` for null-skipping sums, `count(*)` for row numbers);
+    * its cumulative prior total `__pc` decides whether a null local prefix
+    * means "no data yet anywhere" (stay null) or "all local nulls but
+    * earlier partitions carry a value" (emit the carried offset).
     *
     * CORRECTNESS PRECONDITION: the input lineage must be deterministic
     * (no un-cached sample()/rand()/shuffle-order-sensitive expressions).
     * Both branches hang off the SAME range exchange, which AQE's exchange
     * reuse evaluates once; with a non-deterministic upstream AND exchange
     * reuse disabled, cache or checkpoint upstream. */
-  private def withScanned(df: DataFrame, ord: Seq[Column], total: Column)(
+  private def withScanned(df: DataFrame, ord: Seq[Column], total: Column,
+      contrib: Column)(
       local: (DataFrame, org.apache.spark.sql.expressions.WindowSpec) => DataFrame): DataFrame = {
     val ranged = df.repartitionByRange(ord: _*).withColumn("__dp", spark_partition_id())
     val w = Window.partitionBy(col("__dp")).orderBy(ord: _*)
@@ -63,13 +72,20 @@ object Distributed {
 
     // N rows (one per range partition): partial agg map-side, then the
     // boundary-carry window is metadata-scale by construction
-    val totals = ranged.groupBy(col("__dp")).agg(total.as("__t"))
+    val totals = ranged.groupBy(col("__dp")).agg(total.as("__t"), contrib.as("__c"))
     val wOff = Window.orderBy(col("__dp")).rowsBetween(Window.unboundedPreceding, -1)
     val offsets = totals.select(col("__dp"),
-      coalesce(sum(col("__t")).over(wOff), lit(0L)).as("__off"))
+      coalesce(sum(col("__t")).over(wOff), lit(0L)).as("__off"),
+      coalesce(sum(col("__c")).over(wOff), lit(0L)).as("__pc"))
 
+    // __val null means the LOCAL prefix saw no contributing row yet; the
+    // global answer is then the carried offset if any earlier partition
+    // contributed, else null (global null-prefix). A `+` here would
+    // null-propagate and lose the carry — the round-6 advisor's bug.
     localized.join(broadcast(offsets), Seq("__dp"))
-      .withColumn("__scan", col("__off") + col("__val"))
-      .drop("__dp", "__val", "__off")
+      .withColumn("__scan",
+        when(col("__val").isNotNull, col("__off") + col("__val"))
+          .when(col("__pc") > 0, col("__off")))
+      .drop("__dp", "__val", "__off", "__pc")
   }
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.queries.util._
@@ -270,19 +271,27 @@ object QueriesMisc8 {
         .orderBy(col("o_orderkey"))),
 
     // Decimal dtype fidelity (§1.2; polars Decimal128): grouped sums and
-    // products in exact decimal arithmetic — no float drift by
-    // construction. Output scales pinned on both sides so the hash gate
-    // compares identical renderings.
-    "dtype_decimal_exact" -> ((s, d) =>
+    // products in exact decimal arithmetic. The fixture stores doubles, and
+    // a direct double→decimal cast rounds differently across engines (Spark
+    // HALF_UP on the decimal string, DuckDB on the binary double — the
+    // round-6 red row), so the decimals are constructed via integer cents:
+    // round(x*100) to an integer agrees across engines (same recipe as
+    // TextAnalysis.qualityScore), and cents × 0.01 in decimal arithmetic is
+    // exact. The key then proves the decimal-AGGREGATION contract it names.
+    "dtype_decimal_exact" -> ((s, d) => {
+      val cent = lit(new java.math.BigDecimal("0.01"))
+      def dec2(c: Column): Column =
+        (round(c * 100, 0).cast("long").cast("decimal(14,0)") * cent).cast("decimal(12,2)")
       t(s, d, "lineitem")
         .select(col("l_returnflag"),
-          col("l_extendedprice").cast("decimal(12,2)").as("p"),
-          col("l_quantity").cast("decimal(12,2)").as("q"))
+          dec2(col("l_extendedprice")).as("p"),
+          dec2(col("l_quantity")).as("q"))
         .groupBy(col("l_returnflag")).agg(
           sum(col("p")).cast("decimal(38,2)").as("sum_p"),
           sum(col("p") * col("q")).cast("decimal(38,4)").as("sum_pq"),
           min(col("p")).cast("decimal(38,2)").as("min_p"))
-        .orderBy(col("l_returnflag"))),
+        .orderBy(col("l_returnflag"))
+    }),
 
     // polars str.escape_regex + str.head/tail: metacharacters injected so
     // the escape provably neutralizes them (regexp_count of the escaped
@@ -593,7 +602,10 @@ object QueriesMisc8 {
     "dtype_decimal_exact" ->
       """WITH t AS (
         | SELECT l_returnflag,
-        |  l_extendedprice::DECIMAL(12,2) AS p, l_quantity::DECIMAL(12,2) AS q
+        |  (CAST(round(l_extendedprice * 100) AS BIGINT)::DECIMAL(14,0)
+        |    * 0.01)::DECIMAL(12,2) AS p,
+        |  (CAST(round(l_quantity * 100) AS BIGINT)::DECIMAL(14,0)
+        |    * 0.01)::DECIMAL(12,2) AS q
         | FROM lineitem)
         |SELECT l_returnflag,
         | sum(p)::DECIMAL(38,2) AS sum_p,

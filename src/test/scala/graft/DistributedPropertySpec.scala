@@ -13,8 +13,20 @@ class DistributedPropertySpec extends SparkSpec {
 
   private val seeds = 0 until 8
 
+  /** AQE happily coalesces a few-hundred-row range exchange down to ONE
+    * partition, which would make every check here vacuous (the offset/carry
+    * logic — the entire point of Distributed — never runs). Pin coalescing
+    * off and prove the scan really spanned multiple range partitions. */
+  private def withRealPartitions[T](body: => T): T =
+    withSQLConf("spark.sql.adaptive.coalescePartitions.enabled" -> "false")(body)
+
+  private def rangePartitionCount(df: org.apache.spark.sql.DataFrame,
+                                  ord: Seq[org.apache.spark.sql.Column]): Long =
+    df.repartitionByRange(ord: _*)
+      .select(spark_partition_id().as("p")).distinct().count()
+
   test("withRowNumber equals the single-task global row_number") {
-    for (seed <- seeds) {
+    withRealPartitions { for (seed <- seeds) {
       val rnd = new scala.util.Random(seed)
       val n = 1 + rnd.nextInt(500)
       val parts = 1 + rnd.nextInt(7)
@@ -29,11 +41,14 @@ class DistributedPropertySpec extends SparkSpec {
         .select(col("k"), col("rn")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toMap
       assert(got == want, s"seed=$seed n=$n parts=$parts")
-    }
+      if (n >= 100)
+        assert(rangePartitionCount(df, Seq(col("k"))) > 1,
+          s"seed=$seed n=$n: scan ran on one range partition — test is vacuous")
+    } }
   }
 
   test("withPrefixSum equals the single-task global running sum (nulls, negatives)") {
-    for (seed <- seeds) {
+    withRealPartitions { for (seed <- seeds) {
       val rnd = new scala.util.Random(seed ^ 0x5eed)
       val n = 1 + rnd.nextInt(500)
       val parts = 1 + rnd.nextInt(7)
@@ -60,6 +75,36 @@ class DistributedPropertySpec extends SparkSpec {
         .select(col("k"), col("ps")).collect()
         .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1))).toMap
       assert(got == want, s"seed=$seed n=$n parts=$parts")
+      if (n >= 100)
+        assert(rangePartitionCount(df, Seq(col("k"))) > 1,
+          s"seed=$seed n=$n: scan ran on one range partition — test is vacuous")
+    } }
+  }
+
+  test("withPrefixSum carries the running sum across an all-null partition prefix") {
+    withRealPartitions {
+      // 12 ordered rows over 4 range partitions (3 rows each with coalescing
+      // off): partition 1 is ALL null, partition 2 leads with nulls. The
+      // round-6 advisor's probe: a null-propagating `__off + __val` loses the
+      // carry and returns null where the global window returns 8/10/11.
+      val vs: Seq[java.lang.Long] = Seq[java.lang.Long](
+        null, 3L, 5L,            // p0: global prefix null,3,8
+        null, null, null,        // p1: all-null — must carry 8,8,8
+        null, 2L, 1L,            // p2: null lead — must carry 8,10,11
+        null, 4L, null)          // p3: 11,15,15
+      import scala.jdk.CollectionConverters._
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))
+      val df = spark.createDataFrame(
+        vs.zipWithIndex.map { case (v, i) => org.apache.spark.sql.Row(i.toLong, v) }.asJava,
+        schema)
+      assert(rangePartitionCount(df, Seq(col("k"))) > 1, "probe needs >1 range partition")
+
+      val got = Distributed.withPrefixSum(df, col("v"), Seq(col("k")), "ps")
+        .orderBy("k").select("ps").collect()
+        .map(r => if (r.isNullAt(0)) null else r.getLong(0)).toSeq
+      assert(got == Seq(null, 3L, 8L, 8L, 8L, 8L, 8L, 10L, 11L, 11L, 15L, 15L))
     }
   }
 }
