@@ -56,10 +56,14 @@ object Bench {
       "vec_id", "embedding", "query_id", k = 3)
       .write.format("noop").mode("overwrite").save()
 
-    // Two passes, per-query minimum: the timing target is engine throughput,
-    // not transient host noise (shared-VM CPU stalls measured at 5-10× on
-    // single runs) or residual JIT warm-up. A failing query is recorded as
-    // "err", never as a wall time — a broken query must not read as fast.
+    // Three passes, per-query minimum (plus medians alongside): the timing
+    // target is engine throughput, not transient host noise (shared-VM CPU
+    // stalls measured at 5-10× on single runs, and round-6's record swung
+    // +17% on code that didn't change) or residual JIT warm-up. With three
+    // samples the median also exposes whether the min was a fluke. A failing
+    // query is recorded as "err", never as a wall time — a broken query must
+    // not read as fast.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     def pass(): Seq[(String, Either[String, Double])] = picked.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
@@ -72,18 +76,24 @@ object Bench {
           name -> Left("err")
       }
     }
-    val (p1, p2) = (pass(), pass())
-    val results = p1.zip(p2).map {
-      case ((n, Right(a)), (_, Right(b))) => n -> Right(math.min(a, b))
-      case ((n, _), _)                    => n -> Left("err")
-    }
-    val qs = results.map {
-      case (k, Right(v)) => "\"" + k + f"""\":$v%.3f"""
-      case (k, Left(m))  => "\"" + k + "\":\"" + m + "\""
+    val runs = Seq.fill(passes)(pass())
+    val results: Seq[(String, Either[String, (Double, Double)])] =
+      picked.zipWithIndex.map { case (name, i) =>
+        val samples = runs.map(_(i)._2)
+        if (samples.exists(_.isLeft)) name -> Left("err")
+        else {
+          val vs = samples.collect { case Right(v) => v }.sorted
+          name -> Right((vs.head, vs(vs.size / 2)))
+        }
+      }
+    def jsonOf(pick: ((Double, Double)) => Double) = results.map {
+      case (k, Right(mm)) => "\"" + k + f"""\":${pick(mm)}%.3f"""
+      case (k, Left(m))   => "\"" + k + "\":\"" + m + "\""
     }.mkString("{", ",", "}")
     val errs = results.count(_._2.isLeft)
-    val total = results.collect { case (_, Right(v)) => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"errors":$errs}""")
+    val total = results.collect { case (_, Right((mn, _))) => mn }.sum
+    val totalMed = results.collect { case (_, Right((_, md))) => md }.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonOf(_._1)},"queries_median":${jsonOf(_._2)},"total_median":$totalMed%.3f,"sf":"$sfDir","passes":$passes,"errors":$errs}""")
     spark.stop()
   }
 }
