@@ -105,10 +105,26 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: same LSH bucket AND cosine ≥ threshold.
-    * Bucket equi-join keeps the candidate set shuffle-bounded. */
+    * Bucket equi-join keeps the candidate set shuffle-bounded.
+    *
+    * `maxBucket` > 0 drops buckets larger than the cap BEFORE the self-join
+    * (same windowed-count prune as the text-LSH path,
+    * `text/Dedup.pairsFromBuckets`): a degenerate bucket — zero/dead
+    * embeddings are common at corpus scale and all land in one signature —
+    * is otherwise a single n²/2 join task. Oversized buckets carry almost
+    * no near-dup signal; at 100 TB set the cap (e.g. 1000). The window's
+    * hash partitioning on `__bucket` is exactly the join's partitioning, so
+    * the prune adds no extra shuffle. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-                        planes: Seq[Array[Double]], threshold: Double): DataFrame = {
-    val b = df.select(col(idCol), col(vecCol), lshBucket(col(vecCol), planes).as("__bucket"))
+                        planes: Seq[Array[Double]], threshold: Double,
+                        maxBucket: Int = 0): DataFrame = {
+    val b0 = df.select(col(idCol), col(vecCol), lshBucket(col(vecCol), planes).as("__bucket"))
+    val b =
+      if (maxBucket > 0)
+        b0.withColumn("__bn",
+          count(lit(1)).over(Window.partitionBy(col("__bucket"))))
+          .filter(col("__bn") <= maxBucket).drop("__bn")
+      else b0
     val l = b.select(col(idCol).as("id_a"), col(vecCol).as("__va"), col("__bucket"))
     val r = b.select(col(idCol).as("id_b"), col(vecCol).as("__vb"), col("__bucket"))
     l.join(r, Seq("__bucket"))

@@ -62,7 +62,10 @@ object QueriesText {
     // MinHash+LSH+Jaccard pipeline in SQL.
     "dedup_near_pairs" -> ((s, d) =>
       Dedup.nearDuplicates(t(s, d, "documents"), "doc_id", "text",
-        w = 3, k = 4, b = 2, threshold = 0.5)
+        w = 3, k = 4, b = 2, threshold = 0.5,
+        // local fixture arrives as one row-group; fan the CPU-bound hash
+        // stage out (explicit hint — the library never probes partitions)
+        parallelism = s.sparkContext.defaultParallelism)
         .orderBy(col("id_a"), col("id_b"))),
 
     "dedup_simhash" -> ((s, d) =>
@@ -76,7 +79,8 @@ object QueriesText {
     // detection. Oracle closes the same pair set with a recursive CTE.
     "dedup_clusters" -> ((s, d) => {
       val pairs = Dedup.nearDuplicates(t(s, d, "documents"), "doc_id", "text",
-        w = 3, k = 4, b = 2, threshold = 0.5)
+        w = 3, k = 4, b = 2, threshold = 0.5,
+        parallelism = s.sparkContext.defaultParallelism)
       Dedup.duplicateClusters(pairs, "id_a", "id_b").orderBy(col("doc_id"))
     }),
 

@@ -78,14 +78,18 @@ object Dedup {
     * MinHash pipeline. Its own projection so downstream stages read the
     * materialized array instead of re-deriving it.
     *
-    * The hash stage is CPU-bound interpreted HOF work, so parallelism is
-    * everything: a compact input (one parquet row-group) would otherwise pin
-    * the whole corpus on one task. Fan out to the cluster's parallelism when
-    * the input arrives under-partitioned; at real scale the scan already has
-    * thousands of partitions and no extra shuffle happens. */
-  private def shingled(df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    val in = if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    * The hash stage is CPU-bound, so parallelism matters: a compact input
+    * (one parquet row-group) would otherwise pin the corpus on one task.
+    * `parallelism` > 0 fans the input out to that many partitions;
+    * 0 (the scale default) respects the input's own partitioning — at real
+    * scale the scan already has thousands of partitions and a forced
+    * repartition would be a full corpus shuffle. The caller decides: this
+    * deliberately does NOT probe the input's partition count (a `df.rdd`
+    * probe forces physical planning per pipeline call and bypasses the
+    * AQE-final view). */
+  private def shingled(df: DataFrame, idCol: String, textCol: String, w: Int,
+                       parallelism: Int): DataFrame = {
+    val in = if (parallelism > 0) df.repartition(parallelism) else df
     in.select(col(idCol).as("__id"),
       array_distinct(shingles(col(textCol), w)).as("__sh"))
   }
@@ -135,8 +139,9 @@ object Dedup {
     * at corpus scale set it (e.g. 1000) — a bucket that large is noise. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         w: Int = 3, k: Int = 16, b: Int = 4,
-                        maxBucket: Int = 0): DataFrame =
-    pairsFromBuckets(bandedIds(shingled(df, idCol, textCol, w), k, b), maxBucket)
+                        maxBucket: Int = 0, parallelism: Int = 0): DataFrame =
+    pairsFromBuckets(
+      bandedIds(shingled(df, idCol, textCol, w, parallelism), k, b), maxBucket)
 
   /** Exact n-gram Jaccard similarity between two text columns. */
   def jaccard(textA: Column, textB: Column, w: Int): Column = {
@@ -171,17 +176,20 @@ object Dedup {
   /** MinHash-LSH near-dup pairs verified by exact Jaccard ≥ threshold.
     * Candidates come from LSH (shuffle-bounded); verification joins the
     * already-shingled sides back — shingles are computed exactly once per
-    * document across the whole pipeline. */
+    * document across the whole pipeline. `parallelism` > 0 fans an
+    * under-partitioned input out to that many tasks before the CPU-bound
+    * shingle/hash stage (see [[shingled]]); 0 respects input partitioning. */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      w: Int = 3, k: Int = 16, b: Int = 4,
-                     threshold: Double = 0.8, maxBucket: Int = 0): DataFrame = {
+                     threshold: Double = 0.8, maxBucket: Int = 0,
+                     parallelism: Int = 0): DataFrame = {
     // persist: the shingle arrays feed banding AND both verification joins —
     // without it the tokenize+shingle+distinct pipeline runs 3×. MEMORY_AND_DISK
     // so a 100 TB corpus spills instead of OOMing; at that scale prefer an
     // explicit checkpoint to parquet. The previous call's persist is released
     // here so blocks never accumulate across calls.
     releaseCache()
-    val sh = shingled(df, idCol, textCol, w)
+    val sh = shingled(df, idCol, textCol, w, parallelism)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     liveShingleCache.set(sh)
     val cands = pairsFromBuckets(bandedIds(sh, k, b), maxBucket)

@@ -149,6 +149,36 @@ class TextSpec extends SparkSpec {
     assert(recall(hits(4)) == 1.0)
   }
 
+  test("embeddingNearDups maxBucket drops a degenerate bucket, keeps normal pairs") {
+    // Buckets under these planes: v0,v1 → 5; v2,v3 → 6; v4 → 2 alone;
+    // the planted identical vectors → 1, disjoint from every normal bucket.
+    val planes = Seq(Array(0.3, -0.7, 0.2), Array(-0.5, 0.4, 0.8), Array(0.9, 0.1, -0.6))
+    val normal = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.99f, 0.05f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)), (3L, Array(0.02f, 0.98f, 0.1f)),
+      (4L, Array(-1.0f, 0.1f, 0.0f))).toDF("vec_id", "embedding")
+    val base = Similarity.embeddingNearDups(normal, "vec_id", "embedding", planes, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(base == Set((0L, 1L), (2L, 3L))) // the "unchanged" claim below is not vacuous
+
+    // dead/identical embeddings (the common corpus-scale degeneracy) all land
+    // in ONE bucket: 100 of them uncapped emit 100*99/2 pairs from one task
+    def dead(n: Long) = spark.range(n).select(
+      (col("id") + 100000L).as("vec_id"),
+      array(lit(-1.0f), lit(-2.0f), lit(-0.5f)).as("embedding"))
+    val uncapped = Similarity.embeddingNearDups(normal.unionByName(dead(100)),
+      "vec_id", "embedding", planes, 0.8)
+    assert(uncapped.count() == base.size + 100L * 99 / 2)
+
+    // maxBucket prunes the degenerate bucket BEFORE pair expansion — 10k
+    // planted vectors (≈5e7 pairs uncapped) stay cheap — and normal buckets
+    // are untouched
+    val capped = Similarity.embeddingNearDups(normal.unionByName(dead(10000)),
+      "vec_id", "embedding", planes, 0.8, maxBucket = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == base)
+  }
+
   test("multimodal frame sampling emits duration/every + 1 frames") {
     val df = Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "payload")
     val assets = Multimodal.asAssets(df, "id", "payload", "video")
