@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling without RNG state and without windows.
+  *
+  * Mirrors the reference's seeded sampling surface
+  * (`crates/polars-ops/src/chunked_array/random.rs`) with the recipe a
+  * distributed engine actually wants: a content hash compared against a
+  * threshold is reproducible across runs, engines, partitionings and
+  * retries — no RNG state to synchronize, no `Window.partitionBy(stratum)`
+  * that pins a dominant stratum (half a real corpus is "en") on one task.
+  */
+object Sampling {
+
+  /** Uniform-in-[0,1) deterministic hash of `id`: the first 15 hex chars of
+    * md5 (60 bits — exactly representable in a double) over 16^15. */
+  def hashUniform(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long") /
+      lit(1152921504606846976.0) // 16^15 = 2^60, exact as a double
+
+  /** Stratified deterministic sampling, scale form: keep rows whose
+    * [[hashUniform]] falls under a per-stratum cutoff
+    * `ceil(n_s * frac) / n_s` — expected sample size matches the exact
+    * rank form's `ceil(n_s * frac)` and every stratum (however small) has a
+    * positive cutoff. One metadata-scale count aggregate, a broadcast join
+    * of the per-stratum cutoffs, and a filter: the data is touched in a
+    * single pass with NO window, so a dominant stratum costs nothing extra.
+    *
+    * The exact-per-stratum-size rank form (row_number over the stratum) is
+    * the small-data cross-check (`misc_sample_stratified`); this is what to
+    * run at corpus scale. */
+  def sampleStratified(df: DataFrame, strata: Seq[String], idCol: String,
+                       frac: Double): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac must be in (0, 1], got $frac")
+    val cuts = df.groupBy(strata.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      // ceil yields an exact integer, so the double division below is
+      // bit-identical across engines (the oracle replays it in SQL)
+      .withColumn("__cut", ceil(col("__n") * frac).cast("double") / col("__n"))
+      .drop("__n")
+    df.join(broadcast(cuts), strata)
+      .filter(hashUniform(col(idCol)) < col("__cut"))
+      .drop("__cut")
+  }
+}

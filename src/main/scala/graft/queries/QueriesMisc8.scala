@@ -403,7 +403,17 @@ object QueriesMisc8 {
         .filter(col("rn") <= ceil(col("n") * 0.1))
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // The SCALE form of the same op (ops/Sampling.sampleStratified): one
+    // count agg + broadcast cutoffs + filter — no per-stratum window, so a
+    // dominant stratum can't pin the job on one task. PlanSpec asserts the
+    // plan is window-free; expected per-stratum size matches the rank form.
+    "misc_sample_stratified_scale" -> ((s, d) =>
+      graft.ops.Sampling.sampleStratified(
+        t(s, d, "documents"), Seq("lang"), "doc_id", 0.1)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -686,6 +696,16 @@ object QueriesMisc8 {
         | FROM documents)
         |SELECT doc_id, lang FROM t WHERE rn <= ceil(n * 0.1)
         |ORDER BY doc_id""".stripMargin,
+
+    "misc_sample_stratified_scale" ->
+      """WITH c AS (
+        | SELECT lang, ceil(count(*) * 0.1) / count(*) AS cut
+        | FROM documents GROUP BY lang)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN c USING (lang)
+        |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
+        |      / 1152921504606846976.0 < c.cut
+        |ORDER BY d.doc_id""".stripMargin,
 
     "misc_reshape_rows" ->
       """WITH t AS (

@@ -225,4 +225,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate(keys=[__dp"),
       s"offsets branch should be a plain per-partition aggregate:\n$p")
   }
+
+  test("scale stratified sampling is window-free: count agg + broadcast cutoffs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sampled = graft.ops.Sampling.sampleStratified(docs, Seq("lang"), "doc_id", 0.1)
+    val p = planOf(sampled)
+    // the rank form puts each stratum in ONE window task; the scale form
+    // must touch the data only through a filter under a broadcast join
+    assert(!p.contains("Window"), s"stratified sampling planned a window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-stratum cutoffs should broadcast:\n$p")
+  }
 }
