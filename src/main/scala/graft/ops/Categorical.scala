@@ -65,4 +65,39 @@ object Categorical {
 
   /** polars cat.len_chars(): character length of the category value. */
   def lenChars(c: Column): Column = char_length(c)
+
+  /** polars Enum (dtype.rs:139): the FROZEN-dictionary categorical. Codes
+    * are fixed by position in `categories` at declaration time — no data
+    * scan, no dictionary build, reproducible on any cluster by
+    * construction. The strict encode RAISES on an out-of-set value (the
+    * Enum cast contract — polars throws InvalidOperationError); pass
+    * `strict = false` for polars' `cast(..., strict=False)`, which maps
+    * out-of-set values to null. Nulls stay null either way (null is not a
+    * category). The category array is a literal — the membership probe and
+    * code assignment run inside codegen, no join, no shuffle. */
+  def enumEncode(c: Column, categories: Seq[String],
+                 strict: Boolean = true): Column = {
+    require(categories.nonEmpty && categories.distinct.size == categories.size,
+      "Enum categories must be non-empty and distinct")
+    val cats = array(categories.map(lit): _*)
+    val pos = array_position(cats, c) // 1-based; 0 when out-of-set; null on null
+    val code = (pos - 1).cast("int")
+    if (strict)
+      when(c.isNull, lit(null).cast("int"))
+        .when(pos > 0, code)
+        .otherwise(raise_error(concat(
+          lit("Enum strict cast failed: value '"), c,
+          lit(s"' is not in the frozen categories [${categories.mkString(", ")}]")))
+          .cast("int"))
+    else when(pos > 0, code)
+  }
+
+  /** Enum decode: physical code → category string, by position in the
+    * frozen list. Out-of-range codes decode to null (guarded explicitly —
+    * under ANSI a bare element_at would raise on the bad index). */
+  def enumDecode(code: Column, categories: Seq[String]): Column = {
+    val i = code.cast("int")
+    when(i.between(0, categories.size - 1),
+      element_at(array(categories.map(lit): _*), i + 1))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import graft.ops.Categorical
 import graft.queries.util._
 import graft.sources.Float16Parquet
 
@@ -62,6 +63,23 @@ object QueriesMisc9 {
           (lit(0) - col("v")).cast("string").as("neg"),
           (col("v") > lit(Long.MaxValue)).as("gt_i64"))
         .orderBy(length(col("v_str")), col("v_str"))
+    }),
+
+    // polars Enum (dtype.rs:139): frozen dictionary fixed at declaration —
+    // codes by list position, no data scan, cluster-reproducible by
+    // construction. The strict-raise contract (out-of-set value → error,
+    // the difference from Categorical) is spec-asserted in OpsSpec; this
+    // key pins the code assignment, round-trip decode, and code-order
+    // comparisons on a real column whose values all sit in the frozen set.
+    "cat_enum_strict" -> ((s, d) => {
+      val cats = Seq("A", "N", "R")
+      val code = Categorical.enumEncode(col("l_returnflag"), cats)
+      t(s, d, "lineitem").filter(col("l_orderkey") <= 2000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          code.as("code"),
+          Categorical.enumDecode(code, cats).as("rt"),
+          (code < 2).as("before_r"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     })
   )
 
@@ -82,6 +100,17 @@ object QueriesMisc9 {
         | (v + (CASE WHEN v >= 0 THEN -1 ELSE 1 END))::VARCHAR AS toward_zero,
         | (-v)::VARCHAR AS neg,
         | v > 9223372036854775807 AS gt_i64
-        |FROM s ORDER BY length(v_str), v_str""".stripMargin
+        |FROM s ORDER BY length(v_str), v_str""".stripMargin,
+
+    "cat_enum_strict" ->
+      """WITH t AS (
+        | SELECT l_orderkey, l_linenumber,
+        |  (CASE l_returnflag WHEN 'A' THEN 0 WHEN 'N' THEN 1
+        |   WHEN 'R' THEN 2 END)::INT AS code
+        | FROM lineitem WHERE l_orderkey <= 2000)
+        |SELECT l_orderkey, l_linenumber, code,
+        | (CASE code WHEN 0 THEN 'A' WHEN 1 THEN 'N' WHEN 2 THEN 'R' END) AS rt,
+        | code < 2 AS before_r
+        |FROM t ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
 }

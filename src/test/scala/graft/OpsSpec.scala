@@ -22,6 +22,33 @@ class OpsSpec extends SparkSpec {
     assert(Categorical.getCategories(df, "lang").count() == 3)
   }
 
+  test("enum: frozen codes by declaration order; strict encode RAISES on out-of-set") {
+    val cats = Seq("de", "en", "fr")
+    val good = Seq(Some("fr"), Some("de"), None, Some("en")).toDF("lang")
+    val codes = good.select(Categorical.enumEncode(col("lang"), cats).as("c"))
+      .collect().map(r => Option(r.get(0)).map(_.asInstanceOf[Int])).toSeq
+    assert(codes == Seq(Some(2), Some(0), None, Some(1)))
+    // decode by position; out-of-range code → null
+    val back = good.select(Categorical.enumDecode(
+      Categorical.enumEncode(col("lang"), cats), cats).as("rt"))
+      .collect().map(r => Option(r.getString(0))).toSeq
+    assert(back == Seq(Some("fr"), Some("de"), None, Some("en")))
+    assert(spark.range(1).select(
+      Categorical.enumDecode(lit(99), cats).as("x")).head().isNullAt(0))
+
+    // the Enum contract: a value outside the frozen set must RAISE...
+    val bad = Seq("de", "zz").toDF("lang")
+    val e = intercept[Exception] {
+      bad.select(Categorical.enumEncode(col("lang"), cats)).collect()
+    }
+    assert(e.getMessage.contains("Enum strict cast failed") &&
+      e.getMessage.contains("zz"), e.getMessage)
+    // ...and the non-strict cast maps it to null instead (polars strict=False)
+    val lax = bad.select(Categorical.enumEncode(col("lang"), cats, strict = false).as("c"))
+      .collect().map(r => Option(r.get(0))).toSeq
+    assert(lax == Seq(Some(0), None))
+  }
+
   test("unique keep=first/last/none honor the order column") {
     val df = Seq(("a", 1, "x"), ("a", 2, "y"), ("b", 3, "z"))
       .toDF("k", "ord", "v")
