@@ -338,14 +338,22 @@ final class LazyFrame(val df: DataFrame) {
       else (col("__idx") / step, col("__idx") % step)
     val tagged = idxd.withColumn("__row", rowId.cast("long"))
       .withColumn("__chunk", chunkId.cast("long"))
-    val nChunks = tagged.agg(max(col("__chunk"))).head().getLong(0).toInt + 1
-    val wide = tagged.groupBy(col("__row"))
-      .pivot("__chunk", 0 until nChunks)
-      .agg(first(struct(names.map(col): _*)))
-    val outCols = for (n <- names; j <- 0 until nChunks)
-      yield col(s"$j").getField(n).as(s"${n}_$j")
-    LazyFrame(wide.select(col("__row") +: outCols: _*)
-      .orderBy(col("__row")).drop("__row"))
+    // NOTE: this head() runs a job at plan-build time — unstack needs the
+    // chunk count to name output columns, so it is eager by contract (the
+    // reference's unstack is eager too). Guard the empty frame: max(null)
+    // would NPE on getLong.
+    val maxRow = tagged.agg(max(col("__chunk"))).head()
+    if (maxRow.isNullAt(0)) LazyFrame(df.sparkSession.emptyDataFrame)
+    else {
+      val nChunks = maxRow.getLong(0).toInt + 1
+      val wide = tagged.groupBy(col("__row"))
+        .pivot("__chunk", 0 until nChunks)
+        .agg(first(struct(names.map(col): _*)))
+      val outCols = for (n <- names; j <- 0 until nChunks)
+        yield col(s"$j").getField(n).as(s"${n}_$j")
+      LazyFrame(wide.select(col("__row") +: outCols: _*)
+        .orderBy(col("__row")).drop("__row"))
+    }
   }
 
   /** polars partition_by (DataFrame::partition_by): split into one frame
@@ -601,8 +609,18 @@ final class LazyFrame(val df: DataFrame) {
   def collectRows(): Array[Row] = df.collect()
   def count(): Long = df.count()
 
-  def sinkParquet(path: String, partitionBy: Seq[String] = Nil): Unit = {
-    val w = df.write.mode("overwrite")
+  /** Parquet sink with the reference's two partitioned-sink flavors
+    * (`crates/polars-plan/src/dsl/options/sink.rs:249-258`): by-key
+    * (`partitionBy`, hive layout) and max-size (`maxRecordsPerFile` > 0
+    * caps rows per emitted file — Spark splits a task's output into
+    * multiple files at the cap, the direct mapping of the reference's
+    * per-file size budget). The two compose: a hive partition whose task
+    * output exceeds the cap emits several files under its directory. */
+  def sinkParquet(path: String, partitionBy: Seq[String] = Nil,
+                  maxRecordsPerFile: Long = 0): Unit = {
+    val w0 = df.write.mode("overwrite")
+    val w = if (maxRecordsPerFile > 0)
+      w0.option("maxRecordsPerFile", maxRecordsPerFile) else w0
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 

@@ -54,6 +54,32 @@ class IOSpec extends SparkSpec {
     assert(pruned.explainFormatted().contains("PartitionFilters"))
   }
 
+  test("max-size sink caps rows per file (reference sink.rs max-size variant)") {
+    val p = tmp("maxsize")
+    val big = spark.range(1000).toDF("id").coalesce(1) // one task → one file normally
+    LazyFrame(big).sinkParquet(p, maxRecordsPerFile = 100)
+    val files = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 10, s"expected 1000/100 = 10 files, got ${files.length}")
+    // every file honors the cap and nothing is lost
+    files.foreach { f =>
+      val n = spark.read.parquet(f.getPath).count()
+      assert(n <= 100, s"${f.getName} has $n rows > cap")
+    }
+    assert(LazyFrame.scanParquet(spark, p).count() == 1000)
+
+    // composes with by-key partitioning: each hive dir splits at the cap
+    val p2 = tmp("maxsize-key")
+    val keyed = spark.range(400)
+      .select(col("id"), (col("id") % 2).as("k")).coalesce(1)
+    LazyFrame(keyed).sinkParquet(p2, partitionBy = Seq("k"), maxRecordsPerFile = 50)
+    (0 to 1).foreach { k =>
+      val dir = new java.io.File(s"$p2/k=$k")
+      val n = dir.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n == 4, s"k=$k: expected 200/50 = 4 files, got $n")
+    }
+  }
+
   test("scan_lines reads raw text") {
     val p = tmp("lines")
     Seq("a b", "c").toDF("value").write.mode("overwrite").text(p)

@@ -304,6 +304,10 @@ class LazyFrameSpec extends SparkSpec {
       (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3))).toSeq
     assert(hRows == Seq(("A", "B", 1, 2), ("C", "D", 3, 4),
       ("E", "F", 5, 6), ("G", "H", 7, 8)))
+    // empty input: an empty frame, not an NPE on the null max(__chunk)
+    val empty = LazyFrame(df.filter(col("y") > 100))
+      .unstack(step = 4, order = Seq(col("y")))
+    assert(empty.count() == 0)
   }
 
   test("partitionByKeys splits into per-key frames incl. null keys") {
