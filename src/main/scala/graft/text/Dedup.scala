@@ -273,43 +273,81 @@ object Dedup {
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** Duplicate CLUSTERS from near-dup pairs — the step after
-    * [[nearDuplicates]] in every real dedup pipeline: connected components
-    * by iterative min-label propagation, so each document gets the smallest
-    * id in its component as `cluster_id` (the canonical-doc assignment).
+    * [[nearDuplicates]] in every real dedup pipeline: connected components,
+    * so each document gets the smallest id in its component as `cluster_id`
+    * (the canonical-doc assignment).
     *
-    * Each iteration is one equi-join + one groupBy (shuffle-bounded, no
-    * driver data); `localCheckpoint` cuts the growing lineage per round.
-    * Iterations are bounded by the largest cluster's diameter — near-dup
-    * clusters are shallow (pairs share LSH buckets), so this converges in
-    * a handful of rounds; for adversarial diameters the alternating
-    * small-star/large-star variant (Kiveris et al.) is the known upgrade.
-    * Only ids that appear in `pairs` are emitted; unpaired documents are
-    * their own singleton clusters by definition. */
+    * Algorithm: alternating large-star/small-star (Kiveris et al. 2014,
+    * "Connected Components in MapReduce and Beyond" — the public
+    * MapReduce-era recipe). Each phase is one groupBy + one equi-join,
+    * both keyed on node id (shuffle-bounded, no driver data), and the
+    * alternation converges in O(log n) phases even on adversarial
+    * long-chain graphs, where the plain min-label propagation this
+    * replaces needs O(diameter) rounds (a planted 1000-chain: ~15 phases
+    * vs 999 rounds — property-spec'd). `localCheckpoint` cuts the growing
+    * lineage per phase. Only ids that appear in `pairs` are emitted;
+    * unpaired documents are their own singleton clusters by definition. */
   def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String,
-                        maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
-      .distinct().localCheckpoint()
-    var labels = edges.groupBy(col("src").as("doc_id"))
-      .agg(min(col("dst")).as("__mn"))
-      .select(col("doc_id"), least(col("doc_id"), col("__mn")).as("cluster_id"))
-      .localCheckpoint()
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
-        .groupBy(col("src").as("doc_id"))
-        .agg(min(col("cluster_id")).as("__nmin"))
-      val next = labels.join(neighborMin, Seq("doc_id"))
-        .select(col("doc_id"),
-          least(col("cluster_id"), col("__nmin")).as("cluster_id"))
-        .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("cluster_id", "__old"), Seq("doc_id"))
-        .filter(col("cluster_id") < col("__old")).isEmpty
-      labels = next
-      i += 1
+                        maxIter: Int = 60): DataFrame =
+    duplicateClustersWithStats(pairs, aCol, bCol, maxIter)._1
+
+  /** [[duplicateClusters]] plus the number of star phases it ran —
+    * exposed so the convergence-bound property spec can assert the
+    * O(log n) behavior instead of trusting the comment. */
+  def duplicateClustersWithStats(pairs: DataFrame, aCol: String, bCol: String,
+                                 maxIter: Int = 60): (DataFrame, Int) = {
+    val ids = pairs.select(col(aCol).cast("long").as("doc_id"))
+      .union(pairs.select(col(bCol).cast("long").as("doc_id"))).distinct()
+    var edges = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+
+    // large-star: every node links its LARGER neighbors to the minimum of
+    // its neighborhood (incl. itself) — long tails fold up exponentially
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy("u").agg(min(col("v")).as("__mn"))
+        .select(col("u"), least(col("u"), col("__mn")).as("__m"))
+      sym.join(m, Seq("u")).filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("__m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
     }
-    labels
+    // small-star: every node links its smaller-or-equal neighbors (and
+    // itself) to the minimum among them
+    def smallStar(e: DataFrame): DataFrame = {
+      val o = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val m = o.groupBy("u").agg(min(col("v")).as("__m"))
+      val wm = o.join(m, Seq("u"))
+      wm.select(col("v").as("u"), col("__m").as("v"))
+        .union(wm.select(col("u"), col("__m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    def sameSet(a: DataFrame, b: DataFrame): Boolean =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+    var phases = 0
+    var done = edges.isEmpty
+    while (!done && phases < maxIter) {
+      // large-star to its own fixpoint, then one small-star (the paper's
+      // two-phase schedule); overall fixpoint = both phases are no-ops
+      var lsDone = false
+      while (!lsDone && phases < maxIter) {
+        val nxt = largeStar(edges).localCheckpoint()
+        lsDone = sameSet(nxt, edges)
+        edges = nxt
+        phases += 1
+      }
+      val ss = smallStar(edges).localCheckpoint()
+      done = sameSet(ss, edges)
+      edges = ss
+      phases += 1
+    }
+    // fixpoint edges form a star per component: (node, component-min).
+    // Nodes with no surviving edge (roots, self-pair-only ids) label
+    // themselves.
+    val labels = ids.join(edges.select(col("u").as("doc_id"), col("v")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("v"), col("doc_id")).as("cluster_id"))
+    (labels, phases)
   }
 }

@@ -124,6 +124,22 @@ class TextSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("duplicateClusters: a planted 1000-chain converges in O(log n) star phases") {
+    // the adversarial case for min-label propagation (O(diameter) = 999
+    // rounds); the alternating small/large-star schedule must fold it up
+    // exponentially
+    val n = 1000
+    val rnd = new scala.util.Random(7)
+    val pairs = rnd.shuffle((1 until n).map(i => (i.toLong, (i + 1).toLong)).toList)
+      .toDF("id_a", "id_b")
+    val (labels, phases) = Dedup.duplicateClustersWithStats(pairs, "id_a", "id_b")
+    val logBound = 2 * math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt + 4
+    assert(phases <= logBound, s"$phases star phases > O(log n) bound $logBound")
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == n && got.forall(_._2 == 1L),
+      s"chain must collapse to cluster 1; bad: ${got.filter(_._2 != 1L).take(5).toSeq}")
+  }
+
   test("ivf nprobe: all-cells probing equals brute force; recall rises with nprobe") {
     val vecs = graft.queries.util.t(spark, "/root/testdata/sf0.001", "embeddings")
     val q = vecs.limit(5)
