@@ -150,6 +150,12 @@ object QueriesSql {
       |SELECT o_custkey FROM orders WHERE o_totalprice > 350000
       |ORDER BY o_custkey""".stripMargin
 
+  /** The query-back over the DDL-created table — shared with the oracle,
+    * which reaches it after running the same CREATE/INSERT script. */
+  private val ddlSelectSql =
+    """SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+      |FROM graft_ddl_t GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "sql_exists_corr" -> ((s, d) => {
       views(s, d, "orders", "lineitem"); s.sql(existsCorrSql)
@@ -186,6 +192,32 @@ object QueriesSql {
     }),
     "sql_setops" -> ((s, d) => {
       views(s, d, "orders"); s.sql(setopsSql)
+    }),
+
+    // DDL statements (reference polars-sql context.rs:1472,1500 — CREATE
+    // TABLE / SHOW TABLES / DROP TABLE): Spark has the full catalog
+    // natively; this key proves CTAS + INSERT + query-back against DuckDB
+    // running the same script, and asserts SHOW TABLES / DROP behavior
+    // Spark-side (catalog listings aren't comparable across engines).
+    "sql_ddl" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      views(s, d, "nation")
+      val loc = "/tmp/graft_ddl_t"
+      s.sql("DROP TABLE IF EXISTS graft_ddl_t")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(loc))
+      s.sql("CREATE TABLE graft_ddl_t USING parquet LOCATION " +
+        s"'$loc' AS SELECT n_nationkey, n_name, n_regionkey FROM nation " +
+        "WHERE n_regionkey <= 2")
+      s.sql("INSERT INTO graft_ddl_t VALUES (999, 'GRAFTLAND', 9)")
+      require(s.sql("SHOW TABLES").filter(col("tableName") === "graft_ddl_t")
+        .count() == 1, "SHOW TABLES must list the created table")
+      s.sql("CREATE TABLE graft_ddl_scratch (x INT) USING parquet " +
+        "LOCATION '/tmp/graft_ddl_scratch'")
+      s.sql("DROP TABLE graft_ddl_scratch")
+      require(s.sql("SHOW TABLES")
+        .filter(col("tableName") === "graft_ddl_scratch").count() == 0,
+        "DROP TABLE must remove the table from the catalog")
+      s.sql(ddlSelectSql)
     })
   )
 
@@ -200,6 +232,13 @@ object QueriesSql {
     "sql_window_cte" -> windowCteSql,
     "sql_left_hist" -> leftHistSql,
     "sql_rollup" -> rollupSql,
-    "sql_setops" -> setopsSql
+    "sql_setops" -> setopsSql,
+    "sql_ddl" ->
+      ("""DROP TABLE IF EXISTS graft_ddl_t;
+         |CREATE TABLE graft_ddl_t AS
+         | SELECT n_nationkey, n_name, n_regionkey FROM nation
+         | WHERE n_regionkey <= 2;
+         |INSERT INTO graft_ddl_t VALUES (999, 'GRAFTLAND', 9);
+         |""".stripMargin + ddlSelectSql)
   )
 }
