@@ -445,4 +445,43 @@ package object functions {
 
   /** Epoch microseconds — stable numeric key for range windows over time. */
   def epochMicros(ts: Column): Column = unix_micros(ts)
+
+  // ---- round-7 audit stragglers --------------------------------------------
+
+  /** polars eq_missing / ne_missing (expr.py): equality where null == null
+    * is true — Spark's null-safe `<=>` operator, surfaced with the polars
+    * names. */
+  def eqMissing(a: Column, b: Column): Column = a <=> b
+  def neMissing(a: Column, b: Column): Column = !(a <=> b)
+
+  /** polars list.set_symmetric_difference: elements in exactly one of the
+    * two lists (distinct, as the reference's set semantics). */
+  def listSetSymmetricDifference(a: Column, b: Column): Column =
+    array_union(array_except(a, b), array_except(b, a))
+
+  /** polars dt.total_{hours,minutes,seconds,milliseconds,microseconds} on a
+    * µs duration (the Duration carrier is i64 micros here): integral
+    * truncation toward zero, matching the reference's total_* contract. */
+  def totalHours(durUs: Column): Column = (durUs / lit(3600000000L)).cast("long")
+  def totalMinutes(durUs: Column): Column = (durUs / lit(60000000L)).cast("long")
+  def totalSeconds(durUs: Column): Column = (durUs / lit(1000000L)).cast("long")
+  def totalMillis(durUs: Column): Column = (durUs / lit(1000L)).cast("long")
+
+  /** polars dt.with_time_unit: REINTERPRET the underlying integer as a
+    * different unit (no arithmetic — a ns-labeled count becomes a µs-labeled
+    * count, value preserved); dt.cast_time_unit CONVERTS (scales the count).
+    * On the i64 carrier the distinction is exactly: with = identity on the
+    * integer, cast = multiply/divide by the unit ratio. */
+  def castTimeUnitNsToUs(ns: Column): Column = (ns / lit(1000L)).cast("long")
+  def castTimeUnitUsToNs(us: Column): Column = us * lit(1000L)
+
+  /** polars name.prefix_fields / suffix_fields / map_fields: rename every
+    * field of a struct column. */
+  def mapFields(struct0: Column, dt: org.apache.spark.sql.types.StructType,
+                f: String => String): Column =
+    struct(dt.fields.map(fld => struct0.getField(fld.name).as(f(fld.name))).toIndexedSeq: _*)
+  def prefixFields(c: Column, dt: org.apache.spark.sql.types.StructType,
+                   p: String): Column = mapFields(c, dt, p + _)
+  def suffixFields(c: Column, dt: org.apache.spark.sql.types.StructType,
+                   s: String): Column = mapFields(c, dt, _ + s)
 }

@@ -1,9 +1,11 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.Categorical
 import graft.queries.util._
 import graft.sources.Float16Parquet
+import graft.{functions => gf}
 
 /** Round-7 batch — the remaining §1.2 dtype-fidelity contracts
   * (reference `crates/polars-core/src/datatypes/dtype.rs`): Float16
@@ -80,6 +82,48 @@ object QueriesMisc9 {
           Categorical.enumDecode(code, cats).as("rt"),
           (code < 2).as("before_r"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // polars eq_missing / ne_missing (expr.py): equality that treats null
+    // as a value (null == null → true) — Spark `<=>`, DuckDB IS NOT
+    // DISTINCT FROM. Inputs built nullable on purpose.
+    "misc_eq_missing" -> ((s, d) => {
+      val x = when(col("l_quantity") > 25, col("l_quantity"))
+      val y = when(col("l_extendedprice") > 20000, col("l_quantity"))
+      t(s, d, "lineitem").filter(col("l_orderkey") <= 3000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          gf.eqMissing(x, y).as("eqm"), gf.neMissing(x, y).as("nem"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // polars list.set_symmetric_difference — the one list set-op the r3
+    // battery (list_set_ops) didn't cover.
+    "list_set_symdiff" -> ((s, d) => {
+      val words = split(lower(col("text")), " ")
+      val a = t(s, d, "documents").filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") / 2).cast("long").as("pair_id"), words.as("wa"))
+      val b = t(s, d, "documents").filter(col("doc_id") % 2 === 1)
+        .select(((col("doc_id") - 1) / 2).cast("long").as("pair_id"), words.as("wb"))
+      a.join(b, Seq("pair_id"))
+        .select(col("pair_id"),
+          size(gf.listSetSymmetricDifference(col("wa"), col("wb"))).as("n_sym"))
+        .orderBy(col("pair_id"))
+    }),
+
+    // polars dt.total_hours/minutes/seconds/milliseconds on inter-event
+    // durations (µs carrier), plus the time-unit pair: cast_time_unit
+    // CONVERTS the count (µs→ns multiplies), with_time_unit REINTERPRETS
+    // it (identity on the integer — pinned as us_reinterp).
+    "dt_time_units" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val durUs = unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts"))
+      t(s, d, "events").filter(col("user_id") <= 20)
+        .select(col("event_id"),
+          gf.totalHours(durUs).as("th"), gf.totalMinutes(durUs).as("tm"),
+          gf.totalSeconds(durUs).as("tsec"), gf.totalMillis(durUs).as("tms"),
+          gf.castTimeUnitUsToNs(unix_micros(col("ts"))).as("us_to_ns"),
+          unix_micros(col("ts")).as("us_reinterp"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -111,6 +155,40 @@ object QueriesMisc9 {
         |SELECT l_orderkey, l_linenumber, code,
         | (CASE code WHEN 0 THEN 'A' WHEN 1 THEN 'N' WHEN 2 THEN 'R' END) AS rt,
         | code < 2 AS before_r
-        |FROM t ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |FROM t ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "misc_eq_missing" ->
+      """WITH t AS (
+        | SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_quantity > 25 THEN l_quantity END AS x,
+        |  CASE WHEN l_extendedprice > 20000 THEN l_quantity END AS y
+        | FROM lineitem WHERE l_orderkey <= 3000)
+        |SELECT l_orderkey, l_linenumber,
+        | (x IS NOT DISTINCT FROM y) AS eqm,
+        | (x IS DISTINCT FROM y) AS nem
+        |FROM t ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "list_set_symdiff" ->
+      """WITH a AS (SELECT CAST(doc_id/2 AS BIGINT) AS pair_id,
+        |  string_split(lower(text), ' ') AS wa FROM documents WHERE doc_id % 2 = 0),
+        | b AS (SELECT CAST((doc_id-1)/2 AS BIGINT) AS pair_id,
+        |  string_split(lower(text), ' ') AS wb FROM documents WHERE doc_id % 2 = 1)
+        |SELECT pair_id,
+        | CAST(len(list_distinct(list_concat(
+        |   list_filter(wa, x -> NOT list_contains(wb, x)),
+        |   list_filter(wb, x -> NOT list_contains(wa, x))))) AS INTEGER) AS n_sym
+        |FROM a JOIN b USING (pair_id) ORDER BY pair_id""".stripMargin,
+
+    "dt_time_units" ->
+      """WITH t AS (
+        | SELECT event_id, epoch_us(ts) AS us,
+        |  lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    - epoch_us(ts) AS dur_us
+        | FROM events WHERE user_id <= 20)
+        |SELECT event_id,
+        | dur_us // 3600000000 AS th, dur_us // 60000000 AS tm,
+        | dur_us // 1000000 AS tsec, dur_us // 1000 AS tms,
+        | us * 1000 AS us_to_ns, us AS us_reinterp
+        |FROM t ORDER BY event_id""".stripMargin
   )
 }

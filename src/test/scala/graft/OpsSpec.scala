@@ -49,6 +49,22 @@ class OpsSpec extends SparkSpec {
     assert(lax == Seq(Some(0), None))
   }
 
+  test("name.prefix_fields/suffix_fields/map_fields rename struct fields") {
+    val df = Seq((1, "a")).toDF("n", "s")
+      .select(struct(col("n"), col("s")).as("st"))
+    val dt = df.schema("st").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(df.select(gf.prefixFields(col("st"), dt, "p_").as("st"))
+      .schema("st").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("p_n", "p_s"))
+    assert(df.select(gf.suffixFields(col("st"), dt, "_x").as("st"))
+      .schema("st").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("n_x", "s_x"))
+    val up = df.select(gf.mapFields(col("st"), dt, _.toUpperCase).as("st"))
+    assert(up.schema("st").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("N", "S"))
+    assert(up.select(col("st.N")).head().getInt(0) == 1) // values ride along
+  }
+
   test("unique keep=first/last/none honor the order column") {
     val df = Seq(("a", 1, "x"), ("a", 2, "y"), ("b", 3, "z"))
       .toDF("k", "ord", "v")
