@@ -105,16 +105,23 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: same LSH bucket AND cosine ≥ threshold.
-    * Bucket equi-join keeps the candidate set shuffle-bounded.
     *
-    * `maxBucket` > 0 drops buckets larger than the cap BEFORE the self-join
-    * (same windowed-count prune as the text-LSH path,
-    * `text/Dedup.pairsFromBuckets`): a degenerate bucket — zero/dead
-    * embeddings are common at corpus scale and all land in one signature —
-    * is otherwise a single n²/2 join task. Oversized buckets carry almost
-    * no near-dup signal; at 100 TB set the cap (e.g. 1000). The window's
-    * hash partitioning on `__bucket` is exactly the join's partitioning, so
-    * the prune adds no extra shuffle. */
+    * Same shape as the text-LSH twin (`text/Dedup.pairsFromBuckets`):
+    * bucket-grouped LOCAL pair generation instead of a bucket self-join —
+    * the r6 join formulation evaluated the bucket hash and prune window
+    * once per join side (two exchanges, double compute, probe-verified);
+    * this groups each bucket's (id, vector) rows into one sorted array on
+    * ONE `__bucket` shuffle, emits the i<j pairs locally, and scores the
+    * fused cosine kernel per pair. A vector lives in exactly one bucket
+    * (single signature, not banded), so no pair can repeat.
+    *
+    * `maxBucket` > 0 drops buckets larger than the cap BEFORE any pair
+    * materializes: a degenerate bucket — zero/dead embeddings are common
+    * at corpus scale and all share one signature — is otherwise a single
+    * n²/2 task AND an unbounded collect_list row. At 100 TB set the cap
+    * (e.g. 1000); oversized buckets carry almost no near-dup signal. The
+    * prune window's hash partitioning on `__bucket` is exactly the
+    * groupBy's partitioning — no extra shuffle. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         planes: Seq[Array[Double]], threshold: Double,
                         maxBucket: Int = 0): DataFrame = {
@@ -125,15 +132,18 @@ object Similarity {
           count(lit(1)).over(Window.partitionBy(col("__bucket"))))
           .filter(col("__bn") <= maxBucket).drop("__bn")
       else b0
-    val l = b.select(col(idCol).as("id_a"), col(vecCol).as("__va"), col("__bucket"))
-    val r = b.select(col(idCol).as("id_b"), col(vecCol).as("__vb"), col("__bucket"))
-    l.join(r, Seq("__bucket"))
-      .filter(col("id_a") < col("id_b"))
-      // integer-scaled round: engines disagree on double round(x, 4) at
-      // half-way ties, and this value feeds the threshold membership test
-      .withColumn("cosine",
-        round(cosineSimilarity(col("__va"), col("__vb")) * 10000) / 10000)
+    val xs = col("xs")
+    b.groupBy(col("__bucket"))
+      .agg(sort_array(collect_list(struct(col(idCol).as("i"), col(vecCol).as("v")))).as("xs"))
+      .filter(size(xs) > 1)
+      .select(explode(flatten(transform(xs, (x, i) =>
+        transform(slice(xs, i + 2, size(xs)),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a.i").as("id_a"), col("p.b.i").as("id_b"),
+        // integer-scaled round: engines disagree on double round(x, 4) at
+        // half-way ties, and this value feeds the threshold membership test
+        (round(cosineSimilarity(col("p.a.v"), col("p.b.v")) * 10000) / 10000)
+          .as("cosine"))
       .filter(col("cosine") >= threshold)
-      .select("id_a", "id_b", "cosine")
   }
 }

@@ -226,6 +226,20 @@ class PlanSpec extends SparkSpec {
       s"offsets branch should be a plain per-partition aggregate:\n$p")
   }
 
+  test("embedding LSH pairs: ONE bucket shuffle, prune window shares it") {
+    val vecs = spark.range(100).select(col("id").as("vec_id"),
+      array(col("id").cast("float"), (col("id") % 7).cast("float"), lit(1.0f))
+        .as("embedding"))
+    val planes = Seq(Array(0.3, -0.7, 0.2), Array(-0.5, 0.4, 0.8))
+    val p = planOf(graft.ml.Similarity.embeddingNearDups(
+      vecs, "vec_id", "embedding", planes, 0.8, maxBucket = 50))
+    // bucket-grouped local pair-gen: the r6 self-join formulation computed
+    // the bucket hash + prune window once PER SIDE (two exchanges)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one __bucket exchange:\n$p")
+    assert(!p.contains("Join"), s"pair generation must be local, not a join:\n$p")
+  }
+
   test("scale stratified sampling is window-free: count agg + broadcast cutoffs") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val sampled = graft.ops.Sampling.sampleStratified(docs, Seq("lang"), "doc_id", 0.1)
