@@ -124,6 +124,27 @@ object QueriesMisc9 {
           gf.castTimeUnitUsToNs(unix_micros(col("ts"))).as("us_to_ns"),
           unix_micros(col("ts")).as("us_reinterp"))
         .orderBy(col("event_id"))
+    }),
+
+    // polars scan_parquet(missing_columns="insert") / union-by-name schema
+    // evolution (io/parquet/functions.py:78): a directory whose files carry
+    // DIFFERENT column sets scans as the union schema, absent columns
+    // null-filled. Spark mapping: mergeSchema. Built by splitting orders
+    // into an old-schema file (no o_totalprice) and a full-schema file;
+    // the oracle recomputes the same union from the source table.
+    "io_merge_schema" -> ((s, d) => {
+      val dir = "/tmp/graft_merge_schema"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val o = t(s, d, "orders").filter(col("o_orderkey") <= 4000)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .write.parquet(s"$dir/part_old")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.parquet(s"$dir/part_new")
+      s.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true").parquet(dir)
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -189,6 +210,11 @@ object QueriesMisc9 {
         | dur_us // 3600000000 AS th, dur_us // 60000000 AS tm,
         | dur_us // 1000000 AS tsec, dur_us // 1000 AS tms,
         | us * 1000 AS us_to_ns, us AS us_reinterp
-        |FROM t ORDER BY event_id""".stripMargin
+        |FROM t ORDER BY event_id""".stripMargin,
+
+    "io_merge_schema" ->
+      """SELECT o_orderkey, o_custkey,
+        | CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END AS o_totalprice
+        |FROM orders WHERE o_orderkey <= 4000 ORDER BY o_orderkey""".stripMargin
   )
 }
