@@ -212,10 +212,15 @@ final class LazyFrame(val df: DataFrame) {
     LazyFrame(graft.ops.IEJoin.join(df, other.df, lx, op, rx, residual))
 
   /** As-of join — see [[graft.ops.AsOf]] for the union+window implementation. */
+  /** polars join_asof. `rangedBy = true` switches the by-keyed match to the
+    * skew-proof range-partitioned carry (see [[graft.ops.AsOf.join]]) — use
+    * it when one by-group dominates the frame. */
   def joinAsof(other: LazyFrame, leftOn: String, rightOn: String,
                by: Seq[String] = Nil, strategy: String = "backward",
-               tolerance: Option[Column] = None): LazyFrame =
-    LazyFrame(graft.ops.AsOf.join(df, other.df, leftOn, rightOn, by, strategy, tolerance))
+               tolerance: Option[Column] = None,
+               rangedBy: Boolean = false): LazyFrame =
+    LazyFrame(graft.ops.AsOf.join(df, other.df, leftOn, rightOn, by, strategy,
+      tolerance, rangedBy))
 
   // ---- distinct -----------------------------------------------------------
 

@@ -14,28 +14,37 @@ import org.apache.spark.sql.expressions.Window
   *
   * Scale properties: ONE shuffle on the `by` keys (or a single range
   * repartition when `by` is empty), no O(n·m) probing, no broadcast
-  * requirement — both sides can be 100 TB. Skewed `by` keys hit the same
-  * window-skew limits as any Spark window (mitigate upstream with salting if
-  * one group dominates).
+  * requirement — both sides can be 100 TB. Skewed `by` keys: the default
+  * keyed window puts each by-group on one task; pass `rangedBy = true` for
+  * the range-partitioned boundary-carry variant (r7), which spreads a
+  * dominant group over many partitions at the cost of one extra carry join.
   */
 object AsOf {
 
+  /** `rangedBy = true` replaces the per-`by`-group window with a range
+    * partitioning on (by, key) plus a per-group boundary carry — the skew
+    * answer when ONE by-group dominates (a single instrument with half the
+    * ticks would otherwise pin its whole group on one task). Costs one
+    * extra metadata-side shuffle for the carry join; identical results
+    * (property-spec'd), so keep the default for well-distributed keys. */
   def join(left: DataFrame, right: DataFrame, leftOn: String, rightOn: String,
-           by: Seq[String], strategy: String, tolerance: Option[Column]): DataFrame =
+           by: Seq[String], strategy: String, tolerance: Option[Column],
+           rangedBy: Boolean = false): DataFrame =
     strategy match {
-      case "backward" => directional(left, right, leftOn, rightOn, by, tolerance, forward = false)
-      case "forward"  => directional(left, right, leftOn, rightOn, by, tolerance, forward = true)
-      case "nearest"  => nearest(left, right, leftOn, rightOn, by, tolerance)
+      case "backward" => directional(left, right, leftOn, rightOn, by, tolerance, forward = false, rangedBy)
+      case "forward"  => directional(left, right, leftOn, rightOn, by, tolerance, forward = true, rangedBy)
+      case "nearest"  => nearest(left, right, leftOn, rightOn, by, tolerance, rangedBy)
       case other      => throw new IllegalArgumentException(s"unknown asof strategy: $other")
     }
 
-  private def directional(left: DataFrame, right: DataFrame, leftOn: String,
-                          rightOn: String, by: Seq[String], tolerance: Option[Column],
-                          forward: Boolean): DataFrame = {
+  /** Shared union prep: (by..., leftCols..., __k, __tag, __rk, __r_<c>...).
+    * Returns (unioned, leftCols, rightCols). */
+  private def prepUnion(left: DataFrame, right: DataFrame, leftOn: String,
+                        rightOn: String, by: Seq[String])
+      : (DataFrame, Seq[String], Seq[String]) = {
     val rightCols = right.columns.filterNot(c => c == rightOn || by.contains(c)).toSeq
     val keyT = left.schema(leftOn).dataType
 
-    // common shape: (by..., __k, __tag, leftCols..., __r_<rightCols>...)
     val l = left
       .withColumn("__k", col(leftOn).cast(keyT))
       .withColumn("__tag", lit(1))
@@ -57,15 +66,23 @@ object AsOf {
     // skips them — the two paths must agree
     val unioned = l.select(cols: _*).unionByName(r.select(cols: _*))
       .filter(col("__tag") === 1 || col("__k").isNotNull)
+    (unioned, leftCols, rightCols)
+  }
 
+  /** One directional match over a prepared union: appends `__mk<suffix>`
+    * and `__m_<c><suffix>`, preserving the input's columns (internals of
+    * whichever matcher ran are projected away — callers can chain passes). */
+  private def matchOnce(unioned: DataFrame, by: Seq[String], rightCols: Seq[String],
+                        forward: Boolean, rangedBy: Boolean,
+                        suffix: String = ""): DataFrame = {
     // backward: right rows at the same key match (right sorts before left via
     // tag); forward: mirror by negating the sort.
     val ord =
       if (forward) Seq(col("__k").desc, col("__tag").asc)
       else Seq(col("__k").asc, col("__tag").asc)
-
-    val matched =
-      if (by.nonEmpty) {
+    val m =
+      if (by.nonEmpty && rangedBy) rangedByMatched(unioned, by, rightCols, ord, forward)
+      else if (by.nonEmpty) {
         val w = Window.partitionBy(by.map(col): _*)
           .orderBy(ord: _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -73,6 +90,15 @@ object AsOf {
           unioned.withColumn("__mk", last(col("__rk"), ignoreNulls = true).over(w))
         ) { (d, c) => d.withColumn(s"__m_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w)) }
       } else keylessMatched(unioned, rightCols, ord, forward)
+    m.select((unioned.columns.map(col) :+ col("__mk").as(s"__mk$suffix")) ++
+      rightCols.map(c => col(s"__m_$c").as(s"__m_$c$suffix")): _*)
+  }
+
+  private def directional(left: DataFrame, right: DataFrame, leftOn: String,
+                          rightOn: String, by: Seq[String], tolerance: Option[Column],
+                          forward: Boolean, rangedBy: Boolean = false): DataFrame = {
+    val (unioned, leftCols, rightCols) = prepUnion(left, right, leftOn, rightOn, by)
+    val matched = matchOnce(unioned, by, rightCols, forward, rangedBy)
 
     val withinTol = tolerance match {
       case None => lit(true)
@@ -150,36 +176,105 @@ object AsOf {
     ) { (d, c) => d.withColumn(s"__m_$c", coalesce(col(s"__m_$c"), col(s"__in_$c"))) }
   }
 
-  private def nearest(left: DataFrame, right: DataFrame, leftOn: String,
-                      rightOn: String, by: Seq[String], tolerance: Option[Column]): DataFrame = {
-    // Run backward and forward passes, then keep whichever matched key is
-    // closer (tie → backward, matching polars' preference for the earlier row).
-    val rightCols = right.columns.filterNot(c => c == rightOn || by.contains(c)).toSeq
-    val lid = left.withColumn("__lid", monotonically_increasing_id())
+  /** Skew-proof BY-KEYED matching: the keyless boundary-carry machinery
+    * generalized to by-groups. Range-repartition on (by…, key) — contiguous
+    * (by, key) spans, so a dominant by-group spreads over MANY partitions
+    * instead of pinning one window task — run the carry window per
+    * (partition, by-group), then fix up group segments that cross partition
+    * boundaries: per-(partition, by) last values (an aggregate, data-scale ÷
+    * group sizes), a per-by running carry over partition ids (each by-group's
+    * carry window is its partition-span — bounded by #partitions), and a
+    * null-safe join back on (partition, by…). AQE broadcasts the carry frame
+    * when small; with millions of by-groups it shuffles — still skew-free. */
+  private def rangedByMatched(unioned: DataFrame, by: Seq[String],
+                              rightCols: Seq[String], ord: Seq[Column],
+                              forward: Boolean): DataFrame = {
+    val rangeOrd = by.map(col) ++
+      (if (forward) Seq(col("__k").desc, col("__tag").asc)
+       else Seq(col("__k").asc, col("__tag").asc))
+    // localCheckpoint PINS the partition ids: RangePartitioner samples its
+    // bounds with an rdd.id-derived seed, so two independent evaluations of
+    // the same range exchange can draw DIFFERENT boundaries — and this plan
+    // reads `ranged` from two branches (carry window + local window) joined
+    // back together. Exchange reuse would dedupe them when AQE feels like
+    // it; materializing once makes the shared pids unconditional. The cost
+    // (one materialization of the union) is the price of the skew-proof
+    // path — it's opt-in via rangedBy for exactly that reason.
+    val ranged = unioned.repartitionByRange(rangeOrd: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
 
-    def pass(suffix: String, forward: Boolean): DataFrame = {
-      val renamed = rightCols.foldLeft(right.withColumn(s"__key$suffix", col(rightOn))) {
-        (d, c) => d.withColumnRenamed(c, s"$c$suffix")
-      }
-      directional(lid, renamed, leftOn, rightOn, by, tolerance, forward)
+    val w = Window.partitionBy((col("__pid") +: by.map(col)): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = rightCols.foldLeft(
+      ranged.withColumn("__mk", last(col("__rk"), ignoreNulls = true).over(w))
+    ) { (d, c) => d.withColumn(s"__m_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w)) }
+
+    def lastIn(value: Column, isRight: Column): Column = {
+      val o = when(isRight && value.isNotNull, col("__k"))
+      if (forward) min_by(value, o) else max_by(value, o)
     }
+    val isR = col("__tag") === 0
+    val carryCols = "__key__" +: rightCols
+    val perSeg = ranged.groupBy((col("__pid") +: by.map(col)): _*).agg(
+      lastIn(col("__rk"), isR).as("__c___key__"),
+      rightCols.map(c => lastIn(col(s"__r_$c"), isR).as(s"__c_$c")): _*)
+    // strictly-earlier partitions of the SAME by-group carry in
+    val wc = Window.partitionBy(by.map(col): _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = perSeg.select(
+      (col("__pid").as("__cpid") +: by.map(b => col(b).as(s"__cby_$b"))) ++
+        carryCols.map(c =>
+          last(col(s"__c_$c"), ignoreNulls = true).over(wc).as(s"__in_$c")): _*)
 
-    val bwd = pass("__b", forward = false)
-    val fwdCols = (Seq("__lid", s"__key__f") ++ rightCols.map(c => s"${c}__f")).map(col)
-    val fwd = pass("__f", forward = true).select(fwdCols: _*)
+    // null-safe on the by columns: a null by-group spanning partitions
+    // needs its carry too
+    val cond = (local("__pid") === carry("__cpid")) &&
+      by.map(b => local(b) <=> carry(s"__cby_$b")).reduce(_ && _)
+    val joined = local.join(carry, cond, "left")
+      .drop(("__cpid" +: by.map(b => s"__cby_$b")): _*)
+    rightCols.foldLeft(
+      joined.withColumn("__mk", coalesce(col("__mk"), col("__in___key__")))
+    ) { (d, c) => d.withColumn(s"__m_$c", coalesce(col(s"__m_$c"), col(s"__in_$c"))) }
+  }
 
-    val joined = bwd.join(fwd, Seq("__lid"), "left")
-    val lk = col(leftOn).cast("double")
-    val db = abs(lk - col("__key__b").cast("double"))
-    val df_ = abs(col("__key__f").cast("double") - lk)
-    val useB = col("__key__b").isNotNull && (col("__key__f").isNull || db <= df_)
+  private def nearest(left: DataFrame, right: DataFrame, leftOn: String,
+                      rightOn: String, by: Seq[String], tolerance: Option[Column],
+                      rangedBy: Boolean = false): DataFrame = {
+    // Both directions over ONE union, as two chained match passes — never a
+    // self-join on a synthetic row id. (The previous formulation ran two
+    // directional joins and aligned them on monotonically_increasing_id;
+    // that id is re-evaluated per join branch and is only stable when the
+    // upstream partitioning is reproducible, so e.g. a round-robin
+    // repartition upstream could silently misalign the two passes — caught
+    // by the rangedBy equivalence spec. Tie → backward, matching polars'
+    // preference for the earlier row.)
+    val (unioned, leftCols, rightCols) = prepUnion(left, right, leftOn, rightOn, by)
+    val both = matchOnce(
+      matchOnce(unioned, by, rightCols, forward = false, rangedBy, "__b"),
+      by, rightCols, forward = true, rangedBy, "__f")
+    val out = both.filter(col("__tag") === 1)
+
+    val lk = col("__k").cast("double")
+    def ok(mk: Column, fwd: Boolean): Column = tolerance match {
+      case None => mk.isNotNull
+      case Some(tol) =>
+        val dist = if (fwd) mk.cast("double") - lk else lk - mk.cast("double")
+        mk.isNotNull && dist <= tol.cast("double")
+    }
+    val okB = ok(col("__mk__b"), fwd = false)
+    val okF = ok(col("__mk__f"), fwd = true)
+    val db = abs(lk - col("__mk__b").cast("double"))
+    val df_ = abs(col("__mk__f").cast("double") - lk)
+    val useB = okB && (!okF || db <= df_)
+    val useF = okF && !useB
     val keyOut =
-      if (rightOn != leftOn && !by.contains(rightOn) && !left.columns.contains(rightOn))
-        Seq(when(useB, col("__key__b")).otherwise(col("__key__f")).as(rightOn))
+      if (rightOn != leftOn && !by.contains(rightOn) && !leftCols.contains(rightOn))
+        Seq(when(useB, col("__mk__b")).when(useF, col("__mk__f")).as(rightOn))
       else Nil
-    val proj =
-      (by ++ left.columns.filterNot(by.contains)).map(col) ++ keyOut ++
-      rightCols.map(c => when(useB, col(s"${c}__b")).otherwise(col(s"${c}__f")).as(c))
-    joined.select(proj: _*)
+    val proj = (by ++ leftCols).map(col) ++ keyOut ++
+      rightCols.map(c =>
+        when(useB, col(s"__m_${c}__b")).when(useF, col(s"__m_${c}__f")).as(c))
+    out.select(proj: _*)
   }
 }

@@ -96,6 +96,44 @@ class AsOfSpec extends SparkSpec {
     }
   }
 
+  test("rangedBy (skew-proof by-keyed path) equals the keyed-window path") {
+    // AQE would coalesce these small range exchanges to one partition and
+    // make the boundary-carry vacuous — pin it off, like DistributedPropertySpec
+    val saved = spark.conf.getOption("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      for (seed <- 0 until 4) {
+        val rnd = new scala.util.Random(seed ^ 0xa50f)
+        // skewed by-keys: ~70% of rows in group "hot", plus a NULL group
+        def grp(): java.lang.Long = rnd.nextInt(10) match {
+          case n if n < 7 => 1L
+          case 7          => null
+          case n          => n.toLong
+        }
+        val ldata = (0 until 800).map(_ => (grp(), rnd.nextInt(1000).toLong, rnd.nextInt(100)))
+        // UNIQUE right key per group: duplicate (g, rk) rows make "the"
+        // matched value tie-arbitrary in BOTH paths (non-total order, same
+        // contract as row_number ties) — the equality check needs totality
+        val rdata = rnd.shuffle((0 until 1000).toList).take(300)
+          .map(k => (grp(), k.toLong, rnd.nextInt(100)))
+        val l = ldata.toDF("g", "k", "lv").repartition(5)
+        val r = rdata.toDF("g", "rk", "rv").repartition(5)
+        for (strategy <- Seq("backward", "forward", "nearest")) {
+          def run(ranged: Boolean) =
+            AsOf.join(l, r, "k", "rk", Seq("g"), strategy, None, rangedBy = ranged)
+              .select("g", "k", "lv", "rk", "rv").collect()
+              .map(row => (0 until 5).map(i =>
+                if (row.isNullAt(i)) null else row.get(i)).toList)
+              .groupBy(identity).view.mapValues(_.size).toMap
+          assert(run(true) == run(false), s"seed=$seed strategy=$strategy")
+        }
+      }
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", v)
+      case None    => spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    }
+  }
+
   test("matched right key is surfaced under rightOn name") {
     val out = AsOf.join(left, right.withColumnRenamed("k", "rk"), "k", "rk",
       Seq("g"), "backward", None)
