@@ -145,6 +145,23 @@ object QueriesMisc9 {
       s.read.option("mergeSchema", "true")
         .option("recursiveFileLookup", "true").parquet(dir)
         .orderBy(col("o_orderkey"))
+    }),
+
+    // polars rolling_sum_by/min_by/etc over an arbitrary NUMERIC by-column
+    // (expr.py rolling_*_by; the time-based case is win_rolling_time) — a
+    // value-range window frame. Integer cents as the order key: range ties
+    // are included wholly on both engines, so the frame is deterministic.
+    "win_rolling_by_value" -> ((s, d) => {
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      val base = t(s, d, "orders").filter(col("o_custkey") <= 500)
+        .select(col("o_orderkey"), col("o_custkey"), cents.as("cents"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("cents"))
+        .rangeBetween(-5000000L, 0L)
+      base.select(col("o_orderkey"), col("o_custkey"),
+          sum(col("cents")).over(w).as("roll_sum"),
+          count(lit(1)).over(w).as("roll_n"),
+          min(col("cents")).over(w).as("roll_min"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -215,6 +232,19 @@ object QueriesMisc9 {
     "io_merge_schema" ->
       """SELECT o_orderkey, o_custkey,
         | CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END AS o_totalprice
-        |FROM orders WHERE o_orderkey <= 4000 ORDER BY o_orderkey""".stripMargin
+        |FROM orders WHERE o_orderkey <= 4000 ORDER BY o_orderkey""".stripMargin,
+
+    "win_rolling_by_value" ->
+      """WITH t AS (
+        | SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        | FROM orders WHERE o_custkey <= 500)
+        |SELECT o_orderkey, o_custkey,
+        | sum(cents) OVER w AS roll_sum,
+        | count(*) OVER w AS roll_n,
+        | min(cents) OVER w AS roll_min
+        |FROM t WINDOW w AS (PARTITION BY o_custkey ORDER BY cents
+        |  RANGE BETWEEN 5000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin
   )
 }
