@@ -147,6 +147,45 @@ object QueriesMisc9 {
         .orderBy(col("o_orderkey"))
     }),
 
+    // polars scan_csv dialect surface (io/csv: separator, quote_char,
+    // null_values, comment_prefix): write part with a ';' separator,
+    // quoted fields, a custom null token and injected comment lines, read
+    // it back through the option'd scanner — the oracle recomputes from
+    // the source table, so a mis-parsed field hash-fails.
+    "io_csv_options" -> ((s, d) => {
+      val dir = "/tmp/graft_csv_options"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val src = t(s, d, "part").filter(col("p_partkey") <= 2000)
+        .select(col("p_partkey"),
+          // embed the separator in a quoted field + a real null
+          concat(col("p_name"), lit("; sep")).as("name_semi"),
+          when(col("p_partkey") % 7 === 0, lit(null).cast("string"))
+            .otherwise(col("p_brand")).as("brand_or_null"),
+          col("p_retailprice"))
+      src.coalesce(1).write
+        .option("sep", ";").option("quote", "\"").option("header", "true")
+        .option("nullValue", "__NULL__")
+        .csv(dir)
+      // inject comment lines a tolerant scanner must skip
+      val f = new java.io.File(dir).listFiles()
+        .find(_.getName.endsWith(".csv")).get
+      val lines = java.nio.file.Files.readAllLines(f.toPath)
+      val withComments = new java.util.ArrayList[String]()
+      withComments.add("# generated fixture — comment line")
+      lines.forEach { l => withComments.add(l): Unit }
+      withComments.add("# trailing comment")
+      java.nio.file.Files.write(f.toPath, withComments)
+      // the in-place edit invalidates Hadoop's .crc sidecar — drop it
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+      s.read
+        .option("sep", ";").option("quote", "\"").option("header", "true")
+        .option("nullValue", "__NULL__").option("comment", "#")
+        .option("inferSchema", "true")
+        .csv(dir)
+        .orderBy(col("p_partkey"))
+    }),
+
     // polars rolling_sum_by/min_by/etc over an arbitrary NUMERIC by-column
     // (expr.py rolling_*_by; the time-based case is win_rolling_time) — a
     // value-range window frame. Integer cents as the order key: range ties
@@ -233,6 +272,13 @@ object QueriesMisc9 {
       """SELECT o_orderkey, o_custkey,
         | CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END AS o_totalprice
         |FROM orders WHERE o_orderkey <= 4000 ORDER BY o_orderkey""".stripMargin,
+
+    "io_csv_options" ->
+      """SELECT p_partkey,
+        | p_name || '; sep' AS name_semi,
+        | CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE p_brand END AS brand_or_null,
+        | p_retailprice
+        |FROM part WHERE p_partkey <= 2000 ORDER BY p_partkey""".stripMargin,
 
     "win_rolling_by_value" ->
       """WITH t AS (
