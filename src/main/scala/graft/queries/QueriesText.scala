@@ -108,6 +108,17 @@ object QueriesText {
       Dedup.repeatedSpans(t(s, d, "documents"), "doc_id", "text",
         n = 8, minDocs = 2, topK = 50)),
 
+    // benchmark decontamination (GPT-3-style n-gram overlap): docs 0-4
+    // play the eval set, the rest are the corpus; per-doc distinct 5-gram
+    // collision counts. Broadcast eval digests, one corpus pass.
+    "text_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.contaminationHits(
+        docs.filter(col("doc_id") >= 5), "doc_id", "text",
+        docs.filter(col("doc_id") < 5), "text", w = 5)
+        .orderBy(col("doc_id"))
+    }),
+
     "multimodal_frames" -> ((s, d) => {
       val assets = Multimodal.asAssets(
         t(s, d, "documents").select(col("doc_id"), col("text"), col("n_chars")),
@@ -170,6 +181,21 @@ object QueriesText {
         |SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
         |FROM g GROUP BY span HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY n_docs DESC, n_occ DESC, span LIMIT 50""".stripMargin,
+
+    "text_decontaminate" ->
+      """WITH tok AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        | FROM documents),
+        |b AS (SELECT DISTINCT array_to_string(toks[i:i+4], ' ') AS g
+        | FROM tok, unnest(range(1, len(toks) - 3)) AS r(i)
+        | WHERE doc_id < 5 AND len(toks) >= 5),
+        |d AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS g
+        | FROM tok, unnest(range(1, len(toks) - 3)) AS r(i)
+        | WHERE doc_id >= 5 AND len(toks) >= 5)
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM d JOIN b USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_token_stats" ->
       """SELECT doc_id,

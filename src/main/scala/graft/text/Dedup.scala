@@ -235,6 +235,41 @@ object Dedup {
       .select("span", "n_docs", "n_occ")
   }
 
+  /** Benchmark decontamination — the n-gram overlap check every LLM
+    * training pipeline runs before training (the public recipe: e.g. GPT-3
+    * appendix C, 13-gram overlap): count the distinct `w`-gram collisions
+    * each corpus document has with an evaluation/benchmark set.
+    *
+    * Scale shape: the benchmark set is SMALL by definition, so its
+    * distinct n-gram digests broadcast; the corpus streams through the
+    * native shingle kernel ONCE — a broadcast join and a groupBy on doc id,
+    * no shuffle of corpus text, no self-join. Returns (idCol, n_hits) for
+    * documents with ≥ 1 colliding n-gram. */
+  def contaminationHits(corpus: DataFrame, idCol: String, textCol: String,
+                        bench: DataFrame, benchTextCol: String,
+                        w: Int = 13): DataFrame = {
+    def grams(text: Column) =
+      explode(array_distinct(shingles(text, w))).as("__g")
+    val benchGrams = bench.select(grams(col(benchTextCol)))
+      .filter(size(split(col("__g"), " ")) === w) // drop short-doc degenerates
+      .select(md5(col("__g")).as("__h")).distinct()
+    val docGrams = corpus.select(col(idCol), grams(col(textCol)))
+      .filter(size(split(col("__g"), " ")) === w)
+      .select(col(idCol), md5(col("__g")).as("__h"))
+    docGrams.join(broadcast(benchGrams), Seq("__h"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Drop corpus documents with ≥ `minHits` distinct n-gram collisions
+    * against the benchmark set (anti-join on the flagged ids). */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, benchTextCol: String,
+                    w: Int = 13, minHits: Int = 1): DataFrame = {
+    val flagged = contaminationHits(corpus, idCol, textCol, bench, benchTextCol, w)
+      .filter(col("n_hits") >= minHits).select(col(idCol))
+    corpus.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** Exact dedup: keep the smallest id per distinct text digest.
     * Aggregates on md5(text), not text itself — tiny shuffle keys. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {

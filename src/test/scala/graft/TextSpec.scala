@@ -72,6 +72,22 @@ class TextSpec extends SparkSpec {
     assert(highCap == uncapped)
   }
 
+  test("decontaminate drops docs overlapping the benchmark, keeps clean ones") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "intro text then the quick brown fox jumps over the lazy dog tonight verbatim"),
+      (2L, "completely unrelated content about spark query planning and shuffles"),
+      (3L, "short")).toDF("doc_id", "text")
+    val hits = Dedup.contaminationHits(corpus, "doc_id", "text", bench, "text", w = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.contains(1L) && hits(1L) >= 5, s"verbatim span must collide: $hits")
+    assert(!hits.contains(2L) && !hits.contains(3L))
+    val clean = Dedup.decontaminate(corpus, "doc_id", "text", bench, "text",
+      w = 5, minHits = 1).select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L, 3L))
+  }
+
   test("simhash: identical texts share signature; hamming=0") {
     val df = Seq(("same words here", "same words here", "other stuff there"))
       .toDF("a", "b", "c")
