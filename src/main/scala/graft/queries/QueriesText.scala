@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.queries.util._
 import graft.text.{Dedup, TextAnalysis => TA}
@@ -108,6 +109,34 @@ object QueriesText {
       Dedup.repeatedSpans(t(s, d, "documents"), "doc_id", "text",
         n = 8, minDocs = 2, topK = 50)),
 
+    // repetition metrics (the Gopher/MassiveText quality-filter family,
+    // Rae et al. 2021 — public recipe): duplicate-word fraction, most
+    // frequent word share, most frequent 2-gram share. Two md5-free
+    // groupBy ladders keyed on (doc_id, token) — no windows, no collects;
+    // fractions use the integer-scaled rounding recipe.
+    "text_repetition" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val words = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val stats = words.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(sum("c").as("n_words"),
+          count(lit(1)).as("n_distinct"), max("c").as("top_c"))
+      val gramTop = docs.select(col("doc_id"),
+        explode(Dedup.shingles(col("text"), 2)).as("g"))
+        .filter(size(split(col("g"), " ")) === 2)
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("top2_c"), sum("c").as("n_grams"))
+      def frac(num: Column, den: Column) =
+        round(num.cast("double") / den.cast("double") * 10000, 0) / 10000
+      stats.join(gramTop, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"),
+          frac(col("n_words") - col("n_distinct"), col("n_words")).as("dup_word_frac"),
+          frac(col("top_c"), col("n_words")).as("top_word_frac"),
+          frac(col("top2_c"), col("n_grams")).as("top_2gram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // benchmark decontamination (GPT-3-style n-gram overlap): docs 0-4
     // play the eval set, the rest are the corpus; per-doc distinct 5-gram
     // collision counts. Broadcast eval digests, one corpus pass.
@@ -181,6 +210,29 @@ object QueriesText {
         |SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
         |FROM g GROUP BY span HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY n_docs DESC, n_occ DESC, span LIMIT 50""".stripMargin,
+
+    "text_repetition" ->
+      """WITH w AS (
+        | SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+        |   x -> x <> '')) AS w
+        | FROM documents),
+        |pw AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+        |s AS (SELECT doc_id, sum(c)::BIGINT AS n_words,
+        |  count(*)::BIGINT AS n_distinct, max(c) AS top_c FROM pw GROUP BY 1),
+        |tok AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        | FROM documents),
+        |g AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g
+        | FROM tok, unnest(range(1, len(toks))) AS r(i) WHERE len(toks) >= 2),
+        |pg AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+        |sg AS (SELECT doc_id, max(c) AS top2_c, sum(c)::BIGINT AS n_grams
+        | FROM pg GROUP BY 1)
+        |SELECT s.doc_id, n_words,
+        | round((n_words - n_distinct) / n_words * 10000) / 10000 AS dup_word_frac,
+        | round(top_c / n_words * 10000) / 10000 AS top_word_frac,
+        | round(top2_c / n_grams * 10000) / 10000 AS top_2gram_frac
+        |FROM s LEFT JOIN sg ON s.doc_id = sg.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
 
     "text_decontaminate" ->
       """WITH tok AS (
