@@ -60,9 +60,14 @@ object Distributed {
     *
     * CORRECTNESS PRECONDITION: the input lineage must be deterministic
     * (no un-cached sample()/rand()/shuffle-order-sensitive expressions).
-    * Both branches hang off the SAME range exchange, which AQE's exchange
-    * reuse evaluates once; with a non-deterministic upstream AND exchange
-    * reuse disabled, cache or checkpoint upstream. */
+    * The window branch and the offsets branch evaluate the range exchange
+    * INDEPENDENTLY (the executed plan shows two fresh exchanges — stage
+    * reuse does NOT dedupe them in Spark 4.1), so the two evaluations are
+    * only mutually consistent because range-bounds sampling is
+    * reproducible over a deterministic input (stress-pinned in
+    * DistributedPropertySpec, incl. unioned round-robin upstreams). For a
+    * non-deterministic upstream, cache or checkpoint before calling — the
+    * same pinning AsOf.rangedByMatched applies internally. */
   private def withScanned(df: DataFrame, ord: Seq[Column], total: Column,
       contrib: Column)(
       local: (DataFrame, org.apache.spark.sql.expressions.WindowSpec) => DataFrame): DataFrame = {

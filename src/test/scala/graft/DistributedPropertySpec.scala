@@ -81,6 +81,44 @@ class DistributedPropertySpec extends SparkSpec {
     } }
   }
 
+  test("scan branches stay bounds-consistent on unioned round-robin input (stress)") {
+    // The window branch and the offsets branch evaluate the range exchange
+    // INDEPENDENTLY (two fresh exchanges in the plan — no reuse), so they
+    // are only mutually consistent when bounds sampling is reproducible.
+    // AsOf.rangedByMatched hit a same-shaped divergence and pins with
+    // localCheckpoint; this stress drives the scan's own precondition on
+    // the most adversarial deterministic shape we know — a union of two
+    // round-robin-repartitioned frames with nulls — repeatedly, against
+    // the single-task window oracle. A failure here means withScanned
+    // needs the same checkpoint pinning.
+    withRealPartitions {
+      import scala.jdk.CollectionConverters._
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))
+      def frame(rows: Seq[(Long, java.lang.Long)], parts: Int) =
+        spark.createDataFrame(
+          rows.map(t => org.apache.spark.sql.Row(t._1, t._2)).asJava, schema)
+          .repartition(parts)
+      val a = frame((0 until 700).map(i => (i.toLong * 3,
+        if (i % 10 == 0) null else java.lang.Long.valueOf(i % 7L))), 5)
+      val b = frame((0 until 300).map(i => (i.toLong * 3 + 1,
+        java.lang.Long.valueOf(-(i % 5L)))), 3)
+      val df = a.unionByName(b)
+      val w = Window.orderBy(col("k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val want = df.withColumn("ps", sum(col("v")).over(w))
+        .select(col("k"), col("ps")).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1))).toMap
+      for (round <- 0 until 5) {
+        val got = Distributed.withPrefixSum(df, col("v"), Seq(col("k")), "ps")
+          .select(col("k"), col("ps")).collect()
+          .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1))).toMap
+        assert(got == want, s"round=$round: branch bounds diverged")
+      }
+    }
+  }
+
   test("withPrefixSum carries the running sum across an all-null partition prefix") {
     withRealPartitions {
       // 12 ordered rows over 4 range partitions (3 rows each with coalescing
