@@ -629,6 +629,23 @@ final class LazyFrame(val df: DataFrame) {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** The reference's BYTE-budget partitioned sink (sink.rs max-size
+    * variant takes bytes): Spark's file splitter counts records, so the
+    * budget converts through the plan's estimated row width
+    * (`stats.sizeInBytes` over the row count — the in-memory estimate,
+    * conservative vs parquet-encoded bytes, which is the safe direction
+    * for a size CAP). Row count falls back to one `count()` action when
+    * the optimizer doesn't carry it. */
+  def sinkParquetTargetSize(path: String, targetFileBytes: Long,
+                            partitionBy: Seq[String] = Nil): Unit = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val stats = df.queryExecution.optimizedPlan.stats
+    val rows = stats.rowCount.map(_.toLong).getOrElse(df.count())
+    val rowBytes = math.max(1L, stats.sizeInBytes.toLong / math.max(rows, 1L))
+    val maxRecords = math.max(1L, targetFileBytes / rowBytes)
+    sinkParquet(path, partitionBy, maxRecordsPerFile = maxRecords)
+  }
+
   def sinkCsv(path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 

@@ -80,6 +80,18 @@ class IOSpec extends SparkSpec {
     }
   }
 
+  test("byte-budget sink converts the budget through estimated row width") {
+    val p = tmp("bytesize")
+    val big = spark.range(2000).select(col("id"), col("id").cast("string").as("s"))
+      .coalesce(1)
+    // in-memory row estimate ~20-30 bytes → a ~25KB budget must split the
+    // single task's output into multiple capped files, losing nothing
+    LazyFrame(big).sinkParquetTargetSize(p, targetFileBytes = 25000)
+    val files = new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length > 1, "budget smaller than the data must split files")
+    assert(LazyFrame.scanParquet(spark, p).count() == 2000)
+  }
+
   test("scan_lines reads raw text") {
     val p = tmp("lines")
     Seq("a b", "c").toDF("value").write.mode("overwrite").text(p)
