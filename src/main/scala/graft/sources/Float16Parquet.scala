@@ -121,11 +121,12 @@ object Float16Parquet {
     f16Cols.foreach(c => require(schema(c).dataType == FloatType,
       s"f16 column $c must be FloatType, got ${schema(c).dataType}"))
     val msg = parquetSchemaOf(schema, f16Cols).toString
-    val dir = new java.io.File(path)
-    if (dir.exists()) { // overwrite semantics, driver-side local fs
-      dir.listFiles().foreach(_.delete()); dir.delete()
-    }
-    dir.mkdirs()
+    // overwrite semantics through the Hadoop FS API — works for any
+    // scheme (local, HDFS, s3a), not just the local filesystem
+    val fsPath = new Path(path)
+    val fs = fsPath.getFileSystem(new Configuration())
+    if (fs.exists(fsPath)) fs.delete(fsPath, true)
+    fs.mkdirs(fsPath)
     val fields = schema.fields
     val f16Idx = fields.zipWithIndex.collect {
       case (f, i) if f16Cols(f.name) => i
@@ -136,7 +137,10 @@ object Float16Parquet {
         val parsed = MessageTypeParser.parseMessageType(msg)
         val conf = new Configuration()
         GroupWriteSupport.setSchema(parsed, conf)
+        // OVERWRITE: a retried task must be able to replace its own
+        // partial file — the default CREATE mode would fail the retry
         val w = ExampleParquetWriter.builder(new Path(f"$path/part-$pid%05d.parquet"))
+          .withWriteMode(org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE)
           .withConf(conf).build()
         val gf = new SimpleGroupFactory(parsed)
         rows.foreach { row =>
