@@ -446,6 +446,33 @@ package object functions {
   /** Epoch microseconds — stable numeric key for range windows over time. */
   def epochMicros(ts: Column): Column = unix_micros(ts)
 
+  /** polars dt.add_business_days (business.rs, Mon-Fri week) — closed-form
+    * column arithmetic, no UDF. `roll` handles a weekend start like the
+    * reference: "forward"/"backward" move it to the adjacent business day
+    * first; "raise" errors. Negative `n` walks backwards. */
+  def addBusinessDays(start: Column, n: Column, roll: String = "raise"): Column = {
+    val dow = (dayofweek(start) + 5) % 7 // 0=Mon .. 6=Sun
+    val rolled = roll match {
+      case "forward" =>
+        when(dow === 5, date_add(start, 2))
+          .when(dow === 6, date_add(start, 1)).otherwise(start)
+      case "backward" =>
+        when(dow === 5, date_sub(start, 1))
+          .when(dow === 6, date_sub(start, 2)).otherwise(start)
+      case "raise" =>
+        when(dow <= 4, start).otherwise(raise_error(concat(
+          lit("add_business_days: "), start.cast("string"),
+          lit(" is not a business day"))).cast("date"))
+      case other => throw new IllegalArgumentException(
+        s"roll must be raise|forward|backward, got $other")
+    }
+    val rdow = (dayofweek(rolled) + 5) % 7
+    val weeks = floor(n.cast("double") / 5).cast("int") // floor div, negatives too
+    val rem = (n - weeks * 5).cast("int")               // ∈ [0, 4]
+    val extra = when(rdow + rem > 4, lit(2)).otherwise(lit(0))
+    date_add(rolled, weeks * 7 + rem + extra)
+  }
+
   // ---- round-7 audit stragglers --------------------------------------------
 
   /** polars eq_missing / ne_missing (expr.py): equality where null == null

@@ -186,6 +186,19 @@ object QueriesMisc9 {
         .orderBy(col("p_partkey"))
     }),
 
+    // polars dt.add_business_days (business.rs): closed-form Mon-Fri walk,
+    // negative offsets included, weekend starts rolled forward/backward.
+    // The oracle replays the identical arithmetic (isodow + floor division).
+    "dt_add_business" -> ((s, d) => {
+      val n = (col("o_orderkey") % 11 - 5).cast("int")
+      t(s, d, "orders").filter(col("o_orderkey") <= 4000)
+        .select(col("o_orderkey"),
+          col("o_orderdate").cast("date").as("d0"), n.as("n"),
+          gf.addBusinessDays(col("o_orderdate").cast("date"), n, "forward").as("fwd"),
+          gf.addBusinessDays(col("o_orderdate").cast("date"), n, "backward").as("bwd"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // polars rolling_sum_by/min_by/etc over an arbitrary NUMERIC by-column
     // (expr.py rolling_*_by; the time-based case is win_rolling_time) — a
     // value-range window frame. Integer cents as the order key: range ties
@@ -279,6 +292,27 @@ object QueriesMisc9 {
         | CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE p_brand END AS brand_or_null,
         | p_retailprice
         |FROM part WHERE p_partkey <= 2000 ORDER BY p_partkey""".stripMargin,
+
+    "dt_add_business" ->
+      """WITH t AS (
+        | SELECT o_orderkey, o_orderdate::DATE AS d0,
+        |  (o_orderkey % 11 - 5)::INT AS n
+        | FROM orders WHERE o_orderkey <= 4000),
+        |r AS (
+        | SELECT o_orderkey, d0, n,
+        |  CASE WHEN isodow(d0) = 6 THEN d0 + 2
+        |       WHEN isodow(d0) = 7 THEN d0 + 1 ELSE d0 END AS rf,
+        |  CASE WHEN isodow(d0) = 6 THEN d0 - 1
+        |       WHEN isodow(d0) = 7 THEN d0 - 2 ELSE d0 END AS rb
+        | FROM t)
+        |SELECT o_orderkey, d0, n,
+        | rf + (CAST(floor(n / 5.0) AS INT) * 7 + (n - CAST(floor(n / 5.0) AS INT) * 5)
+        |   + CASE WHEN (isodow(rf) - 1) + (n - CAST(floor(n / 5.0) AS INT) * 5) > 4
+        |          THEN 2 ELSE 0 END) AS fwd,
+        | rb + (CAST(floor(n / 5.0) AS INT) * 7 + (n - CAST(floor(n / 5.0) AS INT) * 5)
+        |   + CASE WHEN (isodow(rb) - 1) + (n - CAST(floor(n / 5.0) AS INT) * 5) > 4
+        |          THEN 2 ELSE 0 END) AS bwd
+        |FROM r ORDER BY o_orderkey""".stripMargin,
 
     "win_rolling_by_value" ->
       """WITH t AS (

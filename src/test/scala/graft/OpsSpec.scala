@@ -114,6 +114,27 @@ class OpsSpec extends SparkSpec {
     assert(clipped == Seq(0.0, 0.0, 1.0, 2.0, 2.0))
   }
 
+  test("addBusinessDays walks Mon-Fri; raise mode rejects weekend starts") {
+    // 2024-01-03 is a Wednesday; 2024-01-06 a Saturday
+    val df = Seq("2024-01-03").toDF("d").select(col("d").cast("date").as("d"))
+    def add(n: Int, roll: String = "raise") = df.select(
+      gf.addBusinessDays(col("d"), lit(n), roll).cast("string")).head().getString(0)
+    assert(add(0) == "2024-01-03")
+    assert(add(1) == "2024-01-04")   // Thu
+    assert(add(3) == "2024-01-08")   // over the weekend → Mon
+    assert(add(5) == "2024-01-10")   // exactly one business week
+    assert(add(-3) == "2023-12-29")  // back over the weekend → Fri
+    val sat = Seq("2024-01-06").toDF("d").select(col("d").cast("date").as("d"))
+    assert(sat.select(gf.addBusinessDays(col("d"), lit(1), "forward").cast("string"))
+      .head().getString(0) == "2024-01-09") // rolls to Mon, +1 → Tue
+    assert(sat.select(gf.addBusinessDays(col("d"), lit(1), "backward").cast("string"))
+      .head().getString(0) == "2024-01-08") // rolls to Fri, +1 → Mon
+    val e = intercept[Exception] {
+      sat.select(gf.addBusinessDays(col("d"), lit(1))).collect()
+    }
+    assert(e.getMessage.contains("not a business day"), e.getMessage)
+  }
+
   test("businessDayCount counts Mon-Fri in [start, end)") {
     // 2024-01-01 (Mon) .. 2024-01-08 (Mon): 5 business days
     val df = Seq(("2024-01-01", "2024-01-08"), ("2024-01-06", "2024-01-08"))
