@@ -48,6 +48,15 @@ class AsOfSpec extends SparkSpec {
       ("b", 3L, None), ("c", 2L, None)))
   }
 
+  test("nearest with tolerance: an out-of-tol side can't win by being the only one") {
+    // a/5: backward r2 at 4 (d=1, within tol=1), forward r3 at 7 (d=2, OUT)
+    //   -> r2; a/10: only backward r3 at 7 (d=3, OUT) -> None;
+    // b/3: only forward r4 at 9 (d=6, OUT) -> None
+    assert(run("nearest", Some(1.0)) == Seq(
+      ("a", 1L, Some("r1")), ("a", 5L, Some("r2")), ("a", 10L, None),
+      ("b", 3L, None), ("c", 2L, None)))
+  }
+
   test("keyless as-of distributes: range partitions + per-partition window") {
     // by = Nil over a frame that spans many partitions: the r3 code used
     // Window.partitionBy() — everything on one task. Now the union must
