@@ -685,6 +685,17 @@ final class LazyFrame(val df: DataFrame) {
     finally df.unpersist(blocking = false)
   }
 
+  /** The 100 TB form of [[sinkMultiple]]: stage the shared prefix to
+    * parquet once and let every sink read the files — no executor memory
+    * pinned across sinks, restartable if a later sink dies (the staged
+    * files survive the JVM, unlike a persist), and each sink's plan gets
+    * full pushdown/pruning against the staged columnar files. */
+  def sinkMultipleStaged(stagePath: String, sinks: Seq[LazyFrame => Unit]): Unit = {
+    df.write.mode("overwrite").parquet(stagePath)
+    val staged = LazyFrame(df.sparkSession.read.parquet(stagePath))
+    sinks.foreach(f => f(staged))
+  }
+
   /** polars collect_batches (LazyFrame::collect_batches): stream the result
     * to the driver in bounded chunks instead of one materialized frame.
     * Spark-first mapping: `toLocalIterator` pulls ONE partition at a time —

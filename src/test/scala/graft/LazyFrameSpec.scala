@@ -113,6 +113,22 @@ class LazyFrameSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/b").columns.toSeq == Seq("k", "i2"))
   }
 
+  test("sinkMultipleStaged: every sink scans the staged parquet, not the prefix plan") {
+    val base = java.nio.file.Files.createTempDirectory("graft_staged").toString
+    val shared = lf.withColumns("i2" -> (col("i") * 2))
+    var scannedStage = false
+    shared.sinkMultipleStaged(s"$base/stage", Seq(
+      f => {
+        val plan = f.filter(col("i") > 1).collect().queryExecution.executedPlan.toString
+        scannedStage = plan.contains(s"$base/stage")
+        f.filter(col("i") > 1).sinkParquet(s"$base/a")
+      },
+      f => f.selectNames("k", "i2").sinkParquet(s"$base/b")))
+    assert(scannedStage, "sink plan did not read the staged files")
+    assert(spark.read.parquet(s"$base/a").count() > 0)
+    assert(spark.read.parquet(s"$base/b").columns.toSeq == Seq("k", "i2"))
+  }
+
   test("frameEquals compares schema and row multisets") {
     val a = LazyFrame(spark.sql("SELECT * FROM VALUES (1, 'x'), (2, 'y') AS t(i, s)"))
     val b = LazyFrame(spark.sql("SELECT * FROM VALUES (2, 'y'), (1, 'x') AS t(i, s)"))
