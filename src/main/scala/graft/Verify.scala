@@ -14,6 +14,13 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // INT64-micros timestamps in the dump: Spark's internal timestamps
+      // ARE microseconds, and the INT96 default reads back as
+      // timestamp[ns] in arrow while DuckDB emits timestamp[us] — a
+      // cross-engine output-TYPE skew of exactly the class that
+      // hash-failed win_rolling_by_value in r7 (tools/check.py now
+      // gates on it)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -21,9 +28,24 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val out = fn(spark, sfDir)
+        // Dump timestamps as NTZ: the session runs UTC, so the cast is the
+        // identity on wall-clock values, but Spark's tz-aware TIMESTAMP
+        // annotates the parquet as adjusted-to-UTC → arrow
+        // timestamp[us, tz=UTC], while the DuckDB oracle emits naive
+        // timestamp[us]. The driver hashes raw values, and tz-aware vs
+        // naive datetimes are unequal in Python — a silent hash-fail class.
+        val dumped = out.schema.fields.foldLeft(out) { (d, f) =>
+          f.dataType match {
+            case org.apache.spark.sql.types.TimestampType =>
+              d.withColumn(f.name,
+                org.apache.spark.sql.functions.col(f.name).cast("timestamp_ntz"))
+            case _ => d
+          }
+        }
+        dumped.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

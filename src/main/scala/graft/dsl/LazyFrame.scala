@@ -631,17 +631,33 @@ final class LazyFrame(val df: DataFrame) {
 
   /** The reference's BYTE-budget partitioned sink (sink.rs max-size
     * variant takes bytes): Spark's file splitter counts records, so the
-    * budget converts through the plan's estimated row width
-    * (`stats.sizeInBytes` over the row count — the in-memory estimate,
-    * conservative vs parquet-encoded bytes, which is the safe direction
-    * for a size CAP). Row count falls back to one `count()` action when
-    * the optimizer doesn't carry it. */
+    * budget converts through an estimated row width (in-memory estimates
+    * are conservative vs parquet-encoded bytes, which is the safe
+    * direction for a size CAP). Width resolution order: the caller's
+    * `rowBytesHint`; the optimizer's stats when it carries a rowCount;
+    * else a 512-row sampled estimate (CollectLimit — reads only the
+    * first partitions, never a full pass over the input). */
   def sinkParquetTargetSize(path: String, targetFileBytes: Long,
-                            partitionBy: Seq[String] = Nil): Unit = {
+                            partitionBy: Seq[String] = Nil,
+                            rowBytesHint: Long = 0): Unit = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
-    val stats = df.queryExecution.optimizedPlan.stats
-    val rows = stats.rowCount.map(_.toLong).getOrElse(df.count())
-    val rowBytes = math.max(1L, stats.sizeInBytes.toLong / math.max(rows, 1L))
+    val rowBytes: Long = if (rowBytesHint > 0) rowBytesHint else {
+      val stats = df.queryExecution.optimizedPlan.stats
+      // sizeInBytes is a BigInt that exceeds Long.MaxValue for estimated
+      // non-leaf plans — an unclamped toLong wraps negative and the cap
+      // degenerates to targetFileBytes ROWS per file
+      val size = stats.sizeInBytes.min(BigInt(Long.MaxValue)).toLong
+      stats.rowCount match {
+        case Some(rc) =>
+          math.max(1L, size / math.max(rc.min(BigInt(Long.MaxValue)).toLong, 1L))
+        case None =>
+          val sample = df.limit(512).collect()
+          if (sample.isEmpty) 1L
+          else math.max(1L, sample.iterator
+            .map(r => org.apache.spark.util.SizeEstimator.estimate(r: AnyRef))
+            .sum / sample.length)
+      }
+    }
     val maxRecords = math.max(1L, targetFileBytes / rowBytes)
     sinkParquet(path, partitionBy, maxRecordsPerFile = maxRecords)
   }

@@ -109,15 +109,20 @@ object AsOf {
     }
 
     val out = matched.filter(col("__tag") === 1)
+    // polars join_asof never matches a null left key (asof/mod.rs skips
+    // missing keys); the forward sort is desc_nulls_last, so without this
+    // gate a null-key left row would sort after every right row and the
+    // carry window would hand it the minimum right key.
+    val matchOk = col("__k").isNotNull && col("__mk").isNotNull && withinTol
     // surface the matched right key under its original name (when distinct
     // from the left key) — callers and oracles need it for tolerance checks
     val keyOut =
       if (rightOn != leftOn && !by.contains(rightOn) && !leftCols.contains(rightOn))
-        Seq(when(col("__mk").isNotNull && withinTol, col("__mk")).as(rightOn))
+        Seq(when(matchOk, col("__mk")).as(rightOn))
       else Nil
     val proj =
       (by ++ leftCols).map(col) ++ keyOut ++
-      rightCols.map(c => when(col("__mk").isNotNull && withinTol, col(s"__m_$c")).as(c))
+      rightCols.map(c => when(matchOk, col(s"__m_$c")).as(c))
     out.select(proj: _*)
   }
 
@@ -256,11 +261,14 @@ object AsOf {
     val out = both.filter(col("__tag") === 1)
 
     val lk = col("__k").cast("double")
+    // null left keys never match (same gate as directional — the forward
+    // pass's desc_nulls_last sort would otherwise hand them the minimum
+    // right key)
     def ok(mk: Column, fwd: Boolean): Column = tolerance match {
-      case None => mk.isNotNull
+      case None => col("__k").isNotNull && mk.isNotNull
       case Some(tol) =>
         val dist = if (fwd) mk.cast("double") - lk else lk - mk.cast("double")
-        mk.isNotNull && dist <= tol.cast("double")
+        col("__k").isNotNull && mk.isNotNull && dist <= tol.cast("double")
     }
     val okB = ok(col("__mk__b"), fwd = false)
     val okF = ok(col("__mk__f"), fwd = true)

@@ -18,9 +18,9 @@ import org.apache.spark.sql.expressions.Window
   *      partitions, metadata-scale) — into per-partition offsets and
   *      broadcast them back.
   *
-  * Cost: the input lineage is evaluated twice (data pass + totals pass),
-  * same as RDD.zipWithIndex's extra job. Callers looping over one frame
-  * should cache upstream.
+  * Cost: the ranged frame is materialized once (`localCheckpoint`) so the
+  * data pass and the totals pass read the SAME partition assignment — see
+  * withScanned's note on RangePartitioner's rdd.id-derived sampling seed.
   */
 object Distributed {
 
@@ -58,20 +58,21 @@ object Distributed {
     * means "no data yet anywhere" (stay null) or "all local nulls but
     * earlier partitions carry a value" (emit the carried offset).
     *
-    * CORRECTNESS PRECONDITION: the input lineage must be deterministic
-    * (no un-cached sample()/rand()/shuffle-order-sensitive expressions).
-    * The window branch and the offsets branch evaluate the range exchange
-    * INDEPENDENTLY (the executed plan shows two fresh exchanges — stage
-    * reuse does NOT dedupe them in Spark 4.1), so the two evaluations are
-    * only mutually consistent because range-bounds sampling is
-    * reproducible over a deterministic input (stress-pinned in
-    * DistributedPropertySpec, incl. unioned round-robin upstreams). For a
-    * non-deterministic upstream, cache or checkpoint before calling — the
-    * same pinning AsOf.rangedByMatched applies internally. */
+    * The window branch and the offsets branch both read `ranged`, and the
+    * executed plan evaluates that range exchange INDEPENDENTLY per branch
+    * (stage reuse does NOT dedupe it in Spark 4.1). RangePartitioner
+    * samples its bounds with an rdd.id-derived seed, so at real scale
+    * (reservoir subsampling active) two independent evaluations can draw
+    * DIFFERENT boundaries and assign rows to different `__dp` partitions —
+    * silently corrupting row numbers / prefix sums. `localCheckpoint`
+    * pins the partitioning once (same fix as AsOf.rangedByMatched); it
+    * also replaces the old double-evaluation of the input lineage with a
+    * single materialized pass. */
   private def withScanned(df: DataFrame, ord: Seq[Column], total: Column,
       contrib: Column)(
       local: (DataFrame, org.apache.spark.sql.expressions.WindowSpec) => DataFrame): DataFrame = {
     val ranged = df.repartitionByRange(ord: _*).withColumn("__dp", spark_partition_id())
+      .localCheckpoint()
     val w = Window.partitionBy(col("__dp")).orderBy(ord: _*)
     val localized = local(ranged, w)
 

@@ -282,7 +282,7 @@ object QueriesMisc4 {
         |ORDER BY o_orderkey, mon""".stripMargin,
 
     "range_linspace" ->
-      """SELECT r_regionkey, i, round(r_regionkey + i / 4.0, 6) AS x
+      """SELECT r_regionkey, i::INT AS i, round(r_regionkey + i / 4.0, 6) AS x
         |FROM region, UNNEST(range(0, 5)) AS t(i)
         |ORDER BY r_regionkey, i""".stripMargin,
 

@@ -277,8 +277,8 @@ object QueriesMisc5 {
       """SELECT doc_id,
         | upper(hex(encode(text))) AS hx,
         | to_base64(encode(text)) AS b64,
-        | octet_length(encode(text)) AS nbytes,
-        | length(text) AS nchars
+        | octet_length(encode(text))::INT AS nbytes,
+        | length(text)::INT AS nchars
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
 
     "agg_topk_values" ->

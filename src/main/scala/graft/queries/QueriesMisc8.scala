@@ -35,6 +35,23 @@ object QueriesMisc8 {
     (n, m2, m3, m4)
   }
 
+  // Shared by dtype_decimal_exact / dtype_decimal_repr: integer-cents
+  // construction, then grouped sums/products in exact decimal arithmetic.
+  private def decimalAggBase(s: org.apache.spark.sql.SparkSession,
+                             d: String): org.apache.spark.sql.DataFrame = {
+    val cent = lit(new java.math.BigDecimal("0.01"))
+    def dec2(c: Column): Column =
+      (round(c * 100, 0).cast("long").cast("decimal(14,0)") * cent).cast("decimal(12,2)")
+    t(s, d, "lineitem")
+      .select(col("l_returnflag"),
+        dec2(col("l_extendedprice")).as("p"),
+        dec2(col("l_quantity")).as("q"))
+      .groupBy(col("l_returnflag")).agg(
+        sum(col("p")).cast("decimal(38,2)").as("sum_p"),
+        sum(col("p") * col("q")).cast("decimal(38,4)").as("sum_pq"),
+        min(col("p")).cast("decimal(38,2)").as("min_p"))
+  }
+
   val queries: Map[String, Q] = Map(
 
     // polars rolling_quantile / rolling_skew / rolling_kurtosis
@@ -277,21 +294,29 @@ object QueriesMisc8 {
     // round-6 red row), so the decimals are constructed via integer cents:
     // round(x*100) to an integer agrees across engines (same recipe as
     // TextAnalysis.qualityScore), and cents × 0.01 in decimal arithmetic is
-    // exact. The key then proves the decimal-AGGREGATION contract it names.
+    // exact. The aggregation STILL runs in decimal (the contract this key
+    // names), but the emitted columns are BIGINT invariants derived FROM the
+    // decimal aggregates ((sum×100)::BIGINT etc.) — identical arithmetic
+    // content with zero decimal representation surface, because the driver
+    // hashed the decimal-typed output red for two rounds while values and
+    // arrow types were locally identical (r7 verdict forensics: suspect
+    // driver-side decimal canonicalization). The decimal-typed surface
+    // lives on in dtype_decimal_repr below, localizing any disagreement.
     "dtype_decimal_exact" -> ((s, d) => {
-      val cent = lit(new java.math.BigDecimal("0.01"))
-      def dec2(c: Column): Column =
-        (round(c * 100, 0).cast("long").cast("decimal(14,0)") * cent).cast("decimal(12,2)")
-      t(s, d, "lineitem")
-        .select(col("l_returnflag"),
-          dec2(col("l_extendedprice")).as("p"),
-          dec2(col("l_quantity")).as("q"))
-        .groupBy(col("l_returnflag")).agg(
-          sum(col("p")).cast("decimal(38,2)").as("sum_p"),
-          sum(col("p") * col("q")).cast("decimal(38,4)").as("sum_pq"),
-          min(col("p")).cast("decimal(38,2)").as("min_p"))
+      val a = decimalAggBase(s, d)
+      a.select(col("l_returnflag"),
+          (col("sum_p") * 100).cast("long").as("sum_p_c"),
+          (col("sum_pq") * 10000).cast("long").as("sum_pq_c"),
+          (col("min_p") * 100).cast("long").as("min_p_c"))
         .orderBy(col("l_returnflag"))
     }),
+
+    // The decimal-typed half of the split (see dtype_decimal_exact above):
+    // the same decimal aggregates emitted AS decimals. If a driver reds this
+    // key while dtype_decimal_exact is green, the divergence is pinned to
+    // decimal-output hashing, not the arithmetic.
+    "dtype_decimal_repr" -> ((s, d) =>
+      decimalAggBase(s, d).orderBy(col("l_returnflag"))),
 
     // polars str.escape_regex + str.head/tail: metacharacters injected so
     // the escape provably neutralizes them (regexp_count of the escaped
@@ -507,13 +532,13 @@ object QueriesMisc8 {
         | SELECT p_partkey, p_partkey::BIGINT AS x, p_partkey::BIGINT - 1000 AS y
         | FROM part WHERE p_partkey <= 2000)
         |SELECT p_partkey,
-        | bit_count(x) AS ones_x,
-        | 64 - bit_count(x) AS zeros_x,
-        | CASE WHEN x = 0 THEN 64 ELSE 64 - length(bin(x)) END AS lead_x,
-        | CASE WHEN x = 0 THEN 64 ELSE bit_count((x & -x) - 1) END AS trail_x,
-        | bit_count(y) AS ones_y,
-        | CASE WHEN y = 0 THEN 64 ELSE 64 - length(bin(y)) END AS lead_y,
-        | CASE WHEN y = 0 THEN 64 ELSE bit_count((y & -y) - 1) END AS trail_y
+        | bit_count(x)::INT AS ones_x,
+        | (64 - bit_count(x))::INT AS zeros_x,
+        | (CASE WHEN x = 0 THEN 64 ELSE 64 - length(bin(x)) END)::INT AS lead_x,
+        | (CASE WHEN x = 0 THEN 64 ELSE bit_count((x & -x) - 1) END)::INT AS trail_x,
+        | bit_count(y)::INT AS ones_y,
+        | (CASE WHEN y = 0 THEN 64 ELSE 64 - length(bin(y)) END)::INT AS lead_y,
+        | (CASE WHEN y = 0 THEN 64 ELSE bit_count((y & -y) - 1) END)::INT AS trail_y
         |FROM t ORDER BY p_partkey""".stripMargin,
 
     "misc_is_sorted" ->
@@ -616,6 +641,26 @@ object QueriesMisc8 {
         |    * 0.01)::DECIMAL(12,2) AS p,
         |  (CAST(round(l_quantity * 100) AS BIGINT)::DECIMAL(14,0)
         |    * 0.01)::DECIMAL(12,2) AS q
+        | FROM lineitem),
+        |a AS (
+        | SELECT l_returnflag,
+        |  sum(p)::DECIMAL(38,2) AS sum_p,
+        |  sum(p * q)::DECIMAL(38,4) AS sum_pq,
+        |  min(p)::DECIMAL(38,2) AS min_p
+        | FROM t GROUP BY 1)
+        |SELECT l_returnflag,
+        | (sum_p * 100)::BIGINT AS sum_p_c,
+        | (sum_pq * 10000)::BIGINT AS sum_pq_c,
+        | (min_p * 100)::BIGINT AS min_p_c
+        |FROM a ORDER BY 1""".stripMargin,
+
+    "dtype_decimal_repr" ->
+      """WITH t AS (
+        | SELECT l_returnflag,
+        |  (CAST(round(l_extendedprice * 100) AS BIGINT)::DECIMAL(14,0)
+        |    * 0.01)::DECIMAL(12,2) AS p,
+        |  (CAST(round(l_quantity * 100) AS BIGINT)::DECIMAL(14,0)
+        |    * 0.01)::DECIMAL(12,2) AS q
         | FROM lineitem)
         |SELECT l_returnflag,
         | sum(p)::DECIMAL(38,2) AS sum_p,
@@ -631,7 +676,7 @@ object QueriesMisc8 {
         |SELECT p_partkey,
         | regexp_replace(raw, '([.^$*+?()\[\]{}|\\])', '\\\1', 'g') AS escaped,
         | len(regexp_extract_all(raw,
-        |   regexp_replace(raw, '([.^$*+?()\[\]{}|\\])', '\\\1', 'g')))
+        |   regexp_replace(raw, '([.^$*+?()\[\]{}|\\])', '\\\1', 'g')))::INT
         |   AS self_hits,
         | p_type[1:6] AS head6,
         | p_type[-4:] AS tail4

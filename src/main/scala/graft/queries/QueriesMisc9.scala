@@ -183,6 +183,9 @@ object QueriesMisc9 {
         .option("nullValue", "__NULL__").option("comment", "#")
         .option("inferSchema", "true")
         .csv(dir)
+        // inferSchema narrows the key to int32; widen back so the output
+        // type matches the parquet base table (int64) on both engines
+        .withColumn("p_partkey", col("p_partkey").cast("long"))
         .orderBy(col("p_partkey"))
     }),
 
@@ -320,7 +323,7 @@ object QueriesMisc9 {
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         | FROM orders WHERE o_custkey <= 500)
         |SELECT o_orderkey, o_custkey,
-        | sum(cents) OVER w AS roll_sum,
+        | (sum(cents) OVER w)::BIGINT AS roll_sum,
         | count(*) OVER w AS roll_n,
         | min(cents) OVER w AS roll_min
         |FROM t WINDOW w AS (PARTITION BY o_custkey ORDER BY cents

@@ -197,7 +197,7 @@ object QueriesScalar {
   val oracle: Map[String, String] = Map(
     "str_basics" ->
       """SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,
-        | length(p_name) AS len, substring(p_name, 1, 5) AS pre,
+        | length(p_name)::INT AS len, substring(p_name, 1, 5) AS pre,
         | reverse(p_type) AS rev, lpad(p_brand, 12, '_') AS pad,
         | trim(p_name) AS trm, lpad(CAST(p_size AS VARCHAR), 4, '0') AS zf
         |FROM part ORDER BY p_partkey""".stripMargin,
@@ -210,7 +210,7 @@ object QueriesScalar {
 
     "str_regex" ->
       """SELECT p_partkey, regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
-        | length(p_name) - length(replace(p_name, 'a', '')) AS n_a,
+        | (length(p_name) - length(replace(p_name, 'a', '')))::INT AS n_a,
         | regexp_replace(p_name, '[aeiou]', '_', 'g') AS novowel,
         | string_split(p_type, ' ')[1] AS type_head
         |FROM part ORDER BY p_partkey""".stripMargin,
@@ -225,10 +225,10 @@ object QueriesScalar {
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
 
     "dt_parts" ->
-      """SELECT o_orderkey, year(o_orderdate) AS y, quarter(o_orderdate) AS q,
-        | month(o_orderdate) AS m, dayofmonth(o_orderdate) AS dom,
-        | dayofyear(o_orderdate) AS doy, hour(o_orderdate) AS h,
-        | minute(o_orderdate) AS mi, CAST(second(o_orderdate) AS INTEGER) AS sec
+      """SELECT o_orderkey, year(o_orderdate)::INT AS y, quarter(o_orderdate)::INT AS q,
+        | month(o_orderdate)::INT AS m, dayofmonth(o_orderdate)::INT AS dom,
+        | dayofyear(o_orderdate)::INT AS doy, hour(o_orderdate)::INT AS h,
+        | minute(o_orderdate)::INT AS mi, CAST(second(o_orderdate) AS INTEGER) AS sec
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "dt_trunc_arith" ->
@@ -236,7 +236,7 @@ object QueriesScalar {
         | CAST(o_orderdate AS DATE) + 30 AS plus30,
         | CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTHS AS DATE) AS plus2mo,
         | last_day(CAST(o_orderdate AS DATE)) AS eom,
-        | datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_end
+        | datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')::INT AS days_to_end
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "dt_epoch_convert" ->
@@ -300,7 +300,7 @@ object QueriesScalar {
         |FROM lineitem WHERE l_orderkey <= 1000 ORDER BY 1, 2""".stripMargin,
 
     "list_basics" ->
-      """SELECT vec_id, len(embedding) AS dim,
+      """SELECT vec_id, len(embedding)::INT AS dim,
         | round(CAST(embedding[1] AS DOUBLE), 6) AS first,
         | round(CAST(embedding[-1] AS DOUBLE), 6) AS last,
         | round(list_max(embedding::DOUBLE[]), 6) AS mx,

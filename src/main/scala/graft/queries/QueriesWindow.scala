@@ -127,8 +127,8 @@ object QueriesWindow {
   val oracle: Map[String, String] = Map(
     "win_rank" ->
       """SELECT c_custkey, c_nationkey,
-        | rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
-        | row_number() OVER w AS rn, ntile(4) OVER w AS quartile,
+        | (rank() OVER w)::INT AS rnk, (dense_rank() OVER w)::INT AS drnk,
+        | (row_number() OVER w)::INT AS rn, (ntile(4) OVER w)::INT AS quartile,
         | round(percent_rank() OVER w, 4) AS prnk,
         | round(cume_dist() OVER w, 4) AS cdist
         |FROM customer
@@ -200,7 +200,7 @@ object QueriesWindow {
         |ORDER BY event_id""".stripMargin,
 
     "win_topk_group" ->
-      """SELECT o_custkey, o_orderkey, round(o_totalprice,2) AS o_totalprice, rn
+      """SELECT o_custkey, o_orderkey, round(o_totalprice,2) AS o_totalprice, rn::INT AS rn
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
         |  row_number() OVER (PARTITION BY o_custkey
         |   ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)

@@ -121,10 +121,14 @@ object Float16Parquet {
     f16Cols.foreach(c => require(schema(c).dataType == FloatType,
       s"f16 column $c must be FloatType, got ${schema(c).dataType}"))
     val msg = parquetSchemaOf(schema, f16Cols).toString
-    // overwrite semantics through the Hadoop FS API — works for any
-    // scheme (local, HDFS, s3a), not just the local filesystem
+    // overwrite semantics through the Hadoop FS API, with the SESSION's
+    // hadoop configuration — `new Configuration()` would drop credentials
+    // set via CloudPaths.configure (fs.s3a.* etc.), breaking the "works
+    // for any scheme" contract
+    val hadoopConf = df.sparkSession.sparkContext.hadoopConfiguration
+    val serConf = new org.apache.spark.util.SerializableConfiguration(hadoopConf)
     val fsPath = new Path(path)
-    val fs = fsPath.getFileSystem(new Configuration())
+    val fs = fsPath.getFileSystem(hadoopConf)
     if (fs.exists(fsPath)) fs.delete(fsPath, true)
     fs.mkdirs(fsPath)
     val fields = schema.fields
@@ -133,13 +137,20 @@ object Float16Parquet {
     }.toSet
     df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.hasNext) {
-        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
         val parsed = MessageTypeParser.parseMessageType(msg)
-        val conf = new Configuration()
+        val conf = new Configuration(serConf.value)
         GroupWriteSupport.setSchema(parsed, conf)
-        // OVERWRITE: a retried task must be able to replace its own
-        // partial file — the default CREATE mode would fail the retry
-        val w = ExampleParquetWriter.builder(new Path(f"$path/part-$pid%05d.parquet"))
+        // Attempt-unique temp file + rename commit: two concurrent
+        // attempts of one task (speculation, or a retry racing a zombie)
+        // must not write the same destination simultaneously. The rename
+        // is the commit — the first attempt to rename wins, the loser
+        // deletes its temp. A plain retry after a clean failure also
+        // works: the stale destination is deleted before the rename.
+        val finalPath = new Path(f"$path/part-$pid%05d.parquet")
+        val tmpPath = new Path(f"$path/.part-$pid%05d-attempt-${tc.taskAttemptId()}.parquet.tmp")
+        val w = ExampleParquetWriter.builder(tmpPath)
           .withWriteMode(org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE)
           .withConf(conf).build()
         val gf = new SimpleGroupFactory(parsed)
@@ -167,6 +178,13 @@ object Float16Parquet {
           w.write(g)
         }
         w.close()
+        val pfs = finalPath.getFileSystem(conf)
+        // commit: delete any stale output from a FAILED prior attempt,
+        // then rename; losing a rename race to a live attempt is fine —
+        // both attempts wrote identical data
+        if (pfs.exists(finalPath)) pfs.delete(finalPath, false)
+        if (!pfs.rename(tmpPath, finalPath)) pfs.delete(tmpPath, false)
+        ()
       }
     }
   }

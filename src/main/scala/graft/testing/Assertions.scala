@@ -38,7 +38,22 @@ object Assertions {
     if (lRows.length != rRows.length)
       throw new FrameNotEqualError(
         s"row counts differ: ${lRows.length} vs ${rRows.length}")
-    def key(r: Seq[Any]): String = r.map(String.valueOf).mkString("\u0000")
+    // Sort key: non-float cells first (exact), float cells last and COARSELY
+    // rounded -- sorting on exact float renderings would let two rows whose
+    // floats differ only within rtol/atol sort into different positions and
+    // fail spuriously. Rounded floats only break ties among rows already
+    // equal on every non-float column.
+    def keyCell(v: Any): String = v match {
+      case d: Double => f"$d%.3g"
+      case f: Float  => f"${f.toDouble}%.3g"
+      case other     => String.valueOf(other)
+    }
+    def isFloatCell(v: Any): Boolean =
+      v.isInstanceOf[Double] || v.isInstanceOf[Float]
+    def key(r: Seq[Any]): String = {
+      val (fl, nf) = r.partition(isFloatCell)
+      (nf.map(String.valueOf) ++ fl.map(keyCell)).mkString("\u0000")
+    }
     val (ls, rs) =
       if (checkRowOrder) (lRows, rRows)
       else (lRows.sortBy(key), rRows.sortBy(key))

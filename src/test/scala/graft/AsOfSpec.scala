@@ -57,6 +57,23 @@ class AsOfSpec extends SparkSpec {
       ("b", 3L, None), ("c", 2L, None)))
   }
 
+  test("null left keys never match (backward, forward, nearest)") {
+    // polars join_asof skips missing keys; the forward sort is
+    // desc_nulls_last, so without the isNotNull gate the null-key row
+    // would be handed the minimum right key
+    val l = Seq(("a", Some(5L), "l1"), ("a", None: Option[Long], "ln"))
+      .toDF("g", "k", "lv")
+    for (strategy <- Seq("backward", "forward", "nearest");
+         tol <- Seq(None, Some(100.0))) {
+      val got = AsOf.join(l, right.withColumnRenamed("k", "rk"), "k", "rk",
+          Seq("g"), strategy, tol.map(lit(_)))
+        .select("lv", "rv").as[(String, Option[String])]
+        .collect().toMap
+      assert(got("ln").isEmpty, s"strategy=$strategy tol=$tol matched a null key")
+      assert(got("l1").nonEmpty, s"strategy=$strategy tol=$tol lost the non-null match")
+    }
+  }
+
   test("keyless as-of distributes: range partitions + per-partition window") {
     // by = Nil over a frame that spans many partitions: the r3 code used
     // Window.partitionBy() — everything on one task. Now the union must

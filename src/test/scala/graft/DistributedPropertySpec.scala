@@ -82,15 +82,13 @@ class DistributedPropertySpec extends SparkSpec {
   }
 
   test("scan branches stay bounds-consistent on unioned round-robin input (stress)") {
-    // The window branch and the offsets branch evaluate the range exchange
-    // INDEPENDENTLY (two fresh exchanges in the plan — no reuse), so they
-    // are only mutually consistent when bounds sampling is reproducible.
-    // AsOf.rangedByMatched hit a same-shaped divergence and pins with
-    // localCheckpoint; this stress drives the scan's own precondition on
-    // the most adversarial deterministic shape we know — a union of two
-    // round-robin-repartitioned frames with nulls — repeatedly, against
-    // the single-task window oracle. A failure here means withScanned
-    // needs the same checkpoint pinning.
+    // withScanned pins its ranged frame with localCheckpoint (same fix as
+    // AsOf.rangedByMatched — RangePartitioner's rdd.id-derived seed means
+    // two independent evaluations of one range exchange can draw different
+    // bounds). This stress keeps driving the most adversarial deterministic
+    // shape we know — a union of two round-robin-repartitioned frames with
+    // nulls — repeatedly, against the single-task window oracle, as a
+    // regression guard on that pinning.
     withRealPartitions {
       import scala.jdk.CollectionConverters._
       val schema = org.apache.spark.sql.types.StructType(Seq(

@@ -213,8 +213,14 @@ class PlanSpec extends SparkSpec {
     val summed = graft.ops.Distributed.withPrefixSum(
       docs, col("n_chars"), Seq(col("doc_id")), "run_chars")
     val p = planOf(summed)
-    assert(p.contains("rangepartitioning"),
-      s"prefix sum should range-partition on the order key:\n$p")
+    // the ranged frame is localCheckpoint-pinned (RangePartitioner's
+    // rdd.id-derived sampling seed makes independent re-evaluations draw
+    // different bounds), so the downstream plan reads the materialized
+    // scan — both branches share ONE partition assignment by construction
+    assert(p.contains("ExistingRDD"),
+      s"prefix sum should read the checkpoint-pinned ranged frame:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"no branch may re-evaluate the range exchange past the checkpoint:\n$p")
     // exactly two windows: the per-range-partition running sum (parallel)
     // and the boundary-carry pass; the latter is the ONLY single-partition
     // exchange and sits above a HashAggregate (#partitions rows, metadata

@@ -71,8 +71,11 @@ def main():
         if tdiff:
             # the driver hashes raw values, so int64 12 vs double 12.0 or
             # decimal 1.0 vs double 1.0 WILL hash-mismatch even though the
-            # lenient Python == below passes — surface it loudly
+            # lenient Python == below passes — a type diff IS a failure
+            # (both r7 red rows carried exactly this signature)
             print(f"TYPES {name}: {tdiff}")
+            fail += 1
+            continue
         gc, gr = rows_of(got_tbl)
         ec, er = rows_of(exp_tbl)
         if gc != ec:
