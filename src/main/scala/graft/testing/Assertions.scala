@@ -58,7 +58,10 @@ object Assertions {
       if (checkRowOrder) (lRows, rRows)
       else (lRows.sortBy(key), rRows.sortBy(key))
     def near(a: Double, b: Double): Boolean =
-      (a.isNaN && b.isNaN) || math.abs(a - b) <= atol + rtol * math.abs(b)
+      // the a == b fast path is what admits equal infinities — their
+      // difference is NaN, which fails every tolerance test
+      a == b || (a.isNaN && b.isNaN) ||
+        math.abs(a - b) <= atol + rtol * math.abs(b)
     def same(a: Any, b: Any): Boolean = (a, b) match {
       case (null, null) => true
       case (null, _) | (_, null) => false
