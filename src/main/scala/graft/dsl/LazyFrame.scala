@@ -459,6 +459,26 @@ final class LazyFrame(val df: DataFrame) {
   def hstack(other: LazyFrame, leftOrder: Column, rightOrder: Column): LazyFrame =
     LazyFrame(graft.ops.HConcat.byOrder(df, other.df, leftOrder, rightOrder))
 
+  /** External context (reference `crates/polars-plan/src/dsl/builder_dsl.rs:241`
+    * `with_context` → `DslPlan::ExtContext`; py-polars `LazyFrame.with_context`,
+    * deprecated upstream since 1.0 in favor of `concat(how="horizontal")`):
+    * make the context frames' columns referenceable in subsequent
+    * expressions. The mapping is exactly the equivalence the upstream
+    * deprecation prescribes — each context zips alongside this frame by row
+    * position (null-padded where lengths differ), so whole-column
+    * scalar-aggregate accesses (`first`/`median`/`min` of a context column)
+    * broadcast as in the reference examples, and row-aligned access matches
+    * polars' equal-length case. Spark frames carry no intrinsic row order,
+    * so every frame supplies its explicit order column; context column names
+    * must not collide with own columns (polars raises on duplicates too).
+    * Cost at scale: one range shuffle + totals pass per frame for the zip
+    * index (see [[graft.ops.HConcat]]) — same as the hconcat it desugars to.
+    */
+  def withContext(ownOrder: Column, contexts: (LazyFrame, Column)*): LazyFrame =
+    contexts.foldLeft(this) { case (acc, (ctx, ord)) =>
+      acc.hstack(ctx, ownOrder, ord)
+    }
+
   def intersect(other: LazyFrame): LazyFrame = LazyFrame(df.intersect(other.df))
   def except(other: LazyFrame): LazyFrame = LazyFrame(df.except(other.df))
 

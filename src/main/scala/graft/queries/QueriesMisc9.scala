@@ -217,6 +217,29 @@ object QueriesMisc9 {
           count(lit(1)).over(w).as("roll_n"),
           min(col("cents")).over(w).as("roll_min"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // polars LazyFrame.with_context / DslPlan::ExtContext
+    // (builder_dsl.rs:241; deprecated upstream for concat(how="horizontal")
+    // — the equivalence this mapping implements): region as external
+    // context to nation. Exercises all three access shapes from the
+    // reference docs: row-aligned zip access (ctx_row, null-padded past the
+    // shorter frame), a whole-frame scalar aggregate broadcast (ctx_min),
+    // and `.first()` broadcast (ctx_first).
+    "misc_with_context" -> ((s, d) => {
+      import graft.dsl.LazyFrame
+      val nation = LazyFrame(t(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name")))
+      val ctx = LazyFrame(t(s, d, "region")
+        .select(col("r_regionkey"), col("r_name")))
+      val whole = Window.partitionBy()
+      val ordered = Window.orderBy(col("n_nationkey"))
+      nation.withContext(col("n_nationkey"), (ctx, col("r_regionkey")))
+        .select(col("n_nationkey"), col("n_name"),
+          col("r_name").as("ctx_row"),
+          min(col("r_name")).over(whole).as("ctx_min"),
+          first(col("r_name"), ignoreNulls = false).over(ordered).as("ctx_first"))
+        .sort(col("n_nationkey")).df
     })
   )
 
@@ -328,6 +351,17 @@ object QueriesMisc9 {
         | min(cents) OVER w AS roll_min
         |FROM t WINDOW w AS (PARTITION BY o_custkey ORDER BY cents
         |  RANGE BETWEEN 5000000 PRECEDING AND CURRENT ROW)
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "misc_with_context" ->
+      """WITH n AS (SELECT n_nationkey, n_name,
+        |  row_number() OVER (ORDER BY n_nationkey) AS rn FROM nation),
+        |r AS (SELECT r_name,
+        |  row_number() OVER (ORDER BY r_regionkey) AS rn FROM region)
+        |SELECT n.n_nationkey, n.n_name, r.r_name AS ctx_row,
+        | (SELECT min(r_name) FROM region) AS ctx_min,
+        | (SELECT r_name FROM region ORDER BY r_regionkey LIMIT 1) AS ctx_first
+        |FROM n LEFT JOIN r USING (rn)
+        |ORDER BY n_nationkey""".stripMargin
   )
 }
