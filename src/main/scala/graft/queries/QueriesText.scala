@@ -159,6 +159,35 @@ object QueriesText {
       Multimodal.sampleFrames(assets, everyMs = 500L)
         .select(col("asset_id"), col("ts_ms"), col("frame_idx"))
         .orderBy(col("asset_id"), col("ts_ms"))
+    }),
+
+    // PII redaction (the pre-training scrub — BigScience ROOTS / Dolma
+    // publish the same email/IP/phone families). The fixture corpus is
+    // PII-free word soup, so deterministic PII is synthesized from doc_id
+    // (present on ~1/3, ~1/4, ~1/5 of docs respectively, with clean rows
+    // in between) — both engines build the identical string, then each
+    // runs its own regex engine: agreement proves the patterns are
+    // engine-portable and the chained replacement exact.
+    "text_pii_redact" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 2000)
+      val pii = concat_ws(" ",
+        substring(col("text"), 1, 40),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("user"), col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(lit("noemail")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("+1-555-"),
+            lpad((col("doc_id") * 7919 % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("x")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("10."), (col("doc_id") % 256).cast("string"), lit("."),
+            (col("doc_id") * 3 % 256).cast("string"), lit("."),
+            (col("doc_id") * 7 % 256).cast("string")))
+          .otherwise(lit("y")))
+      docs.select(col("doc_id"),
+          TA.redactPii(pii).as("red"),
+          TA.piiCount(pii).as("n_pii"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -371,6 +400,36 @@ object QueriesText {
       """SELECT doc_id AS asset_id, unnest(generate_series(0, dur, 500)) AS ts_ms,
         | CAST(unnest(generate_series(0, dur, 500)) / 500 AS BIGINT) AS frame_idx
         |FROM (SELECT doc_id, doc_id % 20 * 1000 + 500 AS dur FROM documents)
-        |ORDER BY asset_id, ts_ms""".stripMargin
+        |ORDER BY asset_id, ts_ms""".stripMargin,
+
+    "text_pii_redact" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+      val phone = "\\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}"
+      s"""WITH p AS (
+         | SELECT doc_id,
+         |  substr(text, 1, 40) || ' ' ||
+         |  CASE WHEN doc_id % 3 = 0
+         |       THEN 'user' || doc_id || '@example.com' ELSE 'noemail' END
+         |  || ' ' ||
+         |  CASE WHEN doc_id % 4 = 0
+         |       THEN '+1-555-' || lpad((doc_id * 7919 % 10000)::VARCHAR, 4, '0')
+         |       ELSE 'x' END
+         |  || ' ' ||
+         |  CASE WHEN doc_id % 5 = 0
+         |       THEN '10.' || (doc_id % 256) || '.' || (doc_id * 3 % 256)
+         |            || '.' || (doc_id * 7 % 256)
+         |       ELSE 'y' END AS pii
+         | FROM documents WHERE doc_id < 2000)
+         |SELECT doc_id,
+         | regexp_replace(regexp_replace(regexp_replace(pii,
+         |   '$email', '<EMAIL>', 'g'),
+         |   '$ip', '<IP>', 'g'),
+         |   '$phone', '<PHONE>', 'g') AS red,
+         | (len(regexp_extract_all(pii, '$email'))
+         |  + len(regexp_extract_all(pii, '$ip'))
+         |  + len(regexp_extract_all(pii, '$phone')))::BIGINT AS n_pii
+         |FROM p ORDER BY doc_id""".stripMargin
+    }
   )
 }

@@ -116,4 +116,31 @@ object TextAnalysis {
       i => array_join(slice(toks, i + 1, lit(w)), " "))
     array_min(transform(shingles, s => md5(s)))
   }
+
+  // ---- PII redaction ------------------------------------------------------
+  // The standard pre-training scrub step (BigScience ROOTS / Dolma publish
+  // the same three families). RE2-compatible patterns — no lookarounds —
+  // so Java (Spark) and RE2 (DuckDB oracles) agree match-for-match.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val PhoneRe = "\\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}"
+
+  /** Redact emails, IPv4 addresses, and phone-shaped number runs to typed
+    * placeholders. Chained native regexp_replace (codegen'd, replaces all
+    * occurrences). Order is load-bearing: emails carry dots+digits that
+    * could half-match the IP pattern, and IPs carry digit runs — each
+    * family is removed before the next looks. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Count of PII matches across the three families (on the raw text —
+    * families don't overlap textually, see [[redactPii]] ordering note). */
+  def piiCount(text: Column): Column =
+    (size(regexp_extract_all(text, lit(EmailRe), lit(0))) +
+      size(regexp_extract_all(text, lit(Ipv4Re), lit(0))) +
+      size(regexp_extract_all(text, lit(PhoneRe), lit(0)))).cast("long")
 }
