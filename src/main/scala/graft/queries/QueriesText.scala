@@ -188,6 +188,31 @@ object QueriesText {
           TA.redactPii(pii).as("red"),
           TA.piiCount(pii).as("n_pii"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Sequence packing: map the concatenated doc-order token stream onto
+    // fixed 512-token training sequences — the span map an LLM trainer
+    // consumes (each row: this doc contributes n_slice tokens starting at
+    // doc_off to sequence seq_id; docs crossing a boundary emit one row
+    // per covered sequence). Machinery is the range-partitioned prefix sum
+    // (no single-task window) + a bounded per-doc explode of ceil(n/512)+1
+    // rows; the shard id stays in integral arithmetic past double's 2^53
+    // mantissa at corpus scale.
+    "text_pack_sequences" -> ((s, d) => {
+      val L = 512L
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        TA.tokenCount(col("text")).cast("long").as("n_toks"))
+      val summed = graft.ops.Distributed.withPrefixSum(
+        docs, col("n_toks"), Seq(col("doc_id")), "run")
+      val st = col("run") - col("n_toks")
+      summed.filter(col("n_toks") > 0)
+        .withColumn("seq_id", explode(sequence(
+          expr("(run - n_toks) div 512"), expr("(run - 1) div 512"))))
+        .select(col("seq_id"), col("doc_id"),
+          (greatest(col("seq_id") * L, st) - st).as("doc_off"),
+          (least((col("seq_id") + 1) * L, col("run"))
+            - greatest(col("seq_id") * L, st)).as("n_slice"))
+        .orderBy(col("seq_id"), col("doc_id"))
     })
   )
 
@@ -430,6 +455,26 @@ object QueriesText {
          |  + len(regexp_extract_all(pii, '$ip'))
          |  + len(regexp_extract_all(pii, '$phone')))::BIGINT AS n_pii
          |FROM p ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    "text_pack_sequences" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  CASE WHEN trim(text) = '' THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END::BIGINT AS n_toks
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, n_toks,
+        |  (sum(n_toks) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS run
+        | FROM t),
+        |e AS (
+        | SELECT doc_id, n_toks, run - n_toks AS st, run,
+        |  unnest(generate_series((run - n_toks) // 512, (run - 1) // 512)) AS seq_id
+        | FROM s WHERE n_toks > 0)
+        |SELECT seq_id, doc_id,
+        | (greatest(seq_id * 512, st) - st)::BIGINT AS doc_off,
+        | (least((seq_id + 1) * 512, run) - greatest(seq_id * 512, st))::BIGINT AS n_slice
+        |FROM e ORDER BY seq_id, doc_id""".stripMargin
   )
 }
