@@ -90,4 +90,38 @@ object Assertions {
       catch { case _: FrameNotEqualError => false }
     if (equal) throw new FrameNotEqualError("frames are equal; expected not equal")
   }
+
+  /** polars assert_series_equal: a series is a one-column frame here (the
+    * repo has no separate Series type — the Spark analogue of a polars
+    * Series is a single-column Dataset). `checkNames=false` mirrors
+    * check_names by comparing under a neutral name. Frames with more than
+    * one column are rejected rather than silently projected. */
+  def assertSeriesEqual(left: DataFrame, right: DataFrame,
+                        checkNames: Boolean = true,
+                        checkRowOrder: Boolean = true,
+                        checkDtypes: Boolean = true,
+                        rtol: Double = 1e-5, atol: Double = 1e-8): Unit = {
+    def single(df: DataFrame, side: String): DataFrame = {
+      if (df.columns.length != 1)
+        throw new FrameNotEqualError(
+          s"$side is not a series: ${df.columns.length} columns")
+      if (checkNames) df else df.toDF("__series")
+    }
+    assertFrameEqual(single(left, "left"), single(right, "right"),
+      checkRowOrder, checkDtypes, rtol, atol)
+  }
+
+  /** polars assert_series_not_equal. */
+  def assertSeriesNotEqual(left: DataFrame, right: DataFrame,
+                           checkNames: Boolean = true,
+                           checkRowOrder: Boolean = true,
+                           checkDtypes: Boolean = true,
+                           rtol: Double = 1e-5, atol: Double = 1e-8): Unit = {
+    val equal =
+      try {
+        assertSeriesEqual(left, right, checkNames, checkRowOrder,
+          checkDtypes, rtol, atol); true
+      } catch { case _: FrameNotEqualError => false }
+    if (equal) throw new FrameNotEqualError("series are equal; expected not equal")
+  }
 }

@@ -39,4 +39,22 @@ class AssertionsSpec extends SparkSpec {
     assertFrameNotEqual(a, moved)
     intercept[FrameNotEqualError](assertFrameNotEqual(a, a))
   }
+
+  test("series variants: one column, name sensitivity, inverse") {
+    val s1 = Seq(1.0, 2.5).toDF("v")
+    val s2 = Seq(1.0, 2.5 + 1e-9).toDF("v")
+    assertSeriesEqual(s1, s2)
+
+    // renamed: caught by default, admitted with checkNames=false
+    val renamed = s1.withColumnRenamed("v", "w")
+    intercept[FrameNotEqualError](assertSeriesEqual(s1, renamed))
+    assertSeriesEqual(s1, renamed, checkNames = false)
+
+    // a multi-column frame is not a series
+    val wide = Seq((1.0, 2.0)).toDF("a", "b")
+    intercept[FrameNotEqualError](assertSeriesEqual(wide, wide))
+
+    assertSeriesNotEqual(s1, Seq(1.0, 9.9).toDF("v"))
+    intercept[FrameNotEqualError](assertSeriesNotEqual(s1, s2))
+  }
 }
