@@ -232,6 +232,22 @@ class PlanSpec extends SparkSpec {
       s"offsets branch should be a plain per-partition aggregate:\n$p")
   }
 
+  test("sequence packing: every window is partitioned; fan-out is a Generate") {
+    val df = graft.SparkEntry.queries("text_pack_sequences")(spark, sf)
+    import org.apache.spark.sql.execution.window.WindowExec
+    // the terminal orderBy is a range-partitioned SortExec, not a window,
+    // so it cannot mask an unpartitioned window in the packing stages
+    val plan = df.queryExecution.executedPlan
+    val unpartitioned = plan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty,
+      s"single-task window in the packing plan:\n$plan")
+    // the per-doc span fan-out is a Generate (explode), not a join
+    assert(plan.toString.contains("Generate explode"),
+      s"span fan-out should be an explode:\n$plan")
+  }
+
   test("embedding LSH pairs: ONE bucket shuffle, prune window shares it") {
     val vecs = spark.range(100).select(col("id").as("vec_id"),
       array(col("id").cast("float"), (col("id") % 7).cast("float"), lit(1.0f))
