@@ -117,6 +117,23 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_reinterpret(x, mode)")
         ReinterpretExpr(args.head, strLit(args(1), "graft_reinterpret", "mode"))
+      }),
+    // compositions of builtins (not custom Expressions) registered through
+    // the same path — the SQL user gets the scrub without knowing the rule
+    // set, and the plan is the identical chained RegExpReplace codegen
+    (FunctionIdentifier("graft_redact_pii"),
+      new ExpressionInfo("graft.text.TextAnalysis", "graft_redact_pii"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_redact_pii(text)")
+        Bridge.eagerExpression(
+          graft.text.TextAnalysis.redactPii(Bridge.column(args.head)))
+      }),
+    (FunctionIdentifier("graft_pii_count"),
+      new ExpressionInfo("graft.text.TextAnalysis", "graft_pii_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_pii_count(text)")
+        Bridge.eagerExpression(
+          graft.text.TextAnalysis.piiCount(Bridge.column(args.head)))
       }))
 
   def register(spark: SparkSession): Unit =

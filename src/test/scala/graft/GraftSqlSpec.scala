@@ -79,6 +79,15 @@ class GraftSqlSpec extends SparkSpec {
     assert(r.getSeq[Int](3) == Seq(0, 3))
   }
 
+  test("graft_redact_pii / graft_pii_count resolve in SQL") {
+    val r = spark.sql(
+      """SELECT graft_redact_pii('mail a@b.io from 10.0.0.1') AS red,
+        |       graft_pii_count('mail a@b.io from 10.0.0.1') AS n""".stripMargin)
+      .collect()(0)
+    assert(r.getString(0) == "mail <EMAIL> from <IP>")
+    assert(r.getLong(1) == 2L)
+  }
+
   test("every graft function name is resolvable in the session catalog") {
     gf.GraftFunctions.all.map(_._1.funcName).foreach { n =>
       assert(spark.catalog.functionExists(n), s"$n not registered")
