@@ -473,11 +473,25 @@ final class LazyFrame(val df: DataFrame) {
     * must not collide with own columns (polars raises on duplicates too).
     * Cost at scale: one range shuffle + totals pass per frame for the zip
     * index (see [[graft.ops.HConcat]]) — same as the hconcat it desugars to.
+    *
+    * Every frame is numbered against its OWN rows (not the accumulated
+    * join): folding hstack would let a longer earlier context's padding
+    * rows — whose own-order key is null — steal the leading zip positions
+    * of later contexts (Spark sorts nulls first). One shared zip key,
+    * coalesced across sides, keeps row i of every frame on row i.
     */
-  def withContext(ownOrder: Column, contexts: (LazyFrame, Column)*): LazyFrame =
-    contexts.foldLeft(this) { case (acc, (ctx, ord)) =>
-      acc.hstack(ctx, ownOrder, ord)
+  def withContext(ownOrder: Column, contexts: (LazyFrame, Column)*): LazyFrame = {
+    val own = graft.ops.Distributed.withRowNumber(df, "__zip", Seq(ownOrder))
+    val joined = contexts.zipWithIndex.foldLeft(own) {
+      case (acc, ((ctx, ord), i)) =>
+        val key = s"__zip_c$i"
+        val r = graft.ops.Distributed.withRowNumber(ctx.df, key, Seq(ord))
+        acc.join(r, acc("__zip") === r(key), "full")
+          .withColumn("__zip", coalesce(col("__zip"), col(key)))
+          .drop(key)
     }
+    LazyFrame(joined.drop("__zip"))
+  }
 
   def intersect(other: LazyFrame): LazyFrame = LazyFrame(df.intersect(other.df))
   def except(other: LazyFrame): LazyFrame = LazyFrame(df.except(other.df))

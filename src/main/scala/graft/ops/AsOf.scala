@@ -204,10 +204,11 @@ object AsOf {
     // back together. Exchange reuse would dedupe them when AQE feels like
     // it; materializing once makes the shared pids unconditional. The cost
     // (one materialization of the union) is the price of the skew-proof
-    // path — it's opt-in via rangedBy for exactly that reason.
+    // path — it's opt-in via rangedBy for exactly that reason. LAZY so
+    // building the plan runs no job; the pin engages on the first action.
     val ranged = unioned.repartitionByRange(rangeOrd: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     val w = Window.partitionBy((col("__pid") +: by.map(col)): _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -71,8 +71,14 @@ object Distributed {
   private def withScanned(df: DataFrame, ord: Seq[Column], total: Column,
       contrib: Column)(
       local: (DataFrame, org.apache.spark.sql.expressions.WindowSpec) => DataFrame): DataFrame = {
+    // LAZY checkpoint: pins one partition assignment for both branches
+    // (blocks persist on first action; block-store locking makes each
+    // partition compute once even across concurrent branch reads) without
+    // running a job at PLAN-BUILD time — an eager checkpoint here would
+    // materialize the whole upstream on every withRowNumber/withPrefixSum/
+    // hstack call before the caller takes any action.
     val ranged = df.repartitionByRange(ord: _*).withColumn("__dp", spark_partition_id())
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val w = Window.partitionBy(col("__dp")).orderBy(ord: _*)
     val localized = local(ranged, w)
 

@@ -120,8 +120,12 @@ object QueriesSql2 {
       |GROUP BY p_brand, p_type, p_size
       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
 
+  // revenue in integer cents, same reason as q9: a float sum's rounding
+  // can flip by a cent between engines when summation order differs
   private val q19Sql =
-    """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    """SELECT CAST(sum(
+      |  CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+      |) AS BIGINT) AS revenue_c
       |FROM lineitem, part
       |WHERE (p_partkey = l_partkey AND p_brand = 'Brand#12'
       |       AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)

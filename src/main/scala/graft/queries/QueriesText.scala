@@ -190,30 +190,17 @@ object QueriesText {
         .orderBy(col("doc_id"))
     }),
 
-    // Sequence packing: map the concatenated doc-order token stream onto
-    // fixed 512-token training sequences — the span map an LLM trainer
-    // consumes (each row: this doc contributes n_slice tokens starting at
-    // doc_off to sequence seq_id; docs crossing a boundary emit one row
-    // per covered sequence). Machinery is the range-partitioned prefix sum
-    // (no single-task window) + a bounded per-doc explode of ceil(n/512)+1
-    // rows; the shard id stays in integral arithmetic past double's 2^53
-    // mantissa at corpus scale.
-    "text_pack_sequences" -> ((s, d) => {
-      val L = 512L
-      val docs = t(s, d, "documents").select(col("doc_id"),
-        TA.tokenCount(col("text")).cast("long").as("n_toks"))
-      val summed = graft.ops.Distributed.withPrefixSum(
-        docs, col("n_toks"), Seq(col("doc_id")), "run")
-      val st = col("run") - col("n_toks")
-      summed.filter(col("n_toks") > 0)
-        .withColumn("seq_id", explode(sequence(
-          expr("(run - n_toks) div 512"), expr("(run - 1) div 512"))))
-        .select(col("seq_id"), col("doc_id"),
-          (greatest(col("seq_id") * L, st) - st).as("doc_off"),
-          (least((col("seq_id") + 1) * L, col("run"))
-            - greatest(col("seq_id") * L, st)).as("n_slice"))
-        .orderBy(col("seq_id"), col("doc_id"))
-    })
+    // Sequence packing (ops/SequencePacking): the span map from the
+    // doc-order token stream onto fixed 512-token training sequences —
+    // each row says "this doc contributes n_slice tokens starting at
+    // doc_off to sequence seq_id"; docs crossing a boundary emit one row
+    // per covered sequence.
+    "text_pack_sequences" -> ((s, d) =>
+      graft.ops.SequencePacking.spans(
+        t(s, d, "documents").select(col("doc_id"), col("text")),
+        TA.tokenCount(col("text")), Seq(col("doc_id")), seqLen = 512L)
+        .select(col("seq_id"), col("doc_id"), col("doc_off"), col("n_slice"))
+        .orderBy(col("seq_id"), col("doc_id")))
   )
 
   private val tokensSql = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')"
@@ -452,8 +439,11 @@ object QueriesText {
          |   '$ip', '<IP>', 'g'),
          |   '$phone', '<PHONE>', 'g') AS red,
          | (len(regexp_extract_all(pii, '$email'))
-         |  + len(regexp_extract_all(pii, '$ip'))
-         |  + len(regexp_extract_all(pii, '$phone')))::BIGINT AS n_pii
+         |  + len(regexp_extract_all(
+         |      regexp_replace(pii, '$email', '<EMAIL>', 'g'), '$ip'))
+         |  + len(regexp_extract_all(
+         |      regexp_replace(regexp_replace(pii, '$email', '<EMAIL>', 'g'),
+         |        '$ip', '<IP>', 'g'), '$phone')))::BIGINT AS n_pii
          |FROM p ORDER BY doc_id""".stripMargin
     },
 

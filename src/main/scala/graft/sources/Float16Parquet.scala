@@ -146,8 +146,9 @@ object Float16Parquet {
         // attempts of one task (speculation, or a retry racing a zombie)
         // must not write the same destination simultaneously. The rename
         // is the commit — the first attempt to rename wins, the loser
-        // deletes its temp. A plain retry after a clean failure also
-        // works: the stale destination is deleted before the rename.
+        // deletes its temp. The destination is never deleted here: the
+        // driver cleared the directory before the job, so an existing
+        // final file is always a complete, identical commit.
         val finalPath = new Path(f"$path/part-$pid%05d.parquet")
         val tmpPath = new Path(f"$path/.part-$pid%05d-attempt-${tc.taskAttemptId()}.parquet.tmp")
         val w = ExampleParquetWriter.builder(tmpPath)
@@ -179,11 +180,18 @@ object Float16Parquet {
         }
         w.close()
         val pfs = finalPath.getFileSystem(conf)
-        // commit: delete any stale output from a FAILED prior attempt,
-        // then rename; losing a rename race to a live attempt is fine —
-        // both attempts wrote identical data
-        if (pfs.exists(finalPath)) pfs.delete(finalPath, false)
-        if (!pfs.rename(tmpPath, finalPath)) pfs.delete(tmpPath, false)
+        // commit via rename ONLY — never delete the destination: finalPath
+        // can only exist as a COMPLETE file (rename happens after close),
+        // and a delete-then-rename window would let a zombie attempt
+        // remove the winner's output and die before its own rename. A
+        // failed rename with the destination present is a lost race to an
+        // identical attempt (drop our tmp); with no destination it is a
+        // real error and must fail the task, not silently lose the data.
+        if (!pfs.rename(tmpPath, finalPath)) {
+          if (pfs.exists(finalPath)) pfs.delete(tmpPath, false)
+          else throw new java.io.IOException(
+            s"float16 sink commit failed: $tmpPath -> $finalPath")
+        }
         ()
       }
     }

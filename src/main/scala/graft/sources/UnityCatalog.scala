@@ -67,12 +67,17 @@ object UnityCatalog {
       .takeWhile(r => !r.getString(0).startsWith("#")).toSeq
 
   /** polars `Catalog.scan_table`: a plain three-part-identifier read —
-    * filters and projections push into the connector's DSv2 scan. Raises
-    * with coordinates when the Unity connector is required but absent
-    * (a session-catalog table needs no connector). */
+    * filters and projections push into the connector's DSv2 scan. Any
+    * REGISTERED catalog (session catalog, Iceberg/Delta/JDBC plugins, a
+    * wired Unity catalog) scans directly; only an UNREGISTERED name with
+    * the Unity connector absent raises with the artifact coordinates —
+    * the one situation where "add the connector and wire it" is the fix. */
   def scanTable(spark: SparkSession, catalog: String, namespace: String,
                 table: String): DataFrame = {
-    if (catalog != spark.catalog.currentCatalog()) requireConnector()
+    val registered = catalog == spark.catalog.currentCatalog() ||
+      catalog == "spark_catalog" ||
+      spark.conf.getOption(s"spark.sql.catalog.$catalog").isDefined
+    if (!registered) requireConnector()
     spark.table(s"`$catalog`.`$namespace`.`$table`")
   }
 }

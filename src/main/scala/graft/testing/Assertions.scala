@@ -38,25 +38,41 @@ object Assertions {
     if (lRows.length != rRows.length)
       throw new FrameNotEqualError(
         s"row counts differ: ${lRows.length} vs ${rRows.length}")
-    // Sort key: non-float cells first (exact), float cells last and COARSELY
-    // rounded -- sorting on exact float renderings would let two rows whose
-    // floats differ only within rtol/atol sort into different positions and
-    // fail spuriously. Rounded floats only break ties among rows already
-    // equal on every non-float column.
-    def keyCell(v: Any): String = v match {
-      case d: Double => f"$d%.3g"
-      case f: Float  => f"${f.toDouble}%.3g"
-      case other     => String.valueOf(other)
-    }
+    // Sort order: non-float cells first (exact strings), float cells last
+    // and compared NUMERICALLY (java.lang.Double total order -- NaN and
+    // -0.0 sort deterministically). Identical multisets therefore always
+    // sort identically; a string render would either collide distinct
+    // values (coarse formatting) or split within-tolerance ones (exact
+    // formatting). Numerically, floats differing only within rtol/atol
+    // can at most swap with values they are near() to anyway.
     def isFloatCell(v: Any): Boolean =
       v.isInstanceOf[Double] || v.isInstanceOf[Float]
-    def key(r: Seq[Any]): String = {
+    def parts(r: Seq[Any]): (Seq[String], Seq[Double]) = {
       val (fl, nf) = r.partition(isFloatCell)
-      (nf.map(String.valueOf) ++ fl.map(keyCell)).mkString("\u0000")
+      (nf.map(String.valueOf), fl.map {
+        case d: Double => d
+        case f: Float  => f.toDouble
+      })
+    }
+    object RowOrd extends Ordering[Seq[Any]] {
+      def compare(a: Seq[Any], b: Seq[Any]): Int = {
+        val (an, af) = parts(a)
+        val (bn, bf) = parts(b)
+        val si = an.zip(bn).iterator
+        while (si.hasNext) {
+          val (x, y) = si.next(); val c = x.compareTo(y); if (c != 0) return c
+        }
+        val fi = af.zip(bf).iterator
+        while (fi.hasNext) {
+          val (x, y) = fi.next()
+          val c = java.lang.Double.compare(x, y); if (c != 0) return c
+        }
+        0
+      }
     }
     val (ls, rs) =
       if (checkRowOrder) (lRows, rRows)
-      else (lRows.sortBy(key), rRows.sortBy(key))
+      else (lRows.sorted(RowOrd), rRows.sorted(RowOrd))
     def near(a: Double, b: Double): Boolean =
       // the a == b fast path is what admits equal infinities — their
       // difference is NaN, which fails every tolerance test

@@ -137,10 +137,17 @@ object TextAnalysis {
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
 
-  /** Count of PII matches across the three families (on the raw text —
-    * families don't overlap textually, see [[redactPii]] ordering note). */
-  def piiCount(text: Column): Column =
+  /** Count of PII matches across the three families, equal by construction
+    * to the number of placeholders [[redactPii]] inserts: each family
+    * counts on the text with the PRIOR families already redacted, exactly
+    * as the replacement chain sees it (an email containing an IP-shaped
+    * substring — `a@10.2.3.4.example.com` — counts once, as the email the
+    * scrub actually replaces). */
+  def piiCount(text: Column): Column = {
+    val afterEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, "<IP>")
     (size(regexp_extract_all(text, lit(EmailRe), lit(0))) +
-      size(regexp_extract_all(text, lit(Ipv4Re), lit(0))) +
-      size(regexp_extract_all(text, lit(PhoneRe), lit(0)))).cast("long")
+      size(regexp_extract_all(afterEmail, lit(Ipv4Re), lit(0))) +
+      size(regexp_extract_all(afterIp, lit(PhoneRe), lit(0)))).cast("long")
+  }
 }

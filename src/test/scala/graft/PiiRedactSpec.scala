@@ -31,6 +31,9 @@ class PiiRedactSpec extends SparkSpec {
     assert(redact("u123.456@h7.co")._1 == "<EMAIL>")
     // IP redacted before phone looks: digit runs inside the IP are gone
     assert(redact("1.2.3.4")._1 == "<IP>")
+    // an email containing an IP-shaped substring counts ONCE — piiCount
+    // mirrors the sequential redaction, not raw-text family overlap
+    assert(redact("a@10.2.3.4.example.com") == ("<EMAIL>", 1L))
   }
 
   test("clean text passes through unchanged") {

@@ -77,17 +77,12 @@ class PipelineSpec extends SparkSpec {
 
   test("stage 8: the survivor stream packs into exact 64-token sequences") {
     val L = 64L
-    val toks = sampledDocs().select(col("doc_id"),
+    val docs = sampledDocs().select(col("doc_id"), col("text"))
+    val toks = docs.select(col("doc_id"),
       TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
-    val summed = Distributed.withPrefixSum(
-      toks, col("n_toks"), Seq(col("doc_id")), "run")
-    val st = col("run") - col("n_toks")
-    val spans = summed.filter(col("n_toks") > 0)
-      .withColumn("seq_id", explode(sequence(
-        expr("(run - n_toks) div 64"), expr("(run - 1) div 64"))))
-      .select(col("seq_id"), col("doc_id"),
-        (least((col("seq_id") + 1) * L, col("run"))
-          - greatest(col("seq_id") * L, st)).as("n_slice"))
+    val spans = graft.ops.SequencePacking.spans(
+      docs, TextAnalysis.tokenCount(col("text")), Seq(col("doc_id")), L)
+      .select(col("seq_id"), col("doc_id"), col("n_slice"))
       .cache()
     try {
       // per-doc slices reassemble the doc exactly

@@ -49,6 +49,19 @@ class WithContextSpec extends SparkSpec {
       Seq((Some("x"), 10L), (None, 20L)))
   }
 
+  test("a longer earlier context cannot steal later contexts' zip positions") {
+    // ctx1 longer than the frame: its padding row must NOT become row 1 of
+    // the ctx2 zip — the real a=1 row pairs with ctx2's first row
+    val lf = LazyFrame(Seq((1, "x")).toDF("a", "b"))
+    val c1 = LazyFrame(Seq((1, "p"), (2, "q")).toDF("i1", "s1"))
+    val c2 = LazyFrame(Seq((1, 7L), (2, 8L)).toDF("i2", "s2"))
+    val rows = lf.withContext(col("a"), (c1, col("i1")), (c2, col("i2")))
+      .select(col("a"), col("s1"), col("s2"))
+      .sort(col("s2")).df.collect()
+      .map(r => (Option(r.get(0)), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((Some(1), "p", 7L), (None, "q", 8L)))
+  }
+
   test("two contexts compose") {
     val lf = LazyFrame(Seq((1, 100), (2, 200)).toDF("a", "v"))
     val c1 = LazyFrame(Seq((1, "p"), (2, "q")).toDF("i1", "s1"))
