@@ -47,6 +47,41 @@ class DistributedPropertySpec extends SparkSpec {
     } }
   }
 
+  test("withContext zip alignment equals the single-task row_number zip") {
+    withRealPartitions { for (seed <- seeds) {
+      val rnd = new scala.util.Random(seed)
+      val n = 50 + rnd.nextInt(400)
+      // context lengths bracket the frame: shorter AND longer, so both
+      // padding directions (and the longer-earlier-context case the r8
+      // review caught) are exercised
+      val m1 = n + 1 + rnd.nextInt(100)
+      val m2 = math.max(1, n - 1 - rnd.nextInt(40))
+      val parts = 2 + rnd.nextInt(6)
+      def frame(sz: Int, kc: String, vc: String) = spark.createDataFrame(
+        rnd.shuffle((0 until sz).toList).map(k => (k.toLong, k.toLong * 10)))
+        .toDF(kc, vc).repartition(parts)
+      val own = frame(n, "k", "v")
+      val c1 = frame(m1, "k1", "v1")
+      val c2 = frame(m2, "k2", "v2")
+
+      val got = graft.dsl.LazyFrame(own)
+        .withContext(col("k"),
+          (graft.dsl.LazyFrame(c1), col("k1")),
+          (graft.dsl.LazyFrame(c2), col("k2")))
+        .df.select(col("k"), col("v1"), col("v2")).collect()
+        .map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)))).toSet
+
+      def num(df: org.apache.spark.sql.DataFrame, k: String) =
+        df.withColumn("rn", row_number().over(Window.orderBy(col(k))))
+      val want = num(own, "k")
+        .join(num(c1, "k1"), Seq("rn"), "full")
+        .join(num(c2, "k2"), Seq("rn"), "full")
+        .select(col("k"), col("v1"), col("v2")).collect()
+        .map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)))).toSet
+      assert(got == want, s"seed=$seed n=$n m1=$m1 m2=$m2 parts=$parts")
+    } }
+  }
+
   test("withPrefixSum equals the single-task global running sum (nulls, negatives)") {
     withRealPartitions { for (seed <- seeds) {
       val rnd = new scala.util.Random(seed ^ 0x5eed)
