@@ -36,13 +36,22 @@ object Verify {
         // timestamp[us, tz=UTC], while the DuckDB oracle emits naive
         // timestamp[us]. The driver hashes raw values, and tz-aware vs
         // naive datetimes are unequal in Python — a silent hash-fail class.
+        // The rewrite recurses into array/struct/map so a timestamp nested
+        // inside a container cannot reintroduce the skew.
+        import org.apache.spark.sql.types._
+        def ntz(dt: DataType): DataType = dt match {
+          case TimestampType      => TimestampNTZType
+          case ArrayType(e, n)    => ArrayType(ntz(e), n)
+          case MapType(k, v, n)   => MapType(ntz(k), ntz(v), n)
+          case StructType(fs)     =>
+            StructType(fs.map(f => f.copy(dataType = ntz(f.dataType))))
+          case other              => other
+        }
         val dumped = out.schema.fields.foldLeft(out) { (d, f) =>
-          f.dataType match {
-            case org.apache.spark.sql.types.TimestampType =>
-              d.withColumn(f.name,
-                org.apache.spark.sql.functions.col(f.name).cast("timestamp_ntz"))
-            case _ => d
-          }
+          val t2 = ntz(f.dataType)
+          if (t2 == f.dataType) d
+          else d.withColumn(f.name,
+            org.apache.spark.sql.functions.col(f.name).cast(t2))
         }
         dumped.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>

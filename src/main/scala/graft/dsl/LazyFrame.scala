@@ -481,6 +481,15 @@ final class LazyFrame(val df: DataFrame) {
     * coalesced across sides, keeps row i of every frame on row i.
     */
   def withContext(ownOrder: Column, contexts: (LazyFrame, Column)*): LazyFrame = {
+    // enforce the documented no-collision contract (polars raises a
+    // duplicate-column error): a silent collision would yield a frame with
+    // duplicate names where later selects fail ambiguously or bind wrong
+    contexts.foldLeft(df.columns.toSet) { case (seen, (ctx, _)) =>
+      val dup = ctx.df.columns.filter(seen)
+      require(dup.isEmpty,
+        s"with_context: duplicate column name(s) ${dup.mkString(", ")}")
+      seen ++ ctx.df.columns
+    }
     val own = graft.ops.Distributed.withRowNumber(df, "__zip", Seq(ownOrder))
     val joined = contexts.zipWithIndex.foldLeft(own) {
       case (acc, ((ctx, ord), i)) =>

@@ -56,12 +56,21 @@ object QueriesAgg {
           count(lit(1)).as("n"))
         .sort(col("l_returnflag")).collect()),
 
-    // HLL sketch — engine-specific estimate, no SQL oracle (rows-only check).
+    // HLL sketch — the estimate itself is engine-specific, so the key emits
+    // oracle-checkable INVARIANTS instead of the raw sketch: the exact NDV
+    // (DuckDB computes the same number) and a boolean asserting the sketch
+    // landed within 5% of it (HLL's default relative error is ~2.3%; the
+    // oracle expects literal TRUE, so a drifting sketch hashes red).
     "agg_approx_ndv" -> ((s, d) =>
       lf(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_ndv"))
-        .sort(col("l_returnflag")).collect()),
+        .agg(approx_count_distinct(col("l_partkey")).as("approx"),
+          countDistinct(col("l_partkey")).as("exact_ndv"))
+        .collect()
+        .select(col("l_returnflag"), col("exact_ndv"),
+          (abs(col("approx") - col("exact_ndv")) /
+            col("exact_ndv") < 0.05).as("within5"))
+        .orderBy(col("l_returnflag"))),
 
     "agg_median_quantile" -> ((s, d) =>
       lf(s, d, "lineitem")
@@ -167,6 +176,13 @@ object QueriesAgg {
     "agg_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS ndv_part,
         | count(DISTINCT l_suppkey) AS ndv_supp, count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the invariant form: exact NDV matches across engines; the oracle's
+    // literal TRUE forces Spark's HLL estimate to sit within 5% of exact
+    "agg_approx_ndv" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_ndv,
+        | TRUE AS within5
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "agg_median_quantile" ->

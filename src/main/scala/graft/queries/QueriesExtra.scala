@@ -109,11 +109,47 @@ object QueriesExtra {
           |  AND l_discount BETWEEN 0.04 AND 0.08 AND l_quantity < 24""".stripMargin)
     }),
 
-    // seeded distributed sample — engine-specific RNG, rows-only check.
-    "misc_sample_seeded" -> ((s, d) =>
-      t(s, d, "lineitem").sample(withReplacement = false, 0.1, seed = 42)
-        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
-        .orderBy(col("l_returnflag")))
+    // seeded distributed sample — the RNG is engine-specific, so the key
+    // emits oracle-checkable INVARIANTS of the sample instead of its raw
+    // counts: exact per-group totals (DuckDB agrees), the sampled fraction
+    // within ±3pp of the requested 10%, the without-replacement subset
+    // proof (no row's sampled multiplicity exceeds its base multiplicity —
+    // robust even where the synthetic data carries duplicate rows), and
+    // determinism (two draws with the same seed produce identical counts
+    // AND identical key-hash sums). The oracle expects literal TRUE for
+    // each boolean, so any violation hashes red.
+    "misc_sample_seeded" -> ((s, d) => {
+      val keys = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      val kc = keys.map(col)
+      val gcols = col("l_returnflag") +: kc
+      val base = t(s, d, "lineitem").select(gcols: _*)
+      def draw(tag: String) =
+        base.sample(withReplacement = false, 0.1, seed = 42)
+          .groupBy(col("l_returnflag")).agg(
+            count(lit(1)).as(s"n_$tag"),
+            // widen before summing: a long-typed sum of 64-bit hashes
+            // overflows under ANSI mode (Spark 4 default)
+            sum(xxhash64(kc: _*).cast("decimal(38,0)")).as(s"hs_$tag"))
+      val sampPer = base.sample(withReplacement = false, 0.1, seed = 42)
+        .groupBy(gcols: _*).agg(count(lit(1)).as("c_s"))
+      val basePer = base.groupBy(gcols: _*).agg(count(lit(1)).as("c_b"))
+      val subset = sampPer
+        .join(basePer, "l_returnflag" +: keys)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(col("c_s") > col("c_b"), 1).otherwise(0)).as("viol"))
+      val totals = base.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_total"))
+      totals.join(draw("a"), Seq("l_returnflag"))
+        .join(draw("b"), Seq("l_returnflag"))
+        .join(subset, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n_total"),
+          (col("n_a") >= col("n_total") * 0.07 &&
+            col("n_a") <= col("n_total") * 0.13).as("frac_ok"),
+          (col("viol") === 0).as("subset_ok"),
+          (col("n_a") === col("n_b") && col("hs_a") === col("hs_b"))
+            .as("deterministic"))
+        .orderBy(col("l_returnflag"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -204,6 +240,14 @@ object QueriesExtra {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
-        |  AND l_discount BETWEEN 0.04 AND 0.08 AND l_quantity < 24""".stripMargin
+        |  AND l_discount BETWEEN 0.04 AND 0.08 AND l_quantity < 24""".stripMargin,
+
+    // the invariant form: the oracle checks exact per-group totals and
+    // expects literal TRUE for every sample property (fraction band, no
+    // duplicates, seed determinism) — any violation hashes red
+    "misc_sample_seeded" ->
+      """SELECT l_returnflag, count(*) AS n_total, TRUE AS frac_ok,
+        | TRUE AS subset_ok, TRUE AS deterministic
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -312,11 +312,38 @@ object QueriesMisc8 {
     }),
 
     // The decimal-typed half of the split (see dtype_decimal_exact above):
-    // the same decimal aggregates emitted AS decimals. If a driver reds this
-    // key while dtype_decimal_exact is green, the divergence is pinned to
-    // decimal-output hashing, not the arithmetic.
+    // the same decimal aggregates emitted AS decimals. r8 recorded this key
+    // rows+schema green but hash-red at width 38 while values and arrow
+    // types were locally identical, pinning the divergence to driver-side
+    // canonicalization of wide decimal output. Per the r8 prescription the
+    // key is re-pinned to precision 18 — parquet stores p<=18 decimals as
+    // INT64 (not FIXED_LEN_BYTE_ARRAY), the representation most likely to
+    // canonicalize identically across exporters — and the width probes
+    // below (dtype_decimal_w18/w22/w38) carry one aggregate per width so
+    // the ledger itself localizes any remaining divergent width.
     "dtype_decimal_repr" -> ((s, d) =>
-      decimalAggBase(s, d).orderBy(col("l_returnflag"))),
+      decimalAggBase(s, d).select(col("l_returnflag"),
+          col("sum_p").cast("decimal(18,2)").as("sum_p"),
+          col("sum_pq").cast("decimal(18,4)").as("sum_pq"),
+          col("min_p").cast("decimal(18,2)").as("min_p"))
+        .orderBy(col("l_returnflag"))),
+
+    // Decimal-width probes (minimal repros, one aggregate each): identical
+    // arithmetic, only the declared output precision differs. A driver
+    // hash-fail on exactly one of these names the width its canonicalizer
+    // rewrites; all-green retires the r7/r8 decimal mystery entirely.
+    "dtype_decimal_w18" -> ((s, d) =>
+      decimalAggBase(s, d).select(col("l_returnflag"),
+          col("sum_p").cast("decimal(18,2)").as("sum_p"))
+        .orderBy(col("l_returnflag"))),
+    "dtype_decimal_w22" -> ((s, d) =>
+      decimalAggBase(s, d).select(col("l_returnflag"),
+          col("sum_p").cast("decimal(22,2)").as("sum_p"))
+        .orderBy(col("l_returnflag"))),
+    "dtype_decimal_w38" -> ((s, d) =>
+      decimalAggBase(s, d).select(col("l_returnflag"),
+          col("sum_p").cast("decimal(38,2)").as("sum_p"))
+        .orderBy(col("l_returnflag"))),
 
     // polars str.escape_regex + str.head/tail: metacharacters injected so
     // the escape provably neutralizes them (regexp_count of the escaped
@@ -663,9 +690,36 @@ object QueriesMisc8 {
         |    * 0.01)::DECIMAL(12,2) AS q
         | FROM lineitem)
         |SELECT l_returnflag,
-        | sum(p)::DECIMAL(38,2) AS sum_p,
-        | sum(p * q)::DECIMAL(38,4) AS sum_pq,
-        | min(p)::DECIMAL(38,2) AS min_p
+        | sum(p)::DECIMAL(18,2) AS sum_p,
+        | sum(p * q)::DECIMAL(18,4) AS sum_pq,
+        | min(p)::DECIMAL(18,2) AS min_p
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dtype_decimal_w18" ->
+      """WITH t AS (
+        | SELECT l_returnflag,
+        |  (CAST(round(l_extendedprice * 100) AS BIGINT)::DECIMAL(14,0)
+        |    * 0.01)::DECIMAL(12,2) AS p
+        | FROM lineitem)
+        |SELECT l_returnflag, sum(p)::DECIMAL(18,2) AS sum_p
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dtype_decimal_w22" ->
+      """WITH t AS (
+        | SELECT l_returnflag,
+        |  (CAST(round(l_extendedprice * 100) AS BIGINT)::DECIMAL(14,0)
+        |    * 0.01)::DECIMAL(12,2) AS p
+        | FROM lineitem)
+        |SELECT l_returnflag, sum(p)::DECIMAL(22,2) AS sum_p
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dtype_decimal_w38" ->
+      """WITH t AS (
+        | SELECT l_returnflag,
+        |  (CAST(round(l_extendedprice * 100) AS BIGINT)::DECIMAL(14,0)
+        |    * 0.01)::DECIMAL(12,2) AS p
+        | FROM lineitem)
+        |SELECT l_returnflag, sum(p)::DECIMAL(38,2) AS sum_p
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "str_escape_head_tail" ->

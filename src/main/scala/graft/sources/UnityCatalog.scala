@@ -63,8 +63,13 @@ object UnityCatalog {
     * the catalog's own metadata (DESCRIBE stops at the partition-info
     * separator line, matching the reference's column list). */
   def tableInfo(spark: SparkSession, qualified: String): Seq[Row] =
+    // stop at the first blank/`#` row: DESCRIBE emits a blank separator row
+    // BEFORE "# Partition Information" on partitioned tables, so gating only
+    // on '#' would append a spurious empty row to the column list
     spark.sql(s"DESCRIBE TABLE $qualified").collect()
-      .takeWhile(r => !r.getString(0).startsWith("#")).toSeq
+      .takeWhile { r =>
+        val c = r.getString(0); c != null && c.trim.nonEmpty && !c.startsWith("#")
+      }.toSeq
 
   /** polars `Catalog.scan_table`: a plain three-part-identifier read —
     * filters and projections push into the connector's DSv2 scan. Any

@@ -38,34 +38,35 @@ object Assertions {
     if (lRows.length != rRows.length)
       throw new FrameNotEqualError(
         s"row counts differ: ${lRows.length} vs ${rRows.length}")
-    // Sort order: non-float cells first (exact strings), float cells last
-    // and compared NUMERICALLY (java.lang.Double total order -- NaN and
-    // -0.0 sort deterministically). Identical multisets therefore always
-    // sort identically; a string render would either collide distinct
-    // values (coarse formatting) or split within-tolerance ones (exact
-    // formatting). Numerically, floats differing only within rtol/atol
-    // can at most swap with values they are near() to anyway.
+    // Sort order: POSITIONAL per-cell comparison — nulls first, then
+    // numeric (java.lang.Double total order — NaN and -0.0 sort
+    // deterministically) when both cells are floats, else exact string
+    // renders. Comparing positionally keeps the two rows' comparison keys
+    // aligned even when a float-typed column holds null in one row and a
+    // value in the other (a value-partitioned scheme would route the null
+    // and the value into different key groups and truncate the compare,
+    // making distinct rows tie). Floats compare NUMERICALLY so values
+    // differing only within rtol/atol can at most swap with values they
+    // are near() to anyway.
     def isFloatCell(v: Any): Boolean =
       v.isInstanceOf[Double] || v.isInstanceOf[Float]
-    def parts(r: Seq[Any]): (Seq[String], Seq[Double]) = {
-      val (fl, nf) = r.partition(isFloatCell)
-      (nf.map(String.valueOf), fl.map {
-        case d: Double => d
-        case f: Float  => f.toDouble
-      })
+    def toD(v: Any): Double = v match {
+      case d: Double => d
+      case f: Float  => f.toDouble
     }
     object RowOrd extends Ordering[Seq[Any]] {
+      private def cell(x: Any, y: Any): Int = (x, y) match {
+        case (null, null) => 0
+        case (null, _)    => -1
+        case (_, null)    => 1
+        case _ if isFloatCell(x) && isFloatCell(y) =>
+          java.lang.Double.compare(toD(x), toD(y))
+        case _ => String.valueOf(x).compareTo(String.valueOf(y))
+      }
       def compare(a: Seq[Any], b: Seq[Any]): Int = {
-        val (an, af) = parts(a)
-        val (bn, bf) = parts(b)
-        val si = an.zip(bn).iterator
-        while (si.hasNext) {
-          val (x, y) = si.next(); val c = x.compareTo(y); if (c != 0) return c
-        }
-        val fi = af.zip(bf).iterator
-        while (fi.hasNext) {
-          val (x, y) = fi.next()
-          val c = java.lang.Double.compare(x, y); if (c != 0) return c
+        val it = a.zip(b).iterator
+        while (it.hasNext) {
+          val (x, y) = it.next(); val c = cell(x, y); if (c != 0) return c
         }
         0
       }

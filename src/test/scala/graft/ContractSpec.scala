@@ -8,9 +8,9 @@ class ContractSpec extends SparkSpec {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without queries: ${(o -- q).toSeq.sorted}")
-    // engine-specific results (HLL sketch internals, RNG) get the documented
-    // weaker rows-only check — nothing else may join them
-    assert((q -- o) == Set("agg_approx_ndv", "misc_sample_seeded"),
+    // r9: the two formerly rows-only keys (HLL sketch, seeded RNG) were
+    // rewritten as oracle-checkable invariants — every key now has an oracle
+    assert((q -- o).isEmpty,
       s"unexpected no-oracle queries: ${(q -- o).toSeq.sorted}")
   }
 
