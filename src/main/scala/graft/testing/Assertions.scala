@@ -54,6 +54,19 @@ object Assertions {
       case d: Double => d
       case f: Float  => f.toDouble
     }
+    // Canonical render for non-float cells: length-prefixed elements make
+    // the render INJECTIVE over nested shapes — a plain toString would
+    // collide e.g. Seq("a, b") with Seq("a", "b") (the separator is data),
+    // and colliding renders tie in the sort, mis-pairing rows across the
+    // two (differently ordered) inputs. Matches scala.collection.Seq so
+    // Spark's mutable.ArraySeq array cells take the recursive path.
+    def render(v: Any): String = v match {
+      case null => "n" // tag prefixes keep null, the string "n", and seqs distinct
+      case s: scala.collection.Seq[_] =>
+        s.map(render).map(e => e.length + ":" + e).mkString("[", ",", "]")
+      case r: org.apache.spark.sql.Row => "R" + render(r.toSeq)
+      case other => "v" + String.valueOf(other)
+    }
     object RowOrd extends Ordering[Seq[Any]] {
       private def cell(x: Any, y: Any): Int = (x, y) match {
         case (null, null) => 0
@@ -61,7 +74,7 @@ object Assertions {
         case (_, null)    => 1
         case _ if isFloatCell(x) && isFloatCell(y) =>
           java.lang.Double.compare(toD(x), toD(y))
-        case _ => String.valueOf(x).compareTo(String.valueOf(y))
+        case _ => render(x).compareTo(render(y))
       }
       def compare(a: Seq[Any], b: Seq[Any]): Int = {
         val it = a.zip(b).iterator
@@ -84,8 +97,13 @@ object Assertions {
       case (null, _) | (_, null) => false
       case (x: Double, y: Double) => near(x, y)
       case (x: Float, y: Float) => near(x.toDouble, y.toDouble)
-      case (x: Seq[_], y: Seq[_]) =>
-        x.length == y.length && x.zip(y).forall { case (p, q) => same(p, q) }
+      // scala.collection.Seq: Spark's collected array cells are
+      // mutable.ArraySeq, which the 2.13 immutable Seq alias won't match —
+      // they'd fall to ==, losing per-element float tolerance
+      case (x: scala.collection.Seq[_], y: scala.collection.Seq[_]) =>
+        x.length == y.length && x.lazyZip(y).forall { case (p, q) => same(p, q) }
+      case (x: org.apache.spark.sql.Row, y: org.apache.spark.sql.Row) =>
+        same(x.toSeq, y.toSeq)
       case (x, y) => x == y
     }
     ls.zip(rs).zipWithIndex.foreach { case ((a, b), i) =>

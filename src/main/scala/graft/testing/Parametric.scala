@@ -32,11 +32,14 @@ object Parametric {
     ArrayType(LongType), ArrayType(StringType),
     StructType(Seq(StructField("a", LongType), StructField("b", StringType))))
 
-  /** Random schema: 1..maxCols columns named c0..cN drawn from the pool. */
-  def randomSchema(rnd: Random, maxCols: Int = 6): StructType = {
+  /** Random schema: 1..maxCols columns named c0..cN drawn from `pool`
+    * (callers fuzzing a sink with a narrower type surface — e.g. Avro has
+    * no decimal and widens short/byte — pass the surface they support). */
+  def randomSchema(rnd: Random, maxCols: Int = 6,
+                   pool: Seq[DataType] = dtypePool): StructType = {
     val n = 1 + rnd.nextInt(maxCols)
     StructType((0 until n).map { i =>
-      StructField(s"c$i", dtypePool(rnd.nextInt(dtypePool.length)))
+      StructField(s"c$i", pool(rnd.nextInt(pool.length)))
     })
   }
 
@@ -78,9 +81,10 @@ object Parametric {
     * applies per cell to every (nullable) column, mirroring the reference
     * strategies' `include_nulls`. */
   def randomFrame(spark: SparkSession, seed: Long, maxRows: Int = 48,
-                  maxCols: Int = 6, nullRatio: Double = 0.15): DataFrame = {
+                  maxCols: Int = 6, nullRatio: Double = 0.15,
+                  pool: Seq[DataType] = dtypePool): DataFrame = {
     val rnd = new Random(seed)
-    val schema = randomSchema(rnd, maxCols)
+    val schema = randomSchema(rnd, maxCols, pool)
     val nRows = rnd.nextInt(maxRows + 1) // 0-row frames are valid draws
     val rows = (0 until nRows).map { _ =>
       Row(schema.fields.map { f =>
