@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bench-scale data generator: replicates a driver-provided sf directory
+  * `factor`× with key-shifted copies, so the headline suite can run one
+  * order of magnitude above the largest driver SF (the scale where shuffle
+  * paths, not Spark's scheduling floor, dominate the timings).
+  *
+  * The scale-up preserves each table's distributional SHAPE:
+  *  - fact keys (orders, lineitem, customer, supplier, part, events,
+  *    documents, embeddings) shift per copy so FK joins stay 1:1-consistent
+  *    and group counts scale with the data (more groups, same group sizes —
+  *    how real data grows);
+  *  - dimension tables (region, nation) stay fixed, as in TPC-H;
+  *  - document text suffixes every word with a copy tag, so each copy is a
+  *    renamed-alphabet clone: shingle/overlap structure inside a copy is
+  *    isomorphic to the original and cross-copy shingle sets are disjoint —
+  *    a verbatim copy would make every doc a 10-way near-duplicate, and
+  *    injecting separator tokens would create near-universal shingles
+  *    (tag-word-tag) that merge LSH buckets; both blow the dedup benchmarks
+  *    past any realistic corpus shape;
+  *  - embeddings perturb per copy (tiny per-copy offset) for the same
+  *    reason on the vector side;
+  *  - `events.ts` stays raw INT64 nanos (as the driver writes it), so
+  *    `graft.queries.util.t`'s nanos read path applies unchanged.
+  *
+  * Usage: runMain graft.ScaleData <srcSfDir> <outDir> [factor=10]
+  */
+object ScaleData {
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val out = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(name: String): DataFrame =
+      spark.read.parquet(s"$src/$name.parquet")
+
+    // strides: one power-of-ten above each table's max key, so shifted key
+    // ranges never collide and stay human-readable
+    def stride(df: DataFrame, key: String): Long = {
+      val mx = df.agg(max(col(key))).head.getLong(0)
+      math.pow(10, math.ceil(math.log10((mx + 1).toDouble))).toLong
+    }
+
+    def copies(df: DataFrame, shift: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(i => shift(df, i)).reduce(_ unionAll _)
+
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+
+    // dims: fixed
+    write(read("region"), "region")
+    write(read("nation"), "nation")
+
+    val cust = read("customer"); val custS = stride(cust, "c_custkey")
+    write(copies(cust, (d, i) =>
+      d.withColumn("c_custkey", col("c_custkey") + lit(i * custS))), "customer")
+
+    val supp = read("supplier"); val suppS = stride(supp, "s_suppkey")
+    write(copies(supp, (d, i) =>
+      d.withColumn("s_suppkey", col("s_suppkey") + lit(i * suppS))), "supplier")
+
+    val part = read("part"); val partS = stride(part, "p_partkey")
+    write(copies(part, (d, i) =>
+      d.withColumn("p_partkey", col("p_partkey") + lit(i * partS))), "part")
+
+    val ord = read("orders"); val ordS = stride(ord, "o_orderkey")
+    write(copies(ord, (d, i) => d
+      .withColumn("o_orderkey", col("o_orderkey") + lit(i * ordS))
+      .withColumn("o_custkey", col("o_custkey") + lit(i * custS))), "orders")
+
+    write(copies(read("lineitem"), (d, i) => d
+      .withColumn("l_orderkey", col("l_orderkey") + lit(i * ordS))
+      .withColumn("l_partkey", col("l_partkey") + lit(i * partS))
+      .withColumn("l_suppkey", col("l_suppkey") + lit(i * suppS))), "lineitem")
+
+    val ev = read("events") // ts arrives as raw INT64 nanos (conf above)
+    val evS = stride(ev, "event_id"); val usrS = stride(ev, "user_id")
+    write(copies(ev, (d, i) => d
+      .withColumn("event_id", col("event_id") + lit(i * evS))
+      .withColumn("user_id", col("user_id") + lit(i * usrS))), "events")
+
+    val docs = read("documents"); val docS = stride(docs, "doc_id")
+    write(copies(docs, (d, i) => d
+      .withColumn("doc_id", col("doc_id") + lit(i * docS))
+      .withColumn("text",
+        if (i == 0) col("text")
+        else regexp_replace(col("text"), lit("(\\S+)"), lit(s"$$1x$i")))), "documents")
+
+    val emb = read("embeddings"); val embS = stride(emb, "vec_id")
+    write(copies(emb, (d, i) => d
+      .withColumn("vec_id", col("vec_id") + lit(i * embS))
+      .withColumn("embedding",
+        transform(col("embedding"), x => x + lit(i * 1e-3f)))), "embeddings")
+
+    println(s"""{"scaled":"$src","out":"$out","factor":$factor}""")
+    spark.stop()
+  }
+}
