@@ -97,7 +97,10 @@ object ScaleData {
       .withColumn("doc_id", col("doc_id") + lit(i * docS))
       .withColumn("text",
         if (i == 0) col("text")
-        else regexp_replace(col("text"), lit("(\\S+)"), lit(s"$$1x$i")))), "documents")
+        else regexp_replace(col("text"), lit("(\\S+)"), lit(s"$$1x$i")))
+      // the rewrite lengthens every word — keep the stored length column
+      // consistent with the text it describes
+      .withColumn("n_chars", length(col("text")).cast("long"))), "documents")
 
     val emb = read("embeddings"); val embS = stride(emb, "vec_id")
     write(copies(emb, (d, i) => d

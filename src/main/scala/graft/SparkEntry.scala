@@ -7,9 +7,11 @@ import graft.queries._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * `queries` is the operator inventory (SURVEY §2) as runnable queries; each
-  * key with an `oracleSql` entry is hash-checked against DuckDB at sf0.01 by
-  * the driver. Keys without oracle SQL get a rows-only check (engine-specific
-  * results: HLL sketches, LSH plane buckets).
+  * key is hash-checked against its `oracleSql` entry by the driver's DuckDB
+  * compare at sf0.01. EVERY key requires an oracle (ContractSpec enforces
+  * it): engine-specific results (HLL sketches, seeded RNG) are emitted as
+  * oracle-checkable INVARIANT columns — exact counterparts plus literal-TRUE
+  * property booleans — rather than raw sketch/sample values.
   */
 object SparkEntry {
 
@@ -29,7 +31,7 @@ object SparkEntry {
       QueriesMisc8.queries ++ QueriesMisc9.queries ++ QueriesSql2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
-    * same parquet tables. Omitted keys → driver records rows-only checks. */
+    * same parquet tables. Complete by contract — no key may omit its oracle. */
   def oracleSql: Map[String, String] =
     QueriesAgg.oracle ++ QueriesJoin.oracle ++ QueriesWindow.oracle ++
       QueriesScalar.oracle ++ QueriesReshape.oracle ++ QueriesText.oracle ++

@@ -483,12 +483,19 @@ final class LazyFrame(val df: DataFrame) {
   def withContext(ownOrder: Column, contexts: (LazyFrame, Column)*): LazyFrame = {
     // enforce the documented no-collision contract (polars raises a
     // duplicate-column error): a silent collision would yield a frame with
-    // duplicate names where later selects fail ambiguously or bind wrong
-    contexts.foldLeft(df.columns.toSet) { case (seen, (ctx, _)) =>
-      val dup = ctx.df.columns.filter(seen)
+    // duplicate names where later selects fail ambiguously or bind wrong.
+    // The reserved zip keys and intra-frame duplicates are part of the
+    // contract too — a context carrying "__zip" would alias the join key.
+    val reserved = "__zip" +: contexts.indices.map(i => s"__zip_c$i")
+    contexts.foldLeft(df.columns.toSet ++ reserved) { case (seen, (ctx, _)) =>
+      val cols = ctx.df.columns
+      val innerDup = cols.groupBy(identity).filter(_._2.length > 1).keys
+      require(innerDup.isEmpty,
+        s"with_context: context frame has duplicate column(s) ${innerDup.mkString(", ")}")
+      val dup = cols.filter(seen)
       require(dup.isEmpty,
         s"with_context: duplicate column name(s) ${dup.mkString(", ")}")
-      seen ++ ctx.df.columns
+      seen ++ cols
     }
     val own = graft.ops.Distributed.withRowNumber(df, "__zip", Seq(ownOrder))
     val joined = contexts.zipWithIndex.foldLeft(own) {

@@ -59,12 +59,14 @@ object QueriesAgg {
     // HLL sketch — the estimate itself is engine-specific, so the key emits
     // oracle-checkable INVARIANTS instead of the raw sketch: the exact NDV
     // (DuckDB computes the same number) and a boolean asserting the sketch
-    // landed within 5% of it (HLL's default relative error is ~2.3%; the
-    // oracle expects literal TRUE, so a drifting sketch hashes red).
+    // landed within 5% of it. The sketch runs at rsd=0.01 so the 5% band is
+    // a 5-sigma bound (Spark's DEFAULT rsd is 0.05 — a 1-sigma band there
+    // would deterministically miss on ~1/3 of datasets); the oracle expects
+    // literal TRUE, so a drifting sketch hashes red.
     "agg_approx_ndv" -> ((s, d) =>
       lf(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx"),
+        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx"),
           countDistinct(col("l_partkey")).as("exact_ndv"))
         .collect()
         .select(col("l_returnflag"), col("exact_ndv"),

@@ -139,15 +139,18 @@ object QueriesExtra {
         .agg(sum(when(col("c_s") > col("c_b"), 1).otherwise(0)).as("viol"))
       val totals = base.groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_total"))
-      totals.join(draw("a"), Seq("l_returnflag"))
-        .join(draw("b"), Seq("l_returnflag"))
-        .join(subset, Seq("l_returnflag"))
+      // LEFT joins from totals: a group whose draw is empty must still
+      // emit its row (with frac_ok=false reporting the violation) rather
+      // than vanish and fail the oracle's ROW count; hs compares null-safe
+      totals.join(draw("a"), Seq("l_returnflag"), "left")
+        .join(draw("b"), Seq("l_returnflag"), "left")
+        .join(subset, Seq("l_returnflag"), "left")
         .select(col("l_returnflag"), col("n_total"),
-          (col("n_a") >= col("n_total") * 0.07 &&
-            col("n_a") <= col("n_total") * 0.13).as("frac_ok"),
-          (col("viol") === 0).as("subset_ok"),
-          (col("n_a") === col("n_b") && col("hs_a") === col("hs_b"))
-            .as("deterministic"))
+          (coalesce(col("n_a"), lit(0L)) >= col("n_total") * 0.07 &&
+            coalesce(col("n_a"), lit(0L)) <= col("n_total") * 0.13).as("frac_ok"),
+          (coalesce(col("viol"), lit(0L)) === 0).as("subset_ok"),
+          (coalesce(col("n_a"), lit(0L)) === coalesce(col("n_b"), lit(0L)) &&
+            col("hs_a") <=> col("hs_b")).as("deterministic"))
         .orderBy(col("l_returnflag"))
     })
   )

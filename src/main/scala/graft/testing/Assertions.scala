@@ -38,18 +38,25 @@ object Assertions {
     if (lRows.length != rRows.length)
       throw new FrameNotEqualError(
         s"row counts differ: ${lRows.length} vs ${rRows.length}")
-    // Sort order: POSITIONAL per-cell comparison — nulls first, then
-    // numeric (java.lang.Double total order — NaN and -0.0 sort
-    // deterministically) when both cells are floats, else exact string
-    // renders. Comparing positionally keeps the two rows' comparison keys
-    // aligned even when a float-typed column holds null in one row and a
-    // value in the other (a value-partitioned scheme would route the null
-    // and the value into different key groups and truncate the compare,
-    // making distinct rows tie). Floats compare NUMERICALLY so values
-    // differing only within rtol/atol can at most swap with values they
-    // are near() to anyway.
-    def isFloatCell(v: Any): Boolean =
-      v.isInstanceOf[Double] || v.isInstanceOf[Float]
+    // Sort order: SCHEMA-driven — non-float columns compare first (exact,
+    // injective renders), float-typed columns last and NUMERICALLY
+    // (java.lang.Double total order — NaN and -0.0 sort deterministically).
+    // Floats must stay LAST: a float column ahead of a discriminating
+    // exact column would mis-pair rows whose float cells differ only
+    // within rtol/atol (the two sides sort them differently, then the
+    // exact column falsely mismatches). Float-ness comes from the COLUMN
+    // type, not the runtime value, so a null float cell stays aligned with
+    // its column instead of migrating to a different key group (which
+    // truncated the compare and made distinct rows tie).
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    def isFloatType(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt == DoubleType || dt == FloatType
+    val floatCol: Array[Boolean] =
+      left.schema.fields.zip(right.schema.fields).map { case (l, r) =>
+        isFloatType(l.dataType) && isFloatType(r.dataType)
+      }
+    val colOrder: Array[Int] = // stable sort: non-float columns first
+      left.schema.indices.toArray.sortBy(i => floatCol(i))
     def toD(v: Any): Double = v match {
       case d: Double => d
       case f: Float  => f.toDouble
@@ -59,27 +66,31 @@ object Assertions {
     // collide e.g. Seq("a, b") with Seq("a", "b") (the separator is data),
     // and colliding renders tie in the sort, mis-pairing rows across the
     // two (differently ordered) inputs. Matches scala.collection.Seq so
-    // Spark's mutable.ArraySeq array cells take the recursive path.
+    // Spark's mutable.ArraySeq array cells take the recursive path; binary
+    // cells render by content (Array[Byte].toString is an identity hash —
+    // nondeterministic and never equal across instances).
     def render(v: Any): String = v match {
       case null => "n" // tag prefixes keep null, the string "n", and seqs distinct
       case s: scala.collection.Seq[_] =>
         s.map(render).map(e => e.length + ":" + e).mkString("[", ",", "]")
+      case b: Array[Byte] => "B" + java.util.Arrays.toString(b)
       case r: org.apache.spark.sql.Row => "R" + render(r.toSeq)
       case other => "v" + String.valueOf(other)
     }
     object RowOrd extends Ordering[Seq[Any]] {
-      private def cell(x: Any, y: Any): Int = (x, y) match {
+      private def cell(isFloat: Boolean, x: Any, y: Any): Int = (x, y) match {
         case (null, null) => 0
         case (null, _)    => -1
         case (_, null)    => 1
-        case _ if isFloatCell(x) && isFloatCell(y) =>
-          java.lang.Double.compare(toD(x), toD(y))
-        case _ => render(x).compareTo(render(y))
+        case _ if isFloat => java.lang.Double.compare(toD(x), toD(y))
+        case _            => render(x).compareTo(render(y))
       }
       def compare(a: Seq[Any], b: Seq[Any]): Int = {
-        val it = a.zip(b).iterator
-        while (it.hasNext) {
-          val (x, y) = it.next(); val c = cell(x, y); if (c != 0) return c
+        var k = 0
+        while (k < colOrder.length) {
+          val i = colOrder(k)
+          val c = cell(floatCol(i), a(i), b(i)); if (c != 0) return c
+          k += 1
         }
         0
       }
@@ -102,6 +113,8 @@ object Assertions {
       // they'd fall to ==, losing per-element float tolerance
       case (x: scala.collection.Seq[_], y: scala.collection.Seq[_]) =>
         x.length == y.length && x.lazyZip(y).forall { case (p, q) => same(p, q) }
+      // Array[Byte] has reference ==; compare binary cells by content
+      case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
       case (x: org.apache.spark.sql.Row, y: org.apache.spark.sql.Row) =>
         same(x.toSeq, y.toSeq)
       case (x, y) => x == y

@@ -66,6 +66,7 @@ object Parametric {
     case _: DecimalType =>
       new java.math.BigDecimal(rnd.nextInt(2000001) - 1000000).movePointLeft(2)
     case BooleanType => rnd.nextBoolean()
+    case BinaryType  => Array.fill(rnd.nextInt(8))((rnd.nextInt(256) - 128).toByte)
     case StringType  => randomString(rnd)
     case DateType    => new Date(86400000L * (rnd.nextInt(40000) - 10000))
     case TimestampType =>

@@ -22,7 +22,8 @@ class ParametricIOSpec extends SparkSpec {
     * them. Everything else in the default pool round-trips. */
   private val avroPool: Seq[DataType] = Seq(
     LongType, IntegerType, DoubleType, FloatType, BooleanType, StringType,
-    DateType, TimestampType, ArrayType(LongType), ArrayType(StringType),
+    BinaryType, DateType, TimestampType,
+    ArrayType(LongType), ArrayType(StringType),
     StructType(Seq(StructField("a", LongType), StructField("b", StringType))))
 
   private def roundTrip(name: String, seeds: Range, pool: Seq[DataType],
@@ -46,8 +47,8 @@ class ParametricIOSpec extends SparkSpec {
     assert(exercised >= 100, s"only $exercised non-empty frames exercised")
   }
 
-  test("graft-ipc round-trips 100+ seeded random frames (full dtype pool)") {
-    roundTrip("ipc", 1 to 104, Parametric.dtypePool,
+  test("graft-ipc round-trips 100+ seeded random frames (full dtype pool + binary)") {
+    roundTrip("ipc", 1 to 104, Parametric.dtypePool :+ BinaryType,
       (d, p) => ArrowIpc.write(d, p))
   }
 
