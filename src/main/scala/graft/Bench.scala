@@ -56,14 +56,17 @@ object Bench {
       "vec_id", "embedding", "query_id", k = 3)
       .write.format("noop").mode("overwrite").save()
 
-    // Three passes, per-query minimum (plus medians alongside): the timing
+    // Five passes, per-query minimum (plus medians alongside): the timing
     // target is engine throughput, not transient host noise (shared-VM CPU
-    // stalls measured at 5-10× on single runs, and round-6's record swung
-    // +17% on code that didn't change) or residual JIT warm-up. With three
-    // samples the median also exposes whether the min was a fluke. A failing
-    // query is recorded as "err", never as a wall time — a broken query must
-    // not read as fast.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // stalls measured at 5-10× on single runs, round-6's record swung +17%
+    // on code that didn't change, and the round-9 host showed multi-minute
+    // interference windows where whole passes of a 0.5 s group-by ran 14 s
+    // while single- and 32-core userspace probes stayed flat — so more
+    // samples, each a fresh chance to land in a quiet window, is the only
+    // honest defense). The median alongside exposes whether the min was a
+    // fluke. A failing query is recorded as "err", never as a wall time —
+    // a broken query must not read as fast.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "5").toInt
     def pass(): Seq[(String, Either[String, Double])] = picked.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

@@ -715,6 +715,25 @@ final class LazyFrame(val df: DataFrame) {
   def sinkCsv(path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
+  /** Lossless CSV dialect (reference `write_csv` + `read_csv` round-trip,
+    * `py-polars/src/polars/dataframe/frame.py` write_csv `null_value`):
+    * CSV itself cannot distinguish null from empty-string — both render as
+    * nothing — so losslessness needs a null SENTINEL that real data never
+    * contains, exactly polars' `null_value=` escape hatch. With it, null →
+    * sentinel (unquoted), "" → `""` (quoted), and the quoted/unquoted
+    * distinction survives the trip; floats round-trip NaN/±Infinity spelled
+    * the way the writer emits them. Data containing the literal sentinel
+    * would collide — the caller picks one outside their value domain, the
+    * same contract polars documents. */
+  def sinkCsvExact(path: String, nullValue: String = "__NULL__"): Unit =
+    df.write.mode("overwrite").option("header", "true")
+      .option("nullValue", nullValue)
+      // the writer defaults BOTH to true (the reader defaults them false),
+      // silently trimming leading/trailing whitespace out of string cells
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(path)
+
   def sinkJson(path: String): Unit = df.write.mode("overwrite").json(path)
 
   /** Bucketed-table sink: co-locates data on `key` at write time so that
@@ -832,8 +851,33 @@ object LazyFrame {
     LazyFrame(spark.read.option("header", header.toString)
       .option("inferSchema", inferSchema.toString).csv(path))
 
+  /** Schema-directed lossless CSV scan — the read half of
+    * [[LazyFrame.sinkCsvExact]]'s dialect. `multiLine` makes embedded
+    * newlines inside quoted fields legal (splittability trade-off: a
+    * multiLine CSV file is read as one split, so shard WIDE — many files —
+    * when scanning at scale, which is how the sink lays data out anyway).
+    * The Inf spellings match what the writer emits (`Infinity`, not
+    * Spark's read-side default `Inf`). */
+  def scanCsvExact(spark: SparkSession, path: String,
+                   schema: org.apache.spark.sql.types.StructType,
+                   nullValue: String = "__NULL__"): LazyFrame =
+    LazyFrame(spark.read.schema(schema)
+      .option("header", "true").option("multiLine", "true")
+      .option("nullValue", nullValue)
+      .option("nanValue", "NaN")
+      .option("positiveInf", "Infinity").option("negativeInf", "-Infinity")
+      .csv(path))
+
   def scanNdjson(spark: SparkSession, path: String): LazyFrame =
     LazyFrame(spark.read.json(path))
+
+  /** Schema-directed NDJSON scan (reference `read_ndjson(schema=...)`):
+    * reading back what [[LazyFrame.sinkJson]] wrote needs the schema —
+    * the writer drops null fields and spells non-finite doubles as quoted
+    * "NaN"/"Infinity" strings, both unrecoverable by inference alone. */
+  def scanNdjsonSchema(spark: SparkSession, path: String,
+                       schema: org.apache.spark.sql.types.StructType): LazyFrame =
+    LazyFrame(spark.read.schema(schema).json(path))
 
   def scanLines(spark: SparkSession, path: String): LazyFrame =
     LazyFrame(spark.read.text(path))

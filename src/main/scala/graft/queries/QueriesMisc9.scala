@@ -189,6 +189,36 @@ object QueriesMisc9 {
         .orderBy(col("p_partkey"))
     }),
 
+    // Lossless CSV dialect (LazyFrame.sinkCsvExact/scanCsvExact — reference
+    // write_csv null_value= escape hatch): null vs empty string, leading/
+    // trailing whitespace, embedded quote/separator/newline must all survive
+    // the trip. The oracle recomputes the derived columns directly from the
+    // base table with NO round-trip, so a lossy writer (whitespace trim,
+    // null/empty collapse, unquoted newline) hash-fails. The explicit
+    // is_null/is_empty/len probes make the null-vs-empty distinction visible
+    // even if a hasher canonicalizes the strings themselves.
+    "io_csv_exact" -> ((s, d) => {
+      val dir = "/tmp/graft_csv_exact"
+      val src = t(s, d, "supplier").select(col("s_suppkey"),
+        when(col("s_suppkey") % 5 === 0, lit(null).cast("string"))
+          .when(col("s_suppkey") % 5 === 1, lit(""))
+          .when(col("s_suppkey") % 5 === 2,
+            concat(lit("  "), col("s_name"), lit("\t")))
+          .when(col("s_suppkey") % 5 === 3,
+            concat(col("s_name"), lit("\",\n"), col("s_name")))
+          .otherwise(col("s_name")).as("tricky"),
+        when(col("s_suppkey") % 3 === 0, lit(null).cast("double"))
+          .otherwise(col("s_acctbal")).as("bal_or_null"))
+      graft.dsl.LazyFrame(src).sinkCsvExact(dir)
+      graft.dsl.LazyFrame.scanCsvExact(s, dir, src.schema).df
+        .select(col("s_suppkey"), col("tricky"),
+          col("tricky").isNull.as("is_null"),
+          coalesce(col("tricky") === "", lit(false)).as("is_empty"),
+          length(col("tricky")).cast("long").as("len"),
+          col("bal_or_null"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // polars dt.add_business_days (business.rs): closed-form Mon-Fri walk,
     // negative offsets included, weekend starts rolled forward/backward.
     // The oracle replays the identical arithmetic (isodow + floor division).
@@ -318,6 +348,23 @@ object QueriesMisc9 {
         | CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE p_brand END AS brand_or_null,
         | p_retailprice
         |FROM part WHERE p_partkey <= 2000 ORDER BY p_partkey""".stripMargin,
+
+    "io_csv_exact" ->
+      """WITH t AS (
+        | SELECT s_suppkey,
+        |  CASE WHEN s_suppkey % 5 = 0 THEN NULL
+        |       WHEN s_suppkey % 5 = 1 THEN ''
+        |       WHEN s_suppkey % 5 = 2 THEN '  ' || s_name || chr(9)
+        |       WHEN s_suppkey % 5 = 3 THEN s_name || '",' || chr(10) || s_name
+        |       ELSE s_name END AS tricky,
+        |  CASE WHEN s_suppkey % 3 = 0 THEN NULL ELSE s_acctbal END AS bal_or_null
+        | FROM supplier)
+        |SELECT s_suppkey, tricky,
+        | tricky IS NULL AS is_null,
+        | coalesce(tricky = '', false) AS is_empty,
+        | length(tricky) AS len,
+        | bal_or_null
+        |FROM t ORDER BY s_suppkey""".stripMargin,
 
     "dt_add_business" ->
       """WITH t AS (
