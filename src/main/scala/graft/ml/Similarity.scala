@@ -106,43 +106,47 @@ object Similarity {
 
   /** Embedding near-duplicate pairs: same LSH bucket AND cosine ≥ threshold.
     *
-    * Same shape as the text-LSH twin (`text/Dedup.pairsFromBuckets`):
-    * bucket-grouped LOCAL pair generation instead of a bucket self-join —
-    * the r6 join formulation evaluated the bucket hash and prune window
-    * once per join side (two exchanges, double compute, probe-verified);
-    * this groups each bucket's (id, vector) rows into one sorted array on
-    * ONE `__bucket` shuffle, emits the i<j pairs locally, and scores the
-    * fused cosine kernel per pair. A vector lives in exactly one bucket
-    * (single signature, not banded), so no pair can repeat.
+    * Pair generation is a bucket-keyed SELF-JOIN over ONE shared exchange:
+    * the frame is hash-partitioned on `__bucket` once, and both join sides
+    * are projections of that same subplan, so the join inserts no further
+    * exchange and the duplicated subtree dedups to a ReusedExchange
+    * (plan-pinned). The sort-merge join then STREAMS each bucket's i<j
+    * cross pairs through the fused cosine kernel with spillable match
+    * buffers — memory stays O(bucket·dim). The previous bucket-grouped
+    * local pair-gen (collect_list → nested transform → explode), borrowed
+    * from the text-LSH twin where BANDED buckets are small by construction,
+    * materialized the entire O(bucket²·dim) pair array inside one row:
+    * with a handful of hyperplanes a bucket holds n/2^planes vectors, and
+    * the sf1 full-suite sweep (100k vectors, 8 buckets) OOM'd the heap on
+    * exactly that row. A vector lives in exactly one bucket (single
+    * signature, not banded), so no pair can repeat.
     *
     * `maxBucket` > 0 drops buckets larger than the cap BEFORE any pair
     * materializes: a degenerate bucket — zero/dead embeddings are common
     * at corpus scale and all share one signature — is otherwise a single
-    * n²/2 task AND an unbounded collect_list row. At 100 TB set the cap
-    * (e.g. 1000); oversized buckets carry almost no near-dup signal. The
-    * prune window's hash partitioning on `__bucket` is exactly the
-    * groupBy's partitioning — no extra shuffle. */
+    * n²/2 join group. At 100 TB set the cap (e.g. 1000); oversized buckets
+    * carry almost no near-dup signal. The prune window's hash partitioning
+    * on `__bucket` is exactly the repartition's — no extra shuffle. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         planes: Seq[Array[Double]], threshold: Double,
                         maxBucket: Int = 0): DataFrame = {
-    val b0 = df.select(col(idCol), col(vecCol), lshBucket(col(vecCol), planes).as("__bucket"))
+    val part = df
+      .select(col(idCol), col(vecCol), lshBucket(col(vecCol), planes).as("__bucket"))
+      .repartition(col("__bucket"))
     val b =
       if (maxBucket > 0)
-        b0.withColumn("__bn",
+        part.withColumn("__bn",
           count(lit(1)).over(Window.partitionBy(col("__bucket"))))
           .filter(col("__bn") <= maxBucket).drop("__bn")
-      else b0
-    val xs = col("xs")
-    b.groupBy(col("__bucket"))
-      .agg(sort_array(collect_list(struct(col(idCol).as("i"), col(vecCol).as("v")))).as("xs"))
-      .filter(size(xs) > 1)
-      .select(explode(flatten(transform(xs, (x, i) =>
-        transform(slice(xs, i + 2, size(xs)),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
-      .select(col("p.a.i").as("id_a"), col("p.b.i").as("id_b"),
+      else part
+    val l = b.select(col("__bucket"), col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val r = b.select(col("__bucket"), col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    l.join(r, Seq("__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
         // integer-scaled round: engines disagree on double round(x, 4) at
         // half-way ties, and this value feeds the threshold membership test
-        (round(cosineSimilarity(col("p.a.v"), col("p.b.v")) * 10000) / 10000)
+        (round(cosineSimilarity(col("__va"), col("__vb")) * 10000) / 10000)
           .as("cosine"))
       .filter(col("cosine") >= threshold)
   }

@@ -363,7 +363,10 @@ object QueriesMisc8 {
     // polars list.median/var/std/n_unique/drop_nulls (ListFunction): the
     // stats as explicit folds (same double path both engines — engine-native
     // list_aggregate('stddev') may differ in the last ulp); median = mean of
-    // the two middle elements of the sorted 64-wide vector.
+    // the two middle elements of the sorted 64-wide vector. The oracle adds
+    // `+ 0.0` to each rounded double: DuckDB's round keeps IEEE -0.0 while
+    // Spark's BigDecimal round never emits it (one sf1 row hit this), and
+    // a raw-value hasher treats the two zeros as different bits.
     "list_stats" -> ((s, d) => {
       val ed = transform(col("embedding"), x => x.cast("double"))
       val s1 = aggregate(ed, lit(0.0), (a, x) => a + x)
@@ -744,9 +747,9 @@ object QueriesMisc8 {
         |    - list_sum(e) * list_sum(e) / 64.0) / 63.0 AS v
         | FROM t)
         |SELECT vec_id,
-        | round(v, 6) AS l_var,
-        | round(sqrt(v), 6) AS l_std,
-        | round((srt[32] + srt[33]) / 2.0, 6) AS l_median,
+        | round(v, 6) + 0.0 AS l_var,
+        | round(sqrt(v), 6) + 0.0 AS l_std,
+        | round((srt[32] + srt[33]) / 2.0, 6) + 0.0 AS l_median,
         | len(list_distinct(e))::INT AS l_nuniq,
         | len(list_filter([NULL, e[1], e[2], e[3]],
         |   x -> x IS NOT NULL))::INT AS l_dropn

@@ -77,13 +77,19 @@ object QueriesSql {
       |ORDER BY s_suppkey""".stripMargin
 
   /** TPC-H q7 shape: the same dimension table joined twice under two aliases
-    * (supplier nation × customer nation bi-directional volume). */
+    * (supplier nation × customer nation bi-directional volume). Revenue sums
+    * per-line BIGINT cents, not doubles: `round(sum(volume), 2)` diverged at
+    * sf1 when the engines' accumulation orders left a group's sum ulps apart
+    * across a half-cent boundary — integer summands are order-independent and
+    * exact at any scale (the win_rolling_by_value recipe). */
   private val nationVolumeSql =
-    """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    """SELECT supp_nation, cust_nation, l_year,
+      | CAST(sum(volume_cents) AS DOUBLE) / 100 AS revenue
       |FROM (
       | SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
       |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
-      |  l_extendedprice * (1 - l_discount) AS volume
+      |  CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+      |    AS volume_cents
       | FROM supplier
       | JOIN lineitem ON s_suppkey = l_suppkey
       | JOIN orders ON o_orderkey = l_orderkey

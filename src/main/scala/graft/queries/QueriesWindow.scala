@@ -28,8 +28,12 @@ object QueriesWindow {
         dense_rank().over(w).as("drnk"),
         row_number().over(w).as("rn"),
         ntile(4).over(w).as("quartile"),
-        round(percent_rank().over(w), 4).as("prnk"),
-        round(cume_dist().over(w), 4).as("cdist"))
+        // integer-scaled round: round(x, 4) diverged at sf1 on exact
+        // half-ties (Spark HALF_UPs the shortest decimal repr, DuckDB
+        // rounds x*1e4 in binary — 0.25375 → .2538 vs .2537); scale-0
+        // round agrees between the engines on every double
+        (round(percent_rank().over(w) * 10000) / 10000).as("prnk"),
+        (round(cume_dist().over(w) * 10000) / 10000).as("cdist"))
         .orderBy(col("c_custkey"))
     }),
 
@@ -129,8 +133,8 @@ object QueriesWindow {
       """SELECT c_custkey, c_nationkey,
         | (rank() OVER w)::INT AS rnk, (dense_rank() OVER w)::INT AS drnk,
         | (row_number() OVER w)::INT AS rn, (ntile(4) OVER w)::INT AS quartile,
-        | round(percent_rank() OVER w, 4) AS prnk,
-        | round(cume_dist() OVER w, 4) AS cdist
+        | round(percent_rank() OVER w * 10000) / 10000 AS prnk,
+        | round(cume_dist() OVER w * 10000) / 10000 AS cdist
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
         |ORDER BY c_custkey""".stripMargin,

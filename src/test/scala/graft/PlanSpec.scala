@@ -248,18 +248,38 @@ class PlanSpec extends SparkSpec {
       s"span fan-out should be an explode:\n$plan")
   }
 
-  test("embedding LSH pairs: ONE bucket shuffle, prune window shares it") {
+  test("embedding LSH pairs: one shared bucket exchange, streaming join pair-gen") {
     val vecs = spark.range(100).select(col("id").as("vec_id"),
       array(col("id").cast("float"), (col("id") % 7).cast("float"), lit(1.0f))
         .as("embedding"))
     val planes = Seq(Array(0.3, -0.7, 0.2), Array(-0.5, 0.4, 0.8))
-    val p = planOf(graft.ml.Similarity.embeddingNearDups(
-      vecs, "vec_id", "embedding", planes, 0.8, maxBucket = 50))
-    // bucket-grouped local pair-gen: the r6 self-join formulation computed
-    // the bucket hash + prune window once PER SIDE (two exchanges)
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
-      s"expected exactly one __bucket exchange:\n$p")
-    assert(!p.contains("Join"), s"pair generation must be local, not a join:\n$p")
+    val df = graft.ml.Similarity.embeddingNearDups(
+      vecs, "vec_id", "embedding", planes, 0.8, maxBucket = 50)
+    // execute THIS plan: AQE applies exchange reuse when stages materialize
+    df.queryExecution.toRdd.foreach(_ => ())
+    val p = df.queryExecution.executedPlan.toString
+    // pair fan-out streams through an equi-join on the bucket key with
+    // spillable match buffers — the previous collect_list + nested-transform
+    // explode materialized O(bucket²·dim) bytes in ONE row and OOM'd the
+    // sf1 full-suite sweep (100k vectors, 8 buckets)
+    // any equi-join form streams (AQE picks broadcast at this test size;
+    // at corpus scale the sides exceed the threshold and it plans SMJ)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+        || p.contains("BroadcastHashJoin"),
+      s"pair generation should be a streaming bucket equi-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"bucket join degenerated to a cross product:\n$p")
+    // both sides project the SAME hash-partitioned subplan: exactly one
+    // materialized exchange in the FINAL plan (the string also prints the
+    // initial pre-reuse plan, and ReusedExchange lines quote the reused
+    // node — count neither), the other side reuses it
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    val materialized = finalPlan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+    assert(materialized == 1,
+      s"expected exactly one materialized __bucket exchange:\n$p")
+    assert(finalPlan.contains("ReusedExchange"),
+      s"second join side should reuse the bucket exchange:\n$p")
   }
 
   test("scale stratified sampling is window-free: count agg + broadcast cutoffs") {

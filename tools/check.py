@@ -8,7 +8,7 @@ oracle SQL from <out>/oracle_sql.json in DuckDB over the sf parquet tables,
 and compares: schema (column names), row count, and exact values after
 sorting rows by all columns (mirrors a hash compare).
 """
-import json, sys, math
+import json, os, sys, math
 import duckdb
 import pyarrow.parquet as pq
 import pyarrow.dataset as ds
@@ -20,6 +20,12 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0:
+            # collapse -0.0/+0.0: engines disagree on the sign of a rounded
+            # zero (DuckDB keeps IEEE -0.0, Spark's BigDecimal round never
+            # emits it); == treats them equal but the str() sort key would
+            # misalign the rowwise compare from that row on (sf1 list_stats)
+            return 0.0
         return v
     if isinstance(v, list):
         return tuple(norm(x) for x in v)
@@ -43,7 +49,23 @@ def main():
     def fresh_con():
         c = duckdb.connect()
         for t in TABLES:
-            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+            p = f"{sf}/{t}.parquet"
+            # driver SFs are single files; ScaleData replicas (sf1) are
+            # Spark part-file directories — glob those
+            src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+            if t == "events":
+                # driver events.ts is TIMESTAMP(NANOS); ScaleData keeps the
+                # raw INT64 nanos (Spark writes plain BIGINT under
+                # nanosAsLong) — normalize to the µs timestamps the queries
+                # compare on, same `div 1000` truncation as queries/util.t
+                # (probe via duckdb: pyarrow would trip on _SUCCESS markers)
+                ts_type = c.execute(
+                    f"SELECT typeof(ts) FROM {src} LIMIT 1").fetchone()[0]
+                if ts_type == "BIGINT":
+                    c.execute("CREATE VIEW events AS SELECT * REPLACE "
+                              f"(make_timestamp(ts // 1000) AS ts) FROM {src}")
+                    continue
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
         return c
 
     con = fresh_con()
