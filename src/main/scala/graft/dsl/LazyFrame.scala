@@ -732,9 +732,15 @@ final class LazyFrame(val df: DataFrame) {
       // silently trimming leading/trailing whitespace out of string cells
       .option("ignoreLeadingWhiteSpace", "false")
       .option("ignoreTrailingWhiteSpace", "false")
+      // full microsecond precision: the default write pattern's [.SSS]
+      // silently truncates Spark's µs timestamps to millis
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
       .csv(path)
 
-  def sinkJson(path: String): Unit = df.write.mode("overwrite").json(path)
+  /** NDJSON sink. Timestamps carry full µs precision (the default write
+    * pattern's [.SSS] truncates to millis — same fix as [[sinkCsvExact]]). */
+  def sinkJson(path: String): Unit = df.write.mode("overwrite")
+    .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").json(path)
 
   /** Bucketed-table sink: co-locates data on `key` at write time so that
     * REPEATED joins/aggregations on that key skip the exchange entirely
@@ -866,6 +872,7 @@ object LazyFrame {
       .option("nullValue", nullValue)
       .option("nanValue", "NaN")
       .option("positiveInf", "Infinity").option("negativeInf", "-Infinity")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
       .csv(path))
 
   def scanNdjson(spark: SparkSession, path: String): LazyFrame =
@@ -877,7 +884,8 @@ object LazyFrame {
     * "NaN"/"Infinity" strings, both unrecoverable by inference alone. */
   def scanNdjsonSchema(spark: SparkSession, path: String,
                        schema: org.apache.spark.sql.types.StructType): LazyFrame =
-    LazyFrame(spark.read.schema(schema).json(path))
+    LazyFrame(spark.read.schema(schema)
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").json(path))
 
   def scanLines(spark: SparkSession, path: String): LazyFrame =
     LazyFrame(spark.read.text(path))

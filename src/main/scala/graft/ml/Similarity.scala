@@ -117,30 +117,34 @@ object Similarity {
     * from the text-LSH twin where BANDED buckets are small by construction,
     * materialized the entire O(bucket²·dim) pair array inside one row:
     * with a handful of hyperplanes a bucket holds n/2^planes vectors, and
-    * the sf1 full-suite sweep (100k vectors, 8 buckets) OOM'd the heap on
-    * exactly that row. A vector lives in exactly one bucket (single
-    * signature, not banded), so no pair can repeat.
+    * the sf1 full-suite sweep (20k×64-dim vectors, 8 buckets ⇒ ~2 GB
+    * single rows) OOM'd the heap on exactly that row. A vector lives in
+    * exactly one bucket (single signature, not banded), so no pair can
+    * repeat.
     *
     * `maxBucket` > 0 drops buckets larger than the cap BEFORE any pair
     * materializes: a degenerate bucket — zero/dead embeddings are common
     * at corpus scale and all share one signature — is otherwise a single
     * n²/2 join group. At 100 TB set the cap (e.g. 1000); oversized buckets
-    * carry almost no near-dup signal. The prune window's hash partitioning
-    * on `__bucket` is exactly the repartition's — no extra shuffle. */
+    * carry almost no near-dup signal. Bucket sizes are a tiny aggregate
+    * (≤2^planes rows) broadcast as a semi-filter BEFORE the shuffle, so a
+    * degenerate bucket's rows never ship through the exchange — and unlike
+    * a count-over-bucket window above the shuffle, nothing re-runs once
+    * per join side (the r9 review caught exactly that duplication). */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         planes: Seq[Array[Double]], threshold: Double,
                         maxBucket: Int = 0): DataFrame = {
-    val part = df
+    val b0 = df
       .select(col(idCol), col(vecCol), lshBucket(col(vecCol), planes).as("__bucket"))
-      .repartition(col("__bucket"))
-    val b =
-      if (maxBucket > 0)
-        part.withColumn("__bn",
-          count(lit(1)).over(Window.partitionBy(col("__bucket"))))
-          .filter(col("__bn") <= maxBucket).drop("__bn")
-      else part
-    val l = b.select(col("__bucket"), col(idCol).as("id_a"), col(vecCol).as("__va"))
-    val r = b.select(col("__bucket"), col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    val pruned =
+      if (maxBucket > 0) {
+        val keep = b0.groupBy(col("__bucket")).count()
+          .filter(col("count") <= maxBucket).select(col("__bucket"))
+        b0.join(broadcast(keep), Seq("__bucket"), "left_semi")
+      } else b0
+    val part = pruned.repartition(col("__bucket"))
+    val l = part.select(col("__bucket"), col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val r = part.select(col("__bucket"), col(idCol).as("id_b"), col(vecCol).as("__vb"))
     l.join(r, Seq("__bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

@@ -44,7 +44,9 @@ object Parametric {
   }
 
   private def randomString(rnd: Random): String = {
-    val alphabet = "ab α𝔘\"',;\t" // unicode + csv-hostile chars
+    // unicode + csv-hostile chars, embedded newlines included (they force
+    // the multiLine quoted-field path in any text writer)
+    val alphabet = "ab α𝔘\"',;\t\n"
     (0 until rnd.nextInt(8)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
   }
 
@@ -61,6 +63,8 @@ object Parametric {
     }
     case FloatType => rnd.nextInt(20) match {
       case 0 => Float.NaN
+      case 1 => Float.PositiveInfinity
+      case 2 => Float.NegativeInfinity
       case _ => rnd.nextFloat() * 2e6f - 1e6f
     }
     case _: DecimalType =>
@@ -70,7 +74,11 @@ object Parametric {
     case StringType  => randomString(rnd)
     case DateType    => new Date(86400000L * (rnd.nextInt(40000) - 10000))
     case TimestampType =>
-      new Timestamp(rnd.nextLong() % 4102444800000L) // within ±year 2100
+      // µs-granular (Spark TimestampType IS microseconds): ms-only
+      // timestamps let a writer that truncates to millis fuzz green
+      val ts = new Timestamp(rnd.nextLong() % 4102444800000L) // ±year 2100
+      ts.setNanos(rnd.nextInt(1000000) * 1000)
+      ts
     case ArrayType(et, _) =>
       (0 until rnd.nextInt(4)).map(_ => randomValue(rnd, et))
     case st: StructType =>

@@ -1,10 +1,9 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.types._
 
 import graft.sources.{ArrowIpc, Avro}
-import graft.testing.{Assertions, Parametric}
+import graft.testing.Parametric
 
 /** Parametric fuzz over the hand-built DSv2 connectors (reference
   * `py-polars/tests/unit/testing/parametric/` — the hypothesis layer is how
@@ -26,33 +25,16 @@ class ParametricIOSpec extends SparkSpec {
     ArrayType(LongType), ArrayType(StringType),
     StructType(Seq(StructField("a", LongType), StructField("b", StringType))))
 
-  private def roundTrip(name: String, seeds: Range, pool: Seq[DataType],
-                        write: (DataFrame, String) => Unit): Unit = {
-    var exercised = 0
-    seeds.foreach { seed =>
-      val df = Parametric.randomFrame(spark, seed, pool = pool)
-      // a frame with zero rows writes zero part files (per-partition sinks
-      // skip empty partitions) and leaves nothing to infer a schema from —
-      // a valid draw, but not a round-trippable one
-      if (!df.isEmpty) {
-        val dir = s"/tmp/graft_test/pio_${name}_$seed"
-        write(df.repartition(3), dir)
-        val back = spark.read.format(s"graft-$name").load(dir)
-        assert(back.schema == df.schema,
-          s"seed=$seed schema drift: ${back.schema} vs ${df.schema}")
-        Assertions.assertFrameEqual(back, df, checkRowOrder = false)
-        exercised += 1
-      }
-    }
-    assert(exercised >= 100, s"only $exercised non-empty frames exercised")
-  }
-
   test("graft-ipc round-trips 100+ seeded random frames (full dtype pool + binary)") {
-    roundTrip("ipc", 1 to 104, Parametric.dtypePool :+ BinaryType,
-      (d, p) => ArrowIpc.write(d, p))
+    ParametricRoundTrip.run(spark, "ipc", 1 to 104,
+      Parametric.dtypePool :+ BinaryType,
+      (d, p) => ArrowIpc.write(d, p),
+      (p, _) => spark.read.format("graft-ipc").load(p))
   }
 
   test("graft-avro round-trips 100+ seeded random frames (its type surface)") {
-    roundTrip("avro", 1 to 104, avroPool, (d, p) => Avro.write(d, p))
+    ParametricRoundTrip.run(spark, "avro", 1 to 104, avroPool,
+      (d, p) => Avro.write(d, p),
+      (p, _) => spark.read.format("graft-avro").load(p))
   }
 }

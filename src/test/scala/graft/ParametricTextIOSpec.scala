@@ -1,10 +1,9 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.types._
 
 import graft.dsl.LazyFrame
-import graft.testing.{Assertions, Parametric}
+import graft.testing.Parametric
 
 /** Parametric fuzz over the TEXT formats and the columnar built-ins —
   * the same seeded-frame harness ParametricIOSpec drives through the
@@ -15,9 +14,12 @@ import graft.testing.{Assertions, Parametric}
   * exact-by-construction baselines.
   *
   * Text formats are where round-trips actually lose data — null vs empty
-  * string, NaN/±Infinity spellings, quotes/tabs/commas inside cells,
-  * sub-second timestamps — so each dialect below is the one the library
-  * documents as lossless, and a seed failure reproduces exactly.
+  * string, NaN/±Infinity spellings, quotes/tabs/commas/newlines inside
+  * cells, sub-millisecond timestamps — so each dialect below is the one
+  * the library documents as lossless, and a seed failure reproduces
+  * exactly. The generator draws all of those hostile values (this suite
+  * caught Spark's CSV writer whitespace trim AND the default
+  * timestampFormat's silent µs→ms truncation).
   */
 class ParametricTextIOSpec extends SparkSpec {
 
@@ -33,46 +35,28 @@ class ParametricTextIOSpec extends SparkSpec {
     * binary too). */
   private val jsonPool: Seq[DataType] = Parametric.dtypePool
 
-  private def roundTrip(name: String, pool: Seq[DataType],
-                        write: (DataFrame, String) => Unit,
-                        read: (String, StructType) => DataFrame): Unit = {
-    var exercised = 0
-    (1 to 104).foreach { seed =>
-      val df = Parametric.randomFrame(spark, seed, pool = pool)
-      // zero-row frames write zero part files — nothing to read back
-      if (!df.isEmpty) {
-        val dir = s"/tmp/graft_test/ptio_${name}_$seed"
-        write(df.repartition(3), dir)
-        val back = read(dir, df.schema)
-        assert(back.schema == df.schema,
-          s"seed=$seed schema drift: ${back.schema} vs ${df.schema}")
-        Assertions.assertFrameEqual(back, df, checkRowOrder = false)
-        exercised += 1
-      }
-    }
-    assert(exercised >= 100, s"only $exercised non-empty frames exercised")
-  }
-
   test("parquet round-trips 100+ seeded random frames (full pool + binary)") {
-    roundTrip("parquet", Parametric.dtypePool :+ BinaryType,
+    ParametricRoundTrip.run(spark, "parquet", 1 to 104,
+      Parametric.dtypePool :+ BinaryType,
       (d, p) => LazyFrame(d).sinkParquet(p),
       (p, _) => spark.read.parquet(p))
   }
 
   test("ORC round-trips 100+ seeded random frames (full pool + binary)") {
-    roundTrip("orc", Parametric.dtypePool :+ BinaryType,
+    ParametricRoundTrip.run(spark, "orc", 1 to 104,
+      Parametric.dtypePool :+ BinaryType,
       (d, p) => d.write.mode("overwrite").orc(p),
       (p, _) => spark.read.orc(p))
   }
 
   test("CSV exact dialect round-trips 100+ seeded random frames (atomic pool)") {
-    roundTrip("csv", csvPool,
+    ParametricRoundTrip.run(spark, "csv", 1 to 104, csvPool,
       (d, p) => LazyFrame(d).sinkCsvExact(p),
       (p, s) => LazyFrame.scanCsvExact(spark, p, s).df)
   }
 
   test("NDJSON round-trips 100+ seeded random frames (nested pool)") {
-    roundTrip("ndjson", jsonPool,
+    ParametricRoundTrip.run(spark, "ndjson", 1 to 104, jsonPool,
       (d, p) => LazyFrame(d).sinkJson(p),
       (p, s) => LazyFrame.scanNdjsonSchema(spark, p, s).df)
   }

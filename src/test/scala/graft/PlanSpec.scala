@@ -261,7 +261,7 @@ class PlanSpec extends SparkSpec {
     // pair fan-out streams through an equi-join on the bucket key with
     // spillable match buffers — the previous collect_list + nested-transform
     // explode materialized O(bucket²·dim) bytes in ONE row and OOM'd the
-    // sf1 full-suite sweep (100k vectors, 8 buckets)
+    // sf1 full-suite sweep (20k×64-dim vectors, 8 buckets ⇒ ~2 GB rows)
     // any equi-join form streams (AQE picks broadcast at this test size;
     // at corpus scale the sides exceed the threshold and it plans SMJ)
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
@@ -269,17 +269,23 @@ class PlanSpec extends SparkSpec {
       s"pair generation should be a streaming bucket equi-join:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
       s"bucket join degenerated to a cross product:\n$p")
-    // both sides project the SAME hash-partitioned subplan: exactly one
-    // materialized exchange in the FINAL plan (the string also prints the
-    // initial pre-reuse plan, and ReusedExchange lines quote the reused
-    // node — count neither), the other side reuses it
+    // both sides project the SAME hash-partitioned subplan: in the FINAL
+    // plan (the string also prints the initial pre-reuse plan, and
+    // ReusedExchange lines quote the reused node — count neither) the
+    // corpus shuffles ONCE, the other join side reuses it, and the only
+    // other exchange is the ≤2^planes-row bucket-size aggregate feeding
+    // the broadcast maxBucket semi-filter below the shuffle
     val finalPlan = p.split("== Initial Plan ==")(0)
     val materialized = finalPlan.linesIterator.count(l =>
       l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
-    assert(materialized == 1,
-      s"expected exactly one materialized __bucket exchange:\n$p")
+    assert(materialized == 2,
+      s"expected the corpus exchange + the tiny bucket-size agg exchange:\n$p")
     assert(finalPlan.contains("ReusedExchange"),
       s"second join side should reuse the bucket exchange:\n$p")
+    assert(finalPlan.contains("LeftSemi"),
+      s"maxBucket prune should be a pre-shuffle broadcast semi-filter:\n$p")
+    assert(!finalPlan.contains("Window"),
+      s"maxBucket prune must not re-run a window per join side:\n$p")
   }
 
   test("scale stratified sampling is window-free: count agg + broadcast cutoffs") {
