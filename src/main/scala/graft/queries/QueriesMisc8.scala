@@ -49,7 +49,8 @@ object QueriesMisc8 {
       .groupBy(col("l_returnflag")).agg(
         sum(col("p")).cast("decimal(38,2)").as("sum_p"),
         sum(col("p") * col("q")).cast("decimal(38,4)").as("sum_pq"),
-        min(col("p")).cast("decimal(38,2)").as("min_p"))
+        min(col("p")).cast("decimal(38,2)").as("min_p"),
+        sum(col("p") * col("p")).cast("decimal(38,4)").as("sum_pp"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -312,19 +313,26 @@ object QueriesMisc8 {
     }),
 
     // The decimal-typed half of the split (see dtype_decimal_exact above):
-    // the same decimal aggregates emitted AS decimals. r8 recorded this key
-    // rows+schema green but hash-red at width 38 while values and arrow
-    // types were locally identical, pinning the divergence to driver-side
-    // canonicalization of wide decimal output. Per the r8 prescription the
-    // key is re-pinned to precision 18 — parquet stores p<=18 decimals as
-    // INT64 (not FIXED_LEN_BYTE_ARRAY), the representation most likely to
-    // canonicalize identically across exporters — and the width probes
-    // below (dtype_decimal_w18/w22/w38) carry one aggregate per width so
-    // the ledger itself localizes any remaining divergent width.
+    // the same decimal aggregates emitted AS decimals. History: hash-red at
+    // width 38 (r8) and again at width 18 (r9) while rows+schema stayed
+    // green and the w18/w22/w38 probes (sum_p alone) were ALL green — width
+    // exonerated. Round-10 value forensics localized the divergence to the
+    // scale-4 product-sum: l_quantity is integral at every SF, so every
+    // p*q is a multiple of 0.01 and sum_pq at scale 4 ALWAYS renders with
+    // two trailing zeros ("…x.yz00") — a value class the green columns
+    // never hit (their last scale digits are nonzero at the driver SF). A
+    // driver-side canonicalizer that strips trailing zeros on one side
+    // (e.g. a decimal→float fetch) reds exactly that column every round,
+    // regardless of declared width. Re-pin: emit the product-sum at its
+    // VALUE-natural scale 2 (exact — no rounding occurs, the values are
+    // multiples of 0.01), so every emitted decimal digitstring is
+    // trailing-zero-free at sf0.01. The scale-4 surface itself stays under
+    // test in dtype_decimal_s4/s4nz below, which split "scale 4 per se"
+    // from "trailing zeros at scale 4".
     "dtype_decimal_repr" -> ((s, d) =>
       decimalAggBase(s, d).select(col("l_returnflag"),
           col("sum_p").cast("decimal(18,2)").as("sum_p"),
-          col("sum_pq").cast("decimal(18,4)").as("sum_pq"),
+          col("sum_pq").cast("decimal(18,2)").as("sum_pq"),
           col("min_p").cast("decimal(18,2)").as("min_p"))
         .orderBy(col("l_returnflag"))),
 
@@ -343,6 +351,31 @@ object QueriesMisc8 {
     "dtype_decimal_w38" -> ((s, d) =>
       decimalAggBase(s, d).select(col("l_returnflag"),
           col("sum_p").cast("decimal(38,2)").as("sum_p"))
+        .orderBy(col("l_returnflag"))),
+
+    // Scale/agg probes (r9 verdict prescription), completing the decimal
+    // matrix the width probes started. dtype_decimal_s4 is the minimal
+    // repro of the repr red: sum(p*q)::DECIMAL(18,4) alone, whose values
+    // are PROVABLY trailing-zero-suffixed (integral l_quantity ⇒ p*q is a
+    // multiple of 0.01 ⇒ scale-4 digitstrings end "00") — if the driver's
+    // decimal canonicalization is the fault, this key reds in isolation
+    // and documents it. dtype_decimal_s4nz is the control: a genuine
+    // scale-4 product-sum (sum of p², whose 10⁻⁴ digit is generic and
+    // nonzero at the driver SF) — green here proves scale 4 per se hashes
+    // fine and only the trailing-zero value class diverges. Precision 28
+    // so the sf1 sweep (~7×10¹⁵) doesn't overflow. dtype_decimal_min
+    // isolates the min aggregate at the repr width/scale.
+    "dtype_decimal_s4" -> ((s, d) =>
+      decimalAggBase(s, d).select(col("l_returnflag"),
+          col("sum_pq").cast("decimal(18,4)").as("sum_pq"))
+        .orderBy(col("l_returnflag"))),
+    "dtype_decimal_s4nz" -> ((s, d) =>
+      decimalAggBase(s, d).select(col("l_returnflag"),
+          col("sum_pp").cast("decimal(28,4)").as("sum_pp"))
+        .orderBy(col("l_returnflag"))),
+    "dtype_decimal_min" -> ((s, d) =>
+      decimalAggBase(s, d).select(col("l_returnflag"),
+          col("min_p").cast("decimal(18,2)").as("min_p"))
         .orderBy(col("l_returnflag"))),
 
     // polars str.escape_regex + str.head/tail: metacharacters injected so
@@ -694,7 +727,7 @@ object QueriesMisc8 {
         | FROM lineitem)
         |SELECT l_returnflag,
         | sum(p)::DECIMAL(18,2) AS sum_p,
-        | sum(p * q)::DECIMAL(18,4) AS sum_pq,
+        | sum(p * q)::DECIMAL(18,2) AS sum_pq,
         | min(p)::DECIMAL(18,2) AS min_p
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -723,6 +756,35 @@ object QueriesMisc8 {
         |    * 0.01)::DECIMAL(12,2) AS p
         | FROM lineitem)
         |SELECT l_returnflag, sum(p)::DECIMAL(38,2) AS sum_p
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dtype_decimal_s4" ->
+      """WITH t AS (
+        | SELECT l_returnflag,
+        |  (CAST(round(l_extendedprice * 100) AS BIGINT)::DECIMAL(14,0)
+        |    * 0.01)::DECIMAL(12,2) AS p,
+        |  (CAST(round(l_quantity * 100) AS BIGINT)::DECIMAL(14,0)
+        |    * 0.01)::DECIMAL(12,2) AS q
+        | FROM lineitem)
+        |SELECT l_returnflag, sum(p * q)::DECIMAL(18,4) AS sum_pq
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dtype_decimal_s4nz" ->
+      """WITH t AS (
+        | SELECT l_returnflag,
+        |  (CAST(round(l_extendedprice * 100) AS BIGINT)::DECIMAL(14,0)
+        |    * 0.01)::DECIMAL(12,2) AS p
+        | FROM lineitem)
+        |SELECT l_returnflag, sum(p * p)::DECIMAL(28,4) AS sum_pp
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dtype_decimal_min" ->
+      """WITH t AS (
+        | SELECT l_returnflag,
+        |  (CAST(round(l_extendedprice * 100) AS BIGINT)::DECIMAL(14,0)
+        |    * 0.01)::DECIMAL(12,2) AS p
+        | FROM lineitem)
+        |SELECT l_returnflag, min(p)::DECIMAL(18,2) AS min_p
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "str_escape_head_tail" ->

@@ -59,9 +59,18 @@ def main():
                 # nanosAsLong) — normalize to the µs timestamps the queries
                 # compare on, same `div 1000` truncation as queries/util.t
                 # (probe via duckdb: pyarrow would trip on _SUCCESS markers)
-                ts_type = c.execute(
-                    f"SELECT typeof(ts) FROM {src} LIMIT 1").fetchone()[0]
+                row = c.execute(
+                    f"SELECT typeof(ts) FROM {src} LIMIT 1").fetchone()
+                ts_type = row[0] if row else None
                 if ts_type == "BIGINT":
+                    # `//` is floor division, Spark's `div` truncates toward
+                    # zero — identical only for ts >= 0, so pin that (a
+                    # double-division rewrite would be lossy: nano epochs
+                    # ~1.7e18 exceed double's 2^53 mantissa)
+                    neg = c.execute(
+                        f"SELECT count(*) FROM {src} WHERE ts < 0").fetchone()[0]
+                    assert neg == 0, f"events.ts has {neg} pre-1970 nanos; " \
+                        "`//` floor-division no longer matches Spark `div`"
                     c.execute("CREATE VIEW events AS SELECT * REPLACE "
                               f"(make_timestamp(ts // 1000) AS ts) FROM {src}")
                     continue
@@ -117,6 +126,23 @@ def main():
                     print(f"   row{i} col {c}: spark={x!r} oracle={y!r}")
             fail += 1
             continue
+        # Driver-canonicalization hazard (the r6-r9 dtype_decimal_repr red):
+        # a decimal value whose digitstring carries trailing zeros at the
+        # declared scale ("…x.yz00") hashes differently once either side's
+        # fetch path normalizes it (e.g. decimal→float). The Decimal-vs-
+        # Decimal compare here is blind to that, so warn loudly instead.
+        import decimal
+        for f in got_tbl.schema:
+            if not str(f.type).startswith("decimal"):
+                continue
+            tz = sum(1 for v in got_tbl.column(f.name).to_pylist()
+                     if isinstance(v, decimal.Decimal)
+                     and v.as_tuple().exponent < 0
+                     and str(v)[-1] == "0")
+            if tz:
+                print(f"WARN {name}: decimal col {f.name} has {tz} trailing-"
+                      "zero value(s) — driver hash hazard (see QueriesMisc8 "
+                      "dtype_decimal_repr notes)")
         print(f"OK {name} ({len(gr)} rows)")
         ok += 1
     print(f"\n{ok} ok, {fail} fail, {skip} skip")
