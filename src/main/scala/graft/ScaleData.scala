@@ -23,8 +23,9 @@ import org.apache.spark.sql.functions._
   *    past any realistic corpus shape;
   *  - embeddings perturb per copy (tiny per-copy offset) for the same
   *    reason on the vector side;
-  *  - `events.ts` stays raw INT64 nanos (as the driver writes it), so
-  *    `graft.queries.util.t`'s nanos read path applies unchanged.
+  *  - `events.ts` is replicated in whatever physical form the driver wrote
+  *    (INT64 nanos read raw under nanosAsLong, or plain µs timestamps) —
+  *    `graft.queries.util.t` adapts to either on read.
   *
   * Usage: runMain graft.ScaleData <srcSfDir> <outDir> [factor=10]
   */
@@ -86,7 +87,7 @@ object ScaleData {
       .withColumn("l_partkey", col("l_partkey") + lit(i * partS))
       .withColumn("l_suppkey", col("l_suppkey") + lit(i * suppS))), "lineitem")
 
-    val ev = read("events") // ts arrives as raw INT64 nanos (conf above)
+    val ev = read("events") // ts form preserved (raw i64 nanos or µs NTZ)
     val evS = stride(ev, "event_id"); val usrS = stride(ev, "user_id")
     write(copies(ev, (d, i) => d
       .withColumn("event_id", col("event_id") + lit(i * evS))

@@ -187,20 +187,19 @@ object QueriesMisc6 {
           |  ('18446744073709551615') AS t(v_str)
           |ORDER BY length(v_str), v_str""".stripMargin)),
 
-    // SURVEY §1.2 Datetime(ns)/Time contract made executable: the parquet
-    // TIMESTAMP(NANOS) column is read RAW (ns as i64 — full fidelity, 9992
-    // of 10000 sf0.01 rows carry sub-µs bits), then normalized by the
-    // documented ns→µs truncation; the Time dtype is its i64
-    // ns-since-midnight carrier. The oracle computes the same values from
-    // DuckDB's own µs truncation of the identical file — agreement IS the
+    // SURVEY §1.2 Datetime(ns)/Time contract made executable: whatever
+    // physical form `events.ts` ships in (TIMESTAMP(NANOS) read raw as i64
+    // and truncated, or plain µs timestamps — util.t normalizes both to µs
+    // TIMESTAMP), the Time dtype is the i64 ns-since-midnight carrier of
+    // the µs-truncated instant. The oracle computes the same values from
+    // DuckDB's epoch_us over the identical file — agreement IS the
     // contract.
     "dtype_time_ns" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$d/events.parquet")
+      util.t(s, d, "events")
         .select(col("event_id"),
-          expr("ts div 1000").as("us"),
-          expr("((ts div 1000) % 86400000000) * 1000").as("time_ns"),
-          expr("(ts div 1000) div 86400000000").as("day"))
+          expr("unix_micros(ts)").as("us"),
+          expr("(unix_micros(ts) % 86400000000) * 1000").as("time_ns"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
         .orderBy(col("event_id"))
     })
   )

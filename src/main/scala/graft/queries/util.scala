@@ -7,17 +7,27 @@ import graft.dsl.LazyFrame
 object util {
   /** Read one of the driver-provided tables from an sf dir.
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-    * default (SURVEY §1.2: polars ns datetimes normalize to Spark µs). Read
-    * nanos as long and truncate to µs — the same truncation DuckDB applies,
-    * so oracle comparisons line up. */
+    * `events.ts` has shipped in two physical forms across driver testdata
+    * generations: parquet TIMESTAMP(NANOS) (which Spark 4 refuses by
+    * default — read nanos as long and truncate to µs, the same truncation
+    * DuckDB applies) and plain timestamp[us] (read as TIMESTAMP_NTZ).
+    * Normalize BOTH to tz-aware µs TIMESTAMP so every downstream query sees
+    * one dtype; sessions run UTC so the NTZ cast is instant-preserving. */
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // integral `div`, NOT `/`: ns-scale longs exceed double's 2^53 mantissa
-      s.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      val raw = s.read.parquet(s"$dir/$name.parquet")
+      import org.apache.spark.sql.types.{LongType, TimestampType}
+      raw.schema("ts").dataType match {
+        case LongType =>
+          // integral `div`, NOT `/`: ns longs exceed double's 2^53 mantissa
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        case TimestampType => raw
+        case _ => // TIMESTAMP_NTZ (µs testdata) — UTC session, identity cast
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+      }
     } else s.read.parquet(s"$dir/$name.parquet")
   }
 
