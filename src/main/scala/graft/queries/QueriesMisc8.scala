@@ -50,7 +50,13 @@ object QueriesMisc8 {
         sum(col("p")).cast("decimal(38,2)").as("sum_p"),
         sum(col("p") * col("q")).cast("decimal(38,4)").as("sum_pq"),
         min(col("p")).cast("decimal(38,2)").as("min_p"),
-        sum(col("p") * col("p")).cast("decimal(38,4)").as("sum_pp"))
+        sum(col("p") * col("p")).cast("decimal(38,4)").as("sum_pp"),
+        // milli-scaled square-sum: ~12 significant digits at the driver SF,
+        // generic nonzero 10⁻⁴ digit — the float64-canonicalization-safe
+        // scale-4 control (see dtype_decimal_s4nz)
+        sum(col("p") * lit(new java.math.BigDecimal("0.001"))
+          * col("p") * lit(new java.math.BigDecimal("0.001")))
+          .cast("decimal(38,4)").as("sum_mm"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -354,24 +360,42 @@ object QueriesMisc8 {
         .orderBy(col("l_returnflag"))),
 
     // Scale/agg probes (r9 verdict prescription), completing the decimal
-    // matrix the width probes started. dtype_decimal_s4 is the minimal
-    // repro of the repr red: sum(p*q)::DECIMAL(18,4) alone, whose values
-    // are PROVABLY trailing-zero-suffixed (integral l_quantity ⇒ p*q is a
-    // multiple of 0.01 ⇒ scale-4 digitstrings end "00") — if the driver's
-    // decimal canonicalization is the fault, this key reds in isolation
-    // and documents it. dtype_decimal_s4nz is the control: a genuine
-    // scale-4 product-sum (sum of p², whose 10⁻⁴ digit is generic and
-    // nonzero at the driver SF) — green here proves scale 4 per se hashes
-    // fine and only the trailing-zero value class diverges. Precision 28
-    // so the sf1 sweep (~7×10¹⁵) doesn't overflow. dtype_decimal_min
-    // isolates the min aggregate at the repr width/scale.
+    // matrix the width probes started. The round-10 driver record CLOSED
+    // the forensics: dtype_decimal_s4 AND the original s4nz control (sum_pp
+    // at 18 significant digits) both hash-red with rows+schema green and
+    // locally IDENTICAL values + arrow types on both sides (verified:
+    // byte-equal decimal128 digitstrings) — while every scale-2 key
+    // (w18/w22/w38, min, repr) is green. The one theory consistent with
+    // all eight keys: the driver canonicalizes ONE side's decimals through
+    // float64, so a decimal-typed column hashes green iff each value's
+    // digitstring equals the float64 shortest-repr of the value. Two value
+    // classes violate that and each red key isolates one:
+    //  - trailing zeros at the declared scale (dtype_decimal_s4: integral
+    //    l_quantity ⇒ p·q is a multiple of 0.01 ⇒ scale-4 strings end
+    //    "00" but float64 repr drops them, "…x.yz00" vs "…x.yz");
+    //  - more significant digits than float64 carries (the original s4nz:
+    //    sum_pp ≈ 7.4e13 at scale 4 = 18 sig digits > ~16, repr rounds).
+    // dtype_decimal_s4 is KEPT as the documented minimal repro of the
+    // driver-side fault (expected red; the decimal ARITHMETIC it exercises
+    // is proven green in dtype_decimal_exact's sum_pq_c cents column).
+    // dtype_decimal_s4nz is re-pinned as the float64-SAFE scale-4 control:
+    // the milli-scaled square-sum (~12 sig digits, generic nonzero 10⁻⁴
+    // digit) — green proves scale 4 per se hashes fine, completing the
+    // case that only the two float64-unrepresentable value classes
+    // diverge. dtype_decimal_min isolates the min aggregate at the repr
+    // width/scale. tools/check.py warns on BOTH hazard classes.
+    // Cross-engine cast note (found pinning s4nz): DuckDB's decimal
+    // downscale cast TRUNCATES (.75437→.7543) while Spark's rounds
+    // HALF_UP — any oracle that narrows a decimal scale must round
+    // explicitly first (round(x, s) agrees: both engines round decimals
+    // half away from zero).
     "dtype_decimal_s4" -> ((s, d) =>
       decimalAggBase(s, d).select(col("l_returnflag"),
           col("sum_pq").cast("decimal(18,4)").as("sum_pq"))
         .orderBy(col("l_returnflag"))),
     "dtype_decimal_s4nz" -> ((s, d) =>
       decimalAggBase(s, d).select(col("l_returnflag"),
-          col("sum_pp").cast("decimal(28,4)").as("sum_pp"))
+          col("sum_mm").cast("decimal(28,4)").as("sum_mm"))
         .orderBy(col("l_returnflag"))),
     "dtype_decimal_min" -> ((s, d) =>
       decimalAggBase(s, d).select(col("l_returnflag"),
@@ -775,7 +799,9 @@ object QueriesMisc8 {
         |  (CAST(round(l_extendedprice * 100) AS BIGINT)::DECIMAL(14,0)
         |    * 0.01)::DECIMAL(12,2) AS p
         | FROM lineitem)
-        |SELECT l_returnflag, sum(p * p)::DECIMAL(28,4) AS sum_pp
+        |SELECT l_returnflag,
+        |  round(sum((p * 0.001::DECIMAL(4,3)) * (p * 0.001::DECIMAL(4,3))),
+        |    4)::DECIMAL(28,4) AS sum_mm
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dtype_decimal_min" ->

@@ -126,23 +126,33 @@ def main():
                     print(f"   row{i} col {c}: spark={x!r} oracle={y!r}")
             fail += 1
             continue
-        # Driver-canonicalization hazard (the r6-r9 dtype_decimal_repr red):
-        # a decimal value whose digitstring carries trailing zeros at the
-        # declared scale ("…x.yz00") hashes differently once either side's
-        # fetch path normalizes it (e.g. decimal→float). The Decimal-vs-
-        # Decimal compare here is blind to that, so warn loudly instead.
+        # Driver-canonicalization hazard (the r6-r10 decimal forensics):
+        # the driver hashes one side's decimals through float64, so a
+        # decimal-typed column hashes green only when every value's
+        # digitstring equals the float64 shortest-repr of the value.
+        # Two classes violate that — trailing zeros at the declared scale
+        # ("…x.yz00" vs float repr "…x.yz"; reds dtype_decimal_s4) and
+        # values with more significant digits than float64 carries (reds
+        # the original s4nz). The Decimal-vs-Decimal compare here is blind
+        # to both, so warn loudly instead.
         import decimal
         for f in got_tbl.schema:
             if not str(f.type).startswith("decimal"):
                 continue
-            tz = sum(1 for v in got_tbl.column(f.name).to_pylist()
-                     if isinstance(v, decimal.Decimal)
-                     and v.as_tuple().exponent < 0
-                     and str(v)[-1] == "0")
-            if tz:
-                print(f"WARN {name}: decimal col {f.name} has {tz} trailing-"
-                      "zero value(s) — driver hash hazard (see QueriesMisc8 "
-                      "dtype_decimal_repr notes)")
+            bad = 0
+            for v in got_tbl.column(f.name).to_pylist():
+                if not isinstance(v, decimal.Decimal):
+                    continue
+                fr = repr(float(v))
+                if fr.endswith(".0"):
+                    fr = fr[:-2]
+                if str(v) != fr:
+                    bad += 1
+            if bad:
+                print(f"WARN {name}: decimal col {f.name} has {bad} "
+                      "value(s) whose digitstring != float64 shortest-repr "
+                      "— driver hash hazard (see QueriesMisc8 "
+                      "dtype_decimal_s4 notes)")
         print(f"OK {name} ({len(gr)} rows)")
         ok += 1
     print(f"\n{ok} ok, {fail} fail, {skip} skip")
