@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.ops.{AlignFrames, JsonNormalize}
+import graft.ml.Similarity
+import util._
+
+/** Round-11 additions from the round-9 verdict's missing list:
+  * json_normalize, align_frames, and the oracle-pinned LSH bucket cap. */
+object QueriesMisc10 {
+
+  // same fixed hyperplanes as QueriesText (sin((i+1)*p), p ∈ {7,13,29}) so
+  // the oracle can recompute them in SQL
+  private val planes: Seq[Array[Double]] = Seq(7, 13, 29).map { p =>
+    Array.tabulate(64)(i => math.sin((i + 1).toDouble * p))
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    // polars json_normalize (py-polars/src/polars/convert/normalize.py):
+    // documents metadata re-encoded as a nested JSON string (2 levels of
+    // nesting, one key present only on doc_id%3==0 rows), then flattened
+    // back by the op — schema INFERRED by the distributed reader, keys
+    // joined with ".". The oracle computes the flattened values straight
+    // from the base columns, so the whole encode→infer→parse→flatten
+    // round-trip must be value-exact, nulls included.
+    "misc_json_normalize" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 4000)
+      val payload = to_json(struct(
+        col("lang").as("lang"),
+        struct(
+          col("source").as("source"),
+          struct(
+            col("n_chars").as("n"),
+            (col("n_chars") % 10).as("bucket")).as("chars")).as("meta"),
+        when(col("doc_id") % 3 === 0, col("doc_id") * 2).as("opt")))
+      val framed = docs.select(col("doc_id"), payload.as("payload"))
+      JsonNormalize.normalize(framed, "payload", schema = None)
+        .select(col("doc_id"), col("lang"), col("`meta.source`"),
+          col("`meta.chars.n`"), col("`meta.chars.bucket`"), col("opt"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // json_normalize max_level: the SAME payload flattened with a depth
+    // budget of 2 — meta.chars stays a JSON-encoded string (polars runs
+    // the remainder through its JSON encoder). Spark's to_json and
+    // DuckDB's canonical JSON agree on compact key:value rendering of
+    // integer fields, so the string is oracle-comparable.
+    "misc_json_normalize_lvl" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 4000)
+      val payload = to_json(struct(
+        col("lang").as("lang"),
+        struct(
+          col("source").as("source"),
+          struct(
+            col("n_chars").as("n"),
+            (col("n_chars") % 10).as("bucket")).as("chars")).as("meta")))
+      val framed = docs.select(col("doc_id"), payload.as("payload"))
+      JsonNormalize.normalize(framed, "payload", schema = None, maxLevel = 2)
+        .select(col("doc_id"), col("lang"), col("`meta.source`"),
+          col("`meta.chars`"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // polars align_frames (py-polars/src/polars/functions/eager.py:819):
+    // three frames with overlapping + disjoint key ranges aligned on
+    // o_orderkey (full strategy). The aligned frames are row-aligned by
+    // construction, so the key emits them horizontally stacked — the
+    // null-injection sites prove alignment (each frame keeps nulls where
+    // it lacked the key).
+    "misc_align_frames" -> ((s, d) => {
+      val ord = t(s, d, "orders")
+      val f1 = ord.filter(col("o_orderkey") <= 3000)
+        .select(col("o_orderkey"), col("o_totalprice").as("price1"))
+      val f2 = ord.filter(col("o_orderkey").between(2000, 5000))
+        .select(col("o_orderkey"), col("o_custkey").as("cust2"))
+      val f3 = ord.filter(col("o_orderkey") >= 4500)
+        .filter(col("o_orderkey") <= 6000)
+        .select(col("o_orderkey"), col("o_orderstatus").as("status3"))
+      val aligned = AlignFrames.align(Seq(f1, f2, f3), Seq("o_orderkey"))
+      // hstack on the shared spine key: every aligned frame carries the
+      // same key set, so equi-joining them back is lossless
+      aligned.reduce((a, b) => a.join(b, Seq("o_orderkey"), "full"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // The LSH bucket cap (embeddingNearDups maxBucket), oracle-pinned per
+    // the round-9 verdict: cap = rows/8 — the exact uniform share across
+    // the 8 buckets — so over-populated buckets drop and the result
+    // provably depends on the pruning at EVERY SF (sf0.01 keeps 3 of 8
+    // buckets, sf0.1 keeps 5 of 8). The cap is the 100 TB safety valve:
+    // it bounds the per-bucket self-join quadratically before the
+    // shuffle.
+    "sim_lsh_capped" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cap = (emb.count() / 8).toInt
+      Similarity.embeddingNearDups(emb, "vec_id", "embedding",
+        planes, threshold = 0.3, maxBucket = cap)
+        .orderBy(col("id_a"), col("id_b"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "misc_json_normalize" ->
+      """SELECT doc_id, lang, source AS "meta.source",
+        | n_chars AS "meta.chars.n", n_chars % 10 AS "meta.chars.bucket",
+        | CASE WHEN doc_id % 3 = 0 THEN doc_id * 2 END AS opt
+        |FROM documents WHERE doc_id < 4000 ORDER BY doc_id""".stripMargin,
+
+    "misc_json_normalize_lvl" ->
+      // key order: Spark's distributed JSON inference sorts struct fields
+      // alphabetically, and to_json renders schema order — bucket, n
+      """SELECT doc_id, lang, source AS "meta.source",
+        | '{"bucket":' || (n_chars % 10) || ',"n":' || n_chars || '}'
+        |   AS "meta.chars"
+        |FROM documents WHERE doc_id < 4000 ORDER BY doc_id""".stripMargin,
+
+    "misc_align_frames" ->
+      """WITH f1 AS (SELECT o_orderkey, o_totalprice AS price1 FROM orders
+        |            WHERE o_orderkey <= 3000),
+        | f2 AS (SELECT o_orderkey, o_custkey AS cust2 FROM orders
+        |        WHERE o_orderkey BETWEEN 2000 AND 5000),
+        | f3 AS (SELECT o_orderkey, o_orderstatus AS status3 FROM orders
+        |        WHERE o_orderkey BETWEEN 4500 AND 6000),
+        | spine AS (SELECT o_orderkey FROM f1 UNION
+        |           SELECT o_orderkey FROM f2 UNION
+        |           SELECT o_orderkey FROM f3)
+        |SELECT s.o_orderkey, f1.price1, f2.cust2, f3.status3
+        |FROM spine s
+        |LEFT JOIN f1 USING (o_orderkey)
+        |LEFT JOIN f2 USING (o_orderkey)
+        |LEFT JOIN f3 USING (o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "sim_lsh_capped" -> {
+      def dotSql(p: Int) =
+        s"list_sum(list_transform(generate_series(1, len(e)), i -> e[i] * sin(i * $p)))"
+      val bucket = Seq(7, 13, 29).zipWithIndex.map { case (p, idx) =>
+        s"(CASE WHEN round(${dotSql(p)} * 1e6) >= 0 THEN ${1L << idx} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |b AS (SELECT vec_id, e, $bucket AS bucket FROM v),
+         |keep AS (SELECT bucket FROM b GROUP BY bucket
+         |         HAVING count(*) <= (SELECT count(*) // 8 FROM b)),
+         |p AS (SELECT vec_id, e, bucket FROM b SEMI JOIN keep USING (bucket))
+         |SELECT id_a, id_b, cosine FROM (
+         | SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         |  round(list_dot_product(a.e, c.e)
+         |    / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e)))
+         |    * 10000) / 10000 AS cosine
+         | FROM p a JOIN p c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+         |WHERE cosine >= 0.3 ORDER BY id_a, id_b""".stripMargin
+    }
+  )
+}
