@@ -512,6 +512,26 @@ final class LazyFrame(val df: DataFrame) {
   def intersect(other: LazyFrame): LazyFrame = LazyFrame(df.intersect(other.df))
   def except(other: LazyFrame): LazyFrame = LazyFrame(df.except(other.df))
 
+  /** polars `concat_arr` (py-polars functions/as_datatype.py:555):
+    * horizontally concatenate columns into one fixed-width array column —
+    * scalar columns reshape to unit-width arrays, array columns pass
+    * through, and a null ARRAY input nulls the whole output row (Spark
+    * `concat` propagates null the same way). `width` is the polars
+    * Array-dtype width contract, enforced at runtime by
+    * [[graft.functions.fixedSizeArray]] since Spark has no fixed-size
+    * array type (SURVEY §1.2). Input types resolve against this frame's
+    * schema (plan-only analysis — no job runs). */
+  def concatArr(out: String, cols: Seq[Column], width: Int): LazyFrame = {
+    import org.apache.spark.sql.types.ArrayType
+    val types = df.select(cols: _*).schema.fields.map(_.dataType)
+    val parts = cols.zip(types).map {
+      case (c, _: ArrayType) => c
+      case (c, _)            => array(c)
+    }
+    LazyFrame(df.withColumn(out,
+      graft.functions.fixedSizeArray(concat(parts: _*), width)))
+  }
+
   // ---- nulls / nans -------------------------------------------------------
 
   def fillNull(value: Any, subset: Seq[String] = Nil): LazyFrame =
@@ -889,4 +909,18 @@ object LazyFrame {
 
   def scanLines(spark: SparkSession, path: String): LazyFrame =
     LazyFrame(spark.read.text(path))
+
+  /** polars `collect_all` (py-polars functions/lazy.py): materialize N
+    * frames in one go. Spark's analogue of the reference's common-subplan
+    * elimination is explicit: callers that share a subplan should route it
+    * through [[LazyFrame.sinkMultiple]] (persist) or `sinkMultipleStaged`;
+    * this entry point just runs the independent collects. */
+  def collectAll(frames: Seq[LazyFrame]): Seq[Array[org.apache.spark.sql.Row]] =
+    frames.map(_.df.collect())
+
+  /** polars `explain_all`: one formatted plan dump per frame, for the same
+    * diagnostic loop as `LazyFrame.explain`. */
+  def explainAll(frames: Seq[LazyFrame]): Seq[String] =
+    frames.map(f => f.df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
 }

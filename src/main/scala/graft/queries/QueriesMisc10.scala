@@ -98,6 +98,54 @@ object QueriesMisc10 {
       Similarity.embeddingNearDups(emb, "vec_id", "embedding",
         planes, threshold = 0.3, maxBucket = cap)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // polars read_parquet_metadata's row-group surface
+    // (sources/ParquetMeta.rowGroups — footer-only fan-out, one task per
+    // file). Row-group layout is writer-specific, so the oracle checks
+    // INVARIANTS that hold for any layout of the same table: group row
+    // counts sum to the table's cardinality, every group carries the full
+    // 11-leaf lineitem column set, and at least one group exists.
+    "io_parquet_rowgroups" -> ((s, d) =>
+      graft.sources.ParquetMeta.rowGroups(s, s"$d/lineitem.parquet")
+        .agg(sum(col("num_rows")).as("total_rows"),
+          min(col("num_columns")).as("min_cols"),
+          max(col("num_columns")).as("max_cols"),
+          (count(lit(1)) >= 1).as("has_groups"))),
+
+    // polars read_parquet_schema (ParquetMeta.schemaOf): the leaf-column
+    // physical schema is a property of the TABLE, not the writer — the
+    // oracle pins the full name → parquet physical type map verbatim.
+    "io_parquet_schema" -> ((s, d) =>
+      graft.sources.ParquetMeta.schemaOf(s, s"$d/lineitem.parquet")
+        .select(col("name"), col("physical_type"))
+        .distinct()
+        .orderBy(col("name"))),
+
+    // polars concat_arr (functions/as_datatype.py:555 —
+    // LazyFrame.concatArr): an embedding slice + two reshaped scalars
+    // into one width-4 array; a null array input nulls the whole row
+    // (vec_id % 7 == 0 fixture rows). The array is emitted as its scalar
+    // projections (width + every element) because NO key may dump a raw
+    // list column: arrow list child names differ across engines
+    // ("element" vs "l"), a driver hash-surface skew of the same class as
+    // the decimal float64 story. float→double casts are exact — bit-exact
+    // compare, no rounding.
+    "arr_concat" -> ((s, d) => {
+      val ed = transform(col("embedding"), x => x.cast("double"))
+      val head2 = when(col("vec_id") % 7 === 0, lit(null))
+        .otherwise(slice(ed, 1, 2))
+      graft.dsl.LazyFrame(
+        t(s, d, "embeddings")
+          .select(col("vec_id"), col("label"), head2.as("head2")))
+        .concatArr("arr", Seq(col("head2"),
+          col("label").cast("double"), col("vec_id").cast("double")), 4)
+        .df.select(col("vec_id"), size(col("arr")).as("arr_w"),
+          element_at(col("arr"), 1).as("e1"),
+          element_at(col("arr"), 2).as("e2"),
+          element_at(col("arr"), 3).as("e3"),
+          element_at(col("arr"), 4).as("e4"))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -133,6 +181,39 @@ object QueriesMisc10 {
         |LEFT JOIN f2 USING (o_orderkey)
         |LEFT JOIN f3 USING (o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "io_parquet_rowgroups" ->
+      """SELECT count(*) AS total_rows, 11::BIGINT AS min_cols,
+        | 11::BIGINT AS max_cols, TRUE AS has_groups
+        |FROM lineitem""".stripMargin,
+
+    // the leaf schema is static for the lineitem table at every SF (the
+    // sf1 replica preserves it), so the oracle pins it as literals — a
+    // path-literal parquet_schema() call would not survive the driver's
+    // table-view harness
+    "io_parquet_schema" ->
+      """SELECT * FROM (VALUES
+        | ('l_discount', 'DOUBLE'), ('l_extendedprice', 'DOUBLE'),
+        | ('l_linenumber', 'INT32'), ('l_linestatus', 'BYTE_ARRAY'),
+        | ('l_orderkey', 'INT64'), ('l_partkey', 'INT64'),
+        | ('l_quantity', 'DOUBLE'), ('l_returnflag', 'BYTE_ARRAY'),
+        | ('l_shipdate', 'INT64'), ('l_suppkey', 'INT64'),
+        | ('l_tax', 'DOUBLE')) t(name, physical_type)
+        |ORDER BY name""".stripMargin,
+
+    "arr_concat" ->
+      """SELECT vec_id,
+        | len(arr)::INT AS arr_w, arr[1] AS e1, arr[2] AS e2,
+        | arr[3] AS e3, arr[4] AS e4
+        |FROM (SELECT vec_id,
+        |  -- the CASE wraps the whole concat: DuckDB's || treats a NULL
+        |  -- list as empty, where Spark concat (and polars concat_arr)
+        |  -- null the row
+        |  CASE WHEN vec_id % 7 = 0 THEN NULL
+        |       ELSE embedding[1:2]::DOUBLE[]
+        |         || [label::DOUBLE, vec_id::DOUBLE] END AS arr
+        |  FROM embeddings)
+        |ORDER BY vec_id""".stripMargin,
 
     "sim_lsh_capped" -> {
       def dotSql(p: Int) =
