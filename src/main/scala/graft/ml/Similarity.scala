@@ -130,16 +130,31 @@ object Similarity {
     * (≤2^planes rows) broadcast as a semi-filter BEFORE the shuffle, so a
     * degenerate bucket's rows never ship through the exchange — and unlike
     * a count-over-bucket window above the shuffle, nothing re-runs once
-    * per join side (the r9 review caught exactly that duplication). */
+    * per join side (the r9 review caught exactly that duplication).
+    *
+    * `maxBucketFraction` > 0 is the relative form: drop buckets holding
+    * more than that fraction of all rows (floor semantics — count ≤
+    * ⌊total·f⌋). The total is a one-row aggregate computed IN-PLAN and
+    * broadcast-crossed into the bucket counts, so query construction
+    * stays plan-only: no eager count() job, and cap and data cannot
+    * drift apart between two passes over a live table. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         planes: Seq[Array[Double]], threshold: Double,
-                        maxBucket: Int = 0): DataFrame = {
+                        maxBucket: Int = 0,
+                        maxBucketFraction: Double = 0.0): DataFrame = {
     val b0 = df
       .select(col(idCol), col(vecCol), lshBucket(col(vecCol), planes).as("__bucket"))
     val pruned =
-      if (maxBucket > 0) {
-        val keep = b0.groupBy(col("__bucket")).count()
-          .filter(col("count") <= maxBucket).select(col("__bucket"))
+      if (maxBucket > 0 || maxBucketFraction > 0) {
+        val counts = b0.groupBy(col("__bucket")).count()
+        val keep =
+          if (maxBucketFraction > 0)
+            counts.crossJoin(broadcast(
+                b0.select(count(lit(1)).as("__total"))))
+              .filter(col("count") <=
+                floor(col("__total") * lit(maxBucketFraction)))
+              .select(col("__bucket"))
+          else counts.filter(col("count") <= maxBucket).select(col("__bucket"))
         b0.join(broadcast(keep), Seq("__bucket"), "left_semi")
       } else b0
     val part = pruned.repartition(col("__bucket"))

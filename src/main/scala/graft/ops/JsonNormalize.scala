@@ -26,8 +26,17 @@ object JsonNormalize {
     val spark = df.sparkSession
     import spark.implicits._
     val st = schema.getOrElse {
-      // distributed inference: exactly spark.read.json's code path
-      spark.read.json(df.select(col(jsonCol)).as[String]).schema
+      // distributed inference: exactly spark.read.json's code path.
+      // Null payloads must not reach the parser (it NPEs on null
+      // elements, where from_json(null) below is just a null struct),
+      // and an unparseable row would otherwise leak a _corrupt_record
+      // column into the flattened output — surface that loudly instead.
+      val inferred = spark.read
+        .json(df.select(col(jsonCol)).filter(col(jsonCol).isNotNull).as[String])
+        .schema
+      require(!inferred.fieldNames.contains("_corrupt_record"),
+        s"json_normalize: column $jsonCol contains unparseable JSON")
+      inferred
     }
     val parsed = from_json(col(jsonCol), st)
     val flat = flatten(parsed, st, prefix = "", separator, maxLevel)

@@ -85,20 +85,18 @@ object QueriesMisc10 {
         .orderBy(col("o_orderkey"))
     }),
 
-    // The LSH bucket cap (embeddingNearDups maxBucket), oracle-pinned per
-    // the round-9 verdict: cap = rows/8 — the exact uniform share across
-    // the 8 buckets — so over-populated buckets drop and the result
-    // provably depends on the pruning at EVERY SF (sf0.01 keeps 3 of 8
-    // buckets, sf0.1 keeps 5 of 8). The cap is the 100 TB safety valve:
-    // it bounds the per-bucket self-join quadratically before the
-    // shuffle.
-    "sim_lsh_capped" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      val cap = (emb.count() / 8).toInt
-      Similarity.embeddingNearDups(emb, "vec_id", "embedding",
-        planes, threshold = 0.3, maxBucket = cap)
-        .orderBy(col("id_a"), col("id_b"))
-    }),
+    // The LSH bucket cap (embeddingNearDups maxBucketFraction),
+    // oracle-pinned per the round-9 verdict: cap = ⌊rows/8⌋ — the exact
+    // uniform share across the 8 buckets — so over-populated buckets drop
+    // and the result provably depends on the pruning at EVERY SF (sf0.01
+    // keeps 3 of 8 buckets, sf0.1 keeps 5 of 8). The cap is the 100 TB
+    // safety valve: it bounds the per-bucket self-join quadratically
+    // before the shuffle. The fraction form keeps construction plan-only
+    // (the total is an in-plan one-row aggregate, not an eager count()).
+    "sim_lsh_capped" -> ((s, d) =>
+      Similarity.embeddingNearDups(t(s, d, "embeddings"), "vec_id",
+        "embedding", planes, threshold = 0.3, maxBucketFraction = 1.0 / 8)
+        .orderBy(col("id_a"), col("id_b"))),
 
     // polars read_parquet_metadata's row-group surface
     // (sources/ParquetMeta.rowGroups — footer-only fan-out, one task per

@@ -50,7 +50,9 @@ object QueriesMisc8 {
         sum(col("p")).cast("decimal(38,2)").as("sum_p"),
         sum(col("p") * col("q")).cast("decimal(38,4)").as("sum_pq"),
         min(col("p")).cast("decimal(38,2)").as("min_p"),
-        sum(col("p") * col("p")).cast("decimal(38,4)").as("sum_pp"),
+        // (the raw square-sum sum_pp — the original 18-sig-digit s4nz
+        // carrier — is retired: its hash-red role is documented in the
+        // probe comments below and no key selects it anymore)
         // milli-scaled square-sum: ~12 significant digits at the driver SF,
         // generic nonzero 10⁻⁴ digit — the float64-canonicalization-safe
         // scale-4 control (see dtype_decimal_s4nz)

@@ -21,24 +21,41 @@ import org.apache.spark.sql.types._
   */
 object ParquetMeta {
 
+  /** Recursive: hive-partitioned datasets nest their part files under
+    * key=value directories, and a non-recursive listing would silently
+    * return an empty metadata frame where `spark.read.parquet` works. */
   private def listFiles(spark: SparkSession, path: String): Seq[String] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(st: org.apache.hadoop.fs.FileStatus): Seq[String] =
+      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(walk)
+      else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath.toString)
+      else Nil
     val st = fs.getFileStatus(p)
-    if (st.isDirectory)
-      fs.listStatus(p).toSeq.map(_.getPath)
-        .filter(f => f.getName.endsWith(".parquet"))
-        .map(_.toString).sorted
-    else Seq(path)
+    val files = if (st.isDirectory) walk(st).sorted else Seq(path)
+    require(files.nonEmpty, s"ParquetMeta: no .parquet files under $path")
+    files
   }
 
   private def fanOut(spark: SparkSession, files: Seq[String],
                      schema: StructType)(
       rowsOf: (String, ParquetFileReader) => Iterator[Row]): DataFrame = {
+    // ship the session's Hadoop conf to the tasks: a fresh Configuration()
+    // would drop spark.hadoop.* settings (s3a credentials/endpoints,
+    // fs.defaultFS, kerberos), so remote filesystems would list on the
+    // driver and then fail in the executors. Configuration itself is not
+    // Serializable — carry its entries as a plain map.
+    val confEntries: Array[(String, String)] = {
+      import scala.jdk.CollectionConverters._
+      spark.sparkContext.hadoopConfiguration.iterator().asScala
+        .map(e => e.getKey -> e.getValue).toArray
+    }
     val rdd = spark.sparkContext
       .parallelize(files, math.max(1, files.size))
       .flatMap { f =>
-        val in = HadoopInputFile.fromPath(new Path(f), new Configuration())
+        val conf = new Configuration()
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        val in = HadoopInputFile.fromPath(new Path(f), conf)
         val reader = ParquetFileReader.open(in)
         try rowsOf(f, reader).toVector finally reader.close()
       }
@@ -60,10 +77,12 @@ object ParquetMeta {
     fanOut(spark, listFiles(spark, path), schema) { (file, reader) =>
       reader.getFileMetaData.getKeyValueMetaData.asScala.iterator.map {
         case (k, v) =>
-          val md5 = if (v == null) null
+          // length and md5 must describe the SAME payload: UTF-8 bytes
+          val bytes = if (v == null) null else v.getBytes("UTF-8")
+          val md5 = if (bytes == null) null
             else java.security.MessageDigest.getInstance("MD5")
-              .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
-          Row(file, k, v, if (v == null) 0L else v.length.toLong, md5)
+              .digest(bytes).map("%02x".format(_)).mkString
+          Row(file, k, v, if (bytes == null) 0L else bytes.length.toLong, md5)
       }
     }
   }

@@ -43,9 +43,16 @@ object FromRepr {
     // unevenly — see the reference's UTF8_FULL example), then the dtype
     // fragments; fragments join with no separator, matching the unwrap
     val perCol = headRows.head.indices.map(j => headRows.map(_(j)))
-    require(perCol.forall(_.contains("---")), "from_repr: missing --- divider")
-    val names = perCol.map(c => c.take(c.indexOf("---")).mkString)
-    val dtypeRow = perCol.map(c => c.drop(c.indexOf("---") + 1).mkString)
+    val names = perCol.map { c =>
+      if (c.contains("---")) c.take(c.indexOf("---")).mkString else c.mkString
+    }
+    // a width-truncated repr renders the ellipsis column with `…` as its
+    // name and EMPTY divider/dtype cells — only real columns need `---`
+    require(perCol.indices.forall(j =>
+        names(j) == "…" || perCol(j).contains("---")),
+      "from_repr: missing --- divider")
+    val dtypeRow = perCol.map(c =>
+      if (c.contains("---")) c.drop(c.indexOf("---") + 1).mkString else "")
     // truncation column: a `…` header admits no data — drop that position
     val keep = names.indices.filter(i => names(i) != "…")
     val fields = keep.map { i =>
@@ -72,7 +79,9 @@ object FromRepr {
         case _            => v
       }
     val parsed = dataRows.map { r =>
-      Row.fromSeq(keep.map(i => cast(r(i), schema(keep.indexOf(i)).dataType)))
+      Row.fromSeq(keep.zipWithIndex.map { case (i, k) =>
+        cast(r(i), fields(k).dataType)
+      })
     }
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters

@@ -74,6 +74,20 @@ class ParquetMetaSpec extends SparkSpec {
     assert(df.count() == 2)
   }
 
+  test("from_repr: width-truncated repr drops the … column (empty divider cells)") {
+    val df = FromRepr.parse(spark,
+      """┌─────┬─────┬─────┐
+        |│ a   ┆ …   ┆ z   │
+        |│ --- ┆     ┆ --- │
+        |│ i64 ┆     ┆ i64 │
+        |╞═════╪═════╪═════╡
+        |│ 1   ┆ …   ┆ 5   │
+        |│ 2   ┆ …   ┆ 6   │
+        |└─────┴─────┴─────┘""".stripMargin)
+    assert(df.columns.toSeq == Seq("a", "z"))
+    assert(df.orderBy("a").collect().map(_.getLong(1)).toSeq == Seq(5L, 6L))
+  }
+
   test("concatArr: scalars reshape, arrays pass through, width enforced") {
     val df = Seq((1, Seq(1.0, 2.0), 9.0), (2, Seq(3.0, 4.0), 8.0))
       .toDF("id", "xs", "s")
