@@ -1,0 +1,52 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Symmetric per-vector int8 embedding quantization — the standard
+  * memory/IO lever for ANN at corpus scale (4× smaller vectors than f32,
+  * 8× than f64; cosine between quantized vectors needs no dequantization
+  * because the per-vector scales cancel). Beyond the reference's operator
+  * set, in the same spirit as the IVF/LSH scale paths: at 100 TB the
+  * embedding column dominates the table, and int8 cuts every shuffle,
+  * cache, and scan of it by 4× while keeping cosine within ~1e-2.
+  *
+  * All pure codegen HOFs (`aggregate`/`transform`/`zip_with`) — no UDFs,
+  * one projection, no shuffle.
+  */
+object Quantize {
+
+  /** max|x| / 127 — the symmetric scale; 0-vectors quantize to all-zero
+    * (scale null guards the division). */
+  def int8Scale(vec: Column): Column = {
+    val maxAbs = aggregate(vec, lit(0.0d), (a, x) => greatest(a, abs(x)))
+    when(maxAbs === 0d, lit(null)).otherwise(maxAbs / 127.0d)
+  }
+
+  /** Quantize to int8 under `scale`: round(x/scale), clamped by
+    * construction (|x| ≤ 127·scale). Both engines round doubles half away
+    * from zero, so the oracle reproduces the exact codes. */
+  def quantizeInt8(vec: Column, scale: Column): Column =
+    when(scale.isNull, transform(vec, _ => lit(0).cast("tinyint")))
+      .otherwise(transform(vec, x => round(x / scale).cast("tinyint")))
+
+  /** Integer dot product of two int8 code vectors (exact in long). */
+  def int8Dot(qa: Column, qb: Column): Column =
+    aggregate(zip_with(qa, qb, (a, b) => a.cast("long") * b.cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Cosine between quantized vectors — the scales cancel, so this is
+    * integer arithmetic plus one division. */
+  def int8Cosine(qa: Column, qb: Column): Column =
+    int8Dot(qa, qb).cast("double") /
+      (sqrt(int8Dot(qa, qa).cast("double")) * sqrt(int8Dot(qb, qb).cast("double")))
+
+  /** Frame-level helper: adds scale + code columns for `vecCol` (cast the
+    * input to double upstream if it is float). */
+  def withInt8(df: DataFrame, vecCol: String,
+               qCol: String = "q8", scaleCol: String = "q8_scale"): DataFrame = {
+    val v = col(vecCol)
+    df.withColumn(scaleCol, int8Scale(v))
+      .withColumn(qCol, quantizeInt8(v, col(scaleCol)))
+  }
+}

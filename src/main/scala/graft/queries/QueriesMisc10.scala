@@ -98,6 +98,32 @@ object QueriesMisc10 {
         "embedding", planes, threshold = 0.3, maxBucketFraction = 1.0 / 8)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Beyond-reference training-data op: symmetric per-vector int8
+    // embedding quantization (ml/Quantize — pure codegen HOFs, no
+    // shuffle). The key pins the FULL arithmetic cross-engine: the scale,
+    // the first code, the exact integer self-dot of the codes, the
+    // int8-cosine against the corpus vector 0, and an invariant boolean
+    // that quantized cosine stays within 0.03 of the exact f64 cosine
+    // (the practical int8 ANN error envelope at dim=64). Both engines
+    // round doubles half away from zero, so codes match exactly.
+    "sim_int8_quantize" -> ((s, d) => {
+      val ed = transform(col("embedding"), x => x.cast("double"))
+      val base = t(s, d, "embeddings").select(col("vec_id"), ed.as("e"))
+      val q = graft.ml.Quantize.withInt8(base, "e")
+      val q0 = q.filter(col("vec_id") === 0)
+        .select(col("q8").as("qref"), col("e").as("eref"))
+      val exact = graft.functions.cosineSimilarity(col("e"), col("eref"))
+      val approx = graft.ml.Quantize.int8Cosine(col("q8"), col("qref"))
+      q.filter(col("vec_id") > 0).crossJoin(broadcast(q0))
+        .select(col("vec_id"),
+          (round(col("q8_scale") * 1e8) / 1e8).as("scale8"),
+          element_at(col("q8"), 1).cast("int").as("code1"),
+          graft.ml.Quantize.int8Dot(col("q8"), col("q8")).as("qnorm"),
+          (round(approx * 10000) / 10000).as("cos_q"),
+          (abs(approx - exact) <= 0.03).as("cos_close"))
+        .orderBy(col("vec_id"))
+    }),
+
     // polars read_parquet_metadata's row-group surface
     // (sources/ParquetMeta.rowGroups — footer-only fan-out, one task per
     // file). Row-group layout is writer-specific, so the oracle checks
@@ -179,6 +205,28 @@ object QueriesMisc10 {
         |LEFT JOIN f2 USING (o_orderkey)
         |LEFT JOIN f3 USING (o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "sim_int8_quantize" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |q AS (SELECT vec_id, e,
+        |  list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM v),
+        |c AS (SELECT vec_id, e, scale,
+        |  list_transform(e, x -> round(x / scale)) AS q8 FROM q),
+        |r AS (SELECT q8 AS qref, e AS eref FROM c WHERE vec_id = 0)
+        |SELECT c.vec_id,
+        | round(scale * 1e8) / 1e8 AS scale8,
+        | q8[1]::INT AS code1,
+        | list_dot_product(q8, q8)::BIGINT AS qnorm,
+        | round(list_dot_product(q8, qref)
+        |   / (sqrt(list_dot_product(q8, q8)) * sqrt(list_dot_product(qref, qref)))
+        |   * 10000) / 10000 AS cos_q,
+        | abs(list_dot_product(q8, qref)
+        |   / (sqrt(list_dot_product(q8, q8)) * sqrt(list_dot_product(qref, qref)))
+        |  - list_dot_product(e, eref)
+        |   / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(eref, eref))))
+        |  <= 0.03 AS cos_close
+        |FROM c CROSS JOIN r WHERE c.vec_id > 0
+        |ORDER BY c.vec_id""".stripMargin,
 
     "io_parquet_rowgroups" ->
       """SELECT count(*) AS total_rows, 11::BIGINT AS min_cols,
