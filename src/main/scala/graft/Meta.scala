@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's session/meta utilities (`show_versions`, `build_info`,
+  * `set_random_seed` — py-polars `functions/random.py` and the meta
+  * module), mapped to their Spark-session analogues. */
+object Meta {
+
+  /** polars build_info: the component versions a bug report needs. */
+  def buildInfo(spark: SparkSession): Map[String, String] = Map(
+    "graft" -> "0.11",
+    "spark" -> spark.version,
+    "scala" -> scala.util.Properties.versionNumberString,
+    "java" -> System.getProperty("java.version"))
+
+  /** polars show_versions, as a frame (sorted for determinism). */
+  def showVersions(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    buildInfo(spark).toSeq.sorted.toDF("component", "version")
+  }
+
+  /** polars set_random_seed: the reference seeds its global RNG; graft's
+    * sampling surface is deliberately stateless (content-hash thresholds,
+    * `ops/Sampling`), so the session seed is a conf that seeded operations
+    * fold into their hash input via [[saltedId]] — same determinism
+    * contract (one seed, reproducible draws), no RNG state to ship to
+    * executors. */
+  def setRandomSeed(spark: SparkSession, seed: Long): Unit =
+    spark.conf.set("graft.random.seed", seed.toString)
+
+  def randomSeed(spark: SparkSession): Option[Long] =
+    spark.conf.getOption("graft.random.seed").map(_.toLong)
+
+  /** The id column for hash-sampling under the session seed: different
+    * seeds draw different (still deterministic) samples. */
+  def saltedId(spark: SparkSession, id: Column): Column =
+    randomSeed(spark) match {
+      case Some(s) => concat(id.cast("string"), lit(":"), lit(s.toString))
+      case None    => id
+    }
+}

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Sampling
+
+/** Session/meta utilities (show_versions, build_info, set_random_seed). */
+class MetaSpec extends SparkSpec {
+
+  test("buildInfo and showVersions report the running components") {
+    val info = Meta.buildInfo(spark)
+    assert(info("spark") == spark.version)
+    assert(info("scala").startsWith("2.13"))
+    val df = Meta.showVersions(spark)
+    assert(df.columns.toSeq == Seq("component", "version"))
+    assert(df.count() == info.size)
+  }
+
+  test("set_random_seed re-draws the hash sample deterministically") {
+    val df = util_t("part").select(col("p_partkey"))
+    def sample(): Set[Long] = {
+      val id = Meta.saltedId(spark, col("p_partkey"))
+      df.filter(Sampling.hashUniform(id) < 0.2)
+        .collect().map(_.getLong(0)).toSet
+    }
+    Meta.setRandomSeed(spark, 42L)
+    val a = sample(); val a2 = sample()
+    assert(a == a2) // same seed → identical draw
+    Meta.setRandomSeed(spark, 43L)
+    val b = sample()
+    assert(a != b) // new seed → different draw
+    assert(Meta.randomSeed(spark).contains(43L))
+  }
+
+  private def util_t(name: String) =
+    graft.queries.util.t(spark, "/root/testdata/sf0.001", name)
+}
