@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
   * module), mapped to their Spark-session analogues. */
 object Meta {
 
-  /** polars build_info: the component versions a bug report needs. */
+  /** polars build_info: the component versions a bug report needs.
+    * (Keep "graft" in sync with ThisBuild/version in build.sbt.) */
   def buildInfo(spark: SparkSession): Map[String, String] = Map(
-    "graft" -> "0.11",
+    "graft" -> "0.1.0",
     "spark" -> spark.version,
     "scala" -> scala.util.Properties.versionNumberString,
     "java" -> System.getProperty("java.version"))
@@ -24,9 +25,9 @@ object Meta {
   /** polars set_random_seed: the reference seeds its global RNG; graft's
     * sampling surface is deliberately stateless (content-hash thresholds,
     * `ops/Sampling`), so the session seed is a conf that seeded operations
-    * fold into their hash input via [[saltedId]] — same determinism
-    * contract (one seed, reproducible draws), no RNG state to ship to
-    * executors. */
+    * fold into their hash input via [[saltedId]] —
+    * `Sampling.sampleStratified` consults it — same determinism contract
+    * (one seed, reproducible draws), no RNG state to ship to executors. */
   def setRandomSeed(spark: SparkSession, seed: Long): Unit =
     spark.conf.set("graft.random.seed", seed.toString)
 

@@ -23,12 +23,17 @@ object Quantize {
     when(maxAbs === 0d, lit(null)).otherwise(maxAbs / 127.0d)
   }
 
-  /** Quantize to int8 under `scale`: round(x/scale), clamped by
-    * construction (|x| ≤ 127·scale). Both engines round doubles half away
-    * from zero, so the oracle reproduces the exact codes. */
+  /** Quantize to int8 under `scale`: round(x/scale), clamped to
+    * [-127, 127] — per-vector scales satisfy the bound by construction,
+    * but a shared/global scale can put |x/scale| past 127, where an
+    * unclamped double→tinyint cast would silently WRAP modulo 256
+    * (300 → 44) instead of saturating. Both engines round doubles half
+    * away from zero, so the oracle reproduces the exact codes. */
   def quantizeInt8(vec: Column, scale: Column): Column =
     when(scale.isNull, transform(vec, _ => lit(0).cast("tinyint")))
-      .otherwise(transform(vec, x => round(x / scale).cast("tinyint")))
+      .otherwise(transform(vec, x =>
+        greatest(lit(-127d), least(lit(127d), round(x / scale)))
+          .cast("tinyint")))
 
   /** Integer dot product of two int8 code vectors (exact in long). */
   def int8Dot(qa: Column, qb: Column): Column =

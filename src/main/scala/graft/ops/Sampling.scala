@@ -40,8 +40,13 @@ object Sampling {
       // bit-identical across engines (the oracle replays it in SQL)
       .withColumn("__cut", ceil(col("__n") * frac).cast("double") / col("__n"))
       .drop("__n")
+    // the session seed (graft.Meta.setRandomSeed, polars set_random_seed)
+    // folds into the hash input: a new seed draws a different — still
+    // fully deterministic — sample, with no seed set the id hashes bare
+    // (the oracle keys run seedless and replay the bare form in SQL)
+    val id = graft.Meta.saltedId(df.sparkSession, col(idCol))
     df.join(broadcast(cuts), strata)
-      .filter(hashUniform(col(idCol)) < col("__cut"))
+      .filter(hashUniform(id) < col("__cut"))
       .drop("__cut")
   }
 }

@@ -6,8 +6,12 @@ import graft.ops.{AlignFrames, JsonNormalize}
 import graft.ml.Similarity
 import util._
 
-/** Round-11 additions from the round-9 verdict's missing list:
-  * json_normalize, align_frames, and the oracle-pinned LSH bucket cap. */
+/** Round-11 additions. Batch 1 (the round-9 verdict's missing list):
+  * json_normalize, align_frames, the oracle-pinned LSH bucket cap.
+  * Batch 2 (fresh py-polars `__all__` sweep): concat_arr (`arr_concat`),
+  * the parquet metadata readers (`io_parquet_rowgroups/schema`).
+  * Batch 3 (beyond reference): int8 embedding quantization
+  * (`sim_int8_quantize`). */
 object QueriesMisc10 {
 
   // same fixed hyperplanes as QueriesText (sin((i+1)*p), p ∈ {7,13,29}) so
@@ -107,18 +111,27 @@ object QueriesMisc10 {
     // (the practical int8 ANN error envelope at dim=64). Both engines
     // round doubles half away from zero, so codes match exactly.
     "sim_int8_quantize" -> ((s, d) => {
+      import graft.ml.Quantize
       val ed = transform(col("embedding"), x => x.cast("double"))
       val base = t(s, d, "embeddings").select(col("vec_id"), ed.as("e"))
-      val q = graft.ml.Quantize.withInt8(base, "e")
-      val q0 = q.filter(col("vec_id") === 0)
-        .select(col("q8").as("qref"), col("e").as("eref"))
-      val exact = graft.functions.cosineSimilarity(col("e"), col("eref"))
-      val approx = graft.ml.Quantize.int8Cosine(col("q8"), col("qref"))
+      val q = Quantize.withInt8(base, "e")
+      // the reference vector's norms are constants: precompute them on the
+      // one-row broadcast side instead of re-aggregating per corpus row
+      val q0 = q.filter(col("vec_id") === 0).select(
+        col("q8").as("qref"),
+        sqrt(Quantize.int8Dot(col("q8"), col("q8")).cast("double")).as("qrefn"),
+        col("e").as("eref"),
+        graft.functions.l2Norm(col("e")).as("erefn"))
+      val approx = Quantize.int8Dot(col("q8"), col("qref")).cast("double") /
+        (sqrt(col("qnorm").cast("double")) * col("qrefn"))
+      val exact = graft.functions.dotProduct(col("e"), col("eref")) /
+        (graft.functions.l2Norm(col("e")) * col("erefn"))
       q.filter(col("vec_id") > 0).crossJoin(broadcast(q0))
+        .withColumn("qnorm", Quantize.int8Dot(col("q8"), col("q8")))
         .select(col("vec_id"),
           (round(col("q8_scale") * 1e8) / 1e8).as("scale8"),
           element_at(col("q8"), 1).cast("int").as("code1"),
-          graft.ml.Quantize.int8Dot(col("q8"), col("q8")).as("qnorm"),
+          col("qnorm"),
           (round(approx * 10000) / 10000).as("cos_q"),
           (abs(approx - exact) <= 0.03).as("cos_close"))
         .orderBy(col("vec_id"))
@@ -207,24 +220,29 @@ object QueriesMisc10 {
         |ORDER BY o_orderkey""".stripMargin,
 
     "sim_int8_quantize" ->
+      // NULLIF zero-vector guard mirrors int8Scale's null-scale path
+      // (codes all-zero, scale8 null); reference norms precompute in `r`
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |q AS (SELECT vec_id, e,
-        |  list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM v),
+        |  NULLIF(list_max(list_transform(e, x -> abs(x))), 0) / 127.0
+        |    AS scale FROM v),
         |c AS (SELECT vec_id, e, scale,
-        |  list_transform(e, x -> round(x / scale)) AS q8 FROM q),
-        |r AS (SELECT q8 AS qref, e AS eref FROM c WHERE vec_id = 0)
+        |  CASE WHEN scale IS NULL THEN list_transform(e, x -> 0.0)
+        |       ELSE list_transform(e, x -> round(x / scale)) END AS q8
+        |  FROM q),
+        |r AS (SELECT q8 AS qref, sqrt(list_dot_product(q8, q8)) AS qrefn,
+        |  e AS eref, sqrt(list_dot_product(e, e)) AS erefn
+        |  FROM c WHERE vec_id = 0)
         |SELECT c.vec_id,
         | round(scale * 1e8) / 1e8 AS scale8,
         | q8[1]::INT AS code1,
         | list_dot_product(q8, q8)::BIGINT AS qnorm,
         | round(list_dot_product(q8, qref)
-        |   / (sqrt(list_dot_product(q8, q8)) * sqrt(list_dot_product(qref, qref)))
-        |   * 10000) / 10000 AS cos_q,
+        |   / (sqrt(list_dot_product(q8, q8)) * qrefn) * 10000) / 10000 AS cos_q,
         | abs(list_dot_product(q8, qref)
-        |   / (sqrt(list_dot_product(q8, q8)) * sqrt(list_dot_product(qref, qref)))
+        |   / (sqrt(list_dot_product(q8, q8)) * qrefn)
         |  - list_dot_product(e, eref)
-        |   / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(eref, eref))))
-        |  <= 0.03 AS cos_close
+        |   / (sqrt(list_dot_product(e, e)) * erefn)) <= 0.03 AS cos_close
         |FROM c CROSS JOIN r WHERE c.vec_id > 0
         |ORDER BY c.vec_id""".stripMargin,
 

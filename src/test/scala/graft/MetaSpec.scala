@@ -15,20 +15,25 @@ class MetaSpec extends SparkSpec {
     assert(df.count() == info.size)
   }
 
-  test("set_random_seed re-draws the hash sample deterministically") {
-    val df = util_t("part").select(col("p_partkey"))
-    def sample(): Set[Long] = {
-      val id = Meta.saltedId(spark, col("p_partkey"))
-      df.filter(Sampling.hashUniform(id) < 0.2)
-        .collect().map(_.getLong(0)).toSet
-    }
-    Meta.setRandomSeed(spark, 42L)
-    val a = sample(); val a2 = sample()
-    assert(a == a2) // same seed → identical draw
-    Meta.setRandomSeed(spark, 43L)
-    val b = sample()
-    assert(a != b) // new seed → different draw
-    assert(Meta.randomSeed(spark).contains(43L))
+  test("set_random_seed re-draws the stratified sample deterministically") {
+    // the conf is session-global and the test session is shared JVM-wide:
+    // restore the unseeded state however the test exits
+    try {
+      val df = util_t("part").select(col("p_partkey"), col("p_brand"))
+      def sample(): Set[Long] =
+        Sampling.sampleStratified(df, Seq("p_brand"), "p_partkey", 0.2)
+          .select(col("p_partkey"))
+          .collect().map(_.getLong(0)).toSet
+      val bare = sample()
+      Meta.setRandomSeed(spark, 42L)
+      val a = sample(); val a2 = sample()
+      assert(a == a2) // same seed → identical draw
+      assert(a != bare) // seeded draw differs from the bare-id draw
+      Meta.setRandomSeed(spark, 43L)
+      val b = sample()
+      assert(a != b) // new seed → different draw
+      assert(Meta.randomSeed(spark).contains(43L))
+    } finally spark.conf.unset("graft.random.seed")
   }
 
   private def util_t(name: String) =
