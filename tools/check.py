@@ -131,10 +131,12 @@ def main():
         # decimal-typed column hashes green only when every value's
         # digitstring equals the float64 shortest-repr of the value.
         # Two classes violate that — trailing zeros at the declared scale
-        # ("…x.yz00" vs float repr "…x.yz"; reds dtype_decimal_s4) and
-        # values with more significant digits than float64 carries (reds
-        # the original s4nz). The Decimal-vs-Decimal compare here is blind
-        # to both, so warn loudly instead.
+        # ("…x.yz00" vs float repr "…x.yz"; redded the decimal-typed
+        # dtype_decimal_s4 on the r10 record — since re-pinned to a
+        # string digitstring probe) and values with more significant
+        # digits than float64 carries (redded the original s4nz). The
+        # Decimal-vs-Decimal compare here is blind to both, so warn
+        # loudly instead.
         import decimal
         for f in got_tbl.schema:
             if not str(f.type).startswith("decimal"):
