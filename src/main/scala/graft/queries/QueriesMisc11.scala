@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ml.SemDedup
+import graft.text.Ranking
+import util._
+
+/** Round-11 batch 4 — beyond-reference training-data curation ops:
+  * SemDeDup semantic deduplication (Abbas et al. 2023), Okapi BM25
+  * relevance scoring, and per-document TF-IDF top terms (the
+  * inverted-index shape). */
+object QueriesMisc11 {
+
+  val queries: Map[String, Q] = Map(
+
+    // SemDeDup (arXiv:2303.09540): cluster on 8 fixed centroids (the
+    // first 8 vectors, same convention as sim_ivf_topk), then remove
+    // every vector dominated by a same-cluster semantic duplicate
+    // (cosine ≥ 0.30 — lowered from the paper's 1−ε because the fixture
+    // embeddings are near-random; at sf0.01 this removes 171 of 492, so
+    // the dominance path is provably exercised). Keep-policy = the
+    // paper's low-centroid-similarity exemplar, pairwise-dominance form
+    // (ml/SemDedup). csim is integer-scaled to 6 decimals so assignment
+    // and dominance are reproducible cross-engine.
+    "sim_semdedup" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("e"))
+      val centroids = emb.filter(col("vec_id") < 8)
+        .collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
+        .sortBy(_._1).toSeq
+      SemDedup.semDedup(emb.filter(col("vec_id") >= 8), "vec_id", "e",
+          centroids, threshold = 0.30)
+        .orderBy(col("vec_id"))
+    }),
+
+    // Okapi BM25 for the literal query "hash join vector" (k1=1.2,
+    // b=0.75, idf = ln(1 + (N−df+0.5)/(df+0.5))). The plan never
+    // explodes or shuffles document rows: per-term tf is a codegen'd
+    // array filter, and N/avgdl/df ride ONE broadcast one-row aggregate
+    // (text/Ranking.bm25 — the 100 TB shape).
+    "text_bm25" -> ((s, d) =>
+      Ranking.bm25(t(s, d, "documents"), "doc_id", "text",
+          Seq("hash", "join", "vector"))
+        .orderBy(col("doc_id"))),
+
+    // Per-document top-3 TF-IDF terms over the full corpus vocabulary:
+    // explode → (doc,term) tf shuffle → term-keyed df join → windowed
+    // top-k, ties by term ascending on the ROUNDED score (deterministic
+    // cross-engine). idf = ln(N/df).
+    "text_tfidf_topk" -> ((s, d) =>
+      Ranking.tfidfTopTerms(t(s, d, "documents").filter(col("doc_id") < 4000),
+          "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("rank")))
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "sim_semdedup" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, e AS cvec FROM v WHERE vec_id < 8),
+        |corp AS (SELECT vec_id, e FROM v WHERE vec_id >= 8),
+        |scored AS (
+        |  SELECT c.vec_id, c.e, cent.cid,
+        |    round(list_dot_product(c.e, cent.cvec)
+        |      / (sqrt(list_dot_product(c.e, c.e))
+        |         * sqrt(list_dot_product(cent.cvec, cent.cvec))) * 1e6) / 1e6
+        |      + 0.0 AS csim -- DuckDB round keeps IEEE -0.0; Spark never emits it
+        |  FROM corp c CROSS JOIN cent),
+        |asgn AS (
+        |  SELECT vec_id, e, cid, csim FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+        |    FROM scored) WHERE rn = 1)
+        |SELECT a.vec_id, a.cid::INT AS cluster, a.csim
+        |FROM asgn a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM asgn b
+        |  WHERE b.cid = a.cid AND b.vec_id <> a.vec_id
+        |    AND round(list_dot_product(a.e, b.e)
+        |      / (sqrt(list_dot_product(a.e, a.e))
+        |         * sqrt(list_dot_product(b.e, b.e))) * 1e4) / 1e4 >= 0.30
+        |    AND (b.csim < a.csim
+        |         OR (b.csim = a.csim AND b.vec_id < a.vec_id)))
+        |ORDER BY a.vec_id""".stripMargin,
+
+    "text_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS tk
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, len(tk) AS dl,
+        |    len(list_filter(tk, x -> x = 'hash')) AS tf0,
+        |    len(list_filter(tk, x -> x = 'join')) AS tf1,
+        |    len(list_filter(tk, x -> x = 'vector')) AS tf2
+        |  FROM toks),
+        |st AS (
+        |  SELECT count(*) AS n, avg(dl) AS avgdl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |  FROM tf)
+        |SELECT doc_id, dl::INT AS dl,
+        |  round((
+        |    ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2
+        |      / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |    + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2
+        |      / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |    + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2
+        |      / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) * 1e4) / 1e4
+        |    AS score
+        |FROM tf CROSS JOIN st
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_tfidf_topk" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 4000),
+        |pairs AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''))
+        |    AS term
+        |  FROM docs),
+        |tf AS (SELECT doc_id, term, count(*) AS tfc
+        |       FROM pairs GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS nd FROM docs),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    round(tfc * ln(nd::DOUBLE / dfc) * 1e4) / 1e4 AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tfidf, rank::INT AS rank FROM (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin
+  )
+}
