@@ -49,4 +49,28 @@ object Sampling {
       .filter(hashUniform(id) < col("__cut"))
       .drop("__cut")
   }
+
+  /** Efraimidis–Spirakis (2006) weighted sampling without replacement,
+    * deterministic form: each row draws u = [[hashUniform]](id) and the
+    * sample is the k rows maximizing u^(1/w) — implemented as the
+    * monotone-equivalent key ln(u)/w (u < 1 so ln u < 0; a larger weight
+    * divides the negative toward 0). Inclusion probability is
+    * proportional-to-weight without replacement, the standard recipe for
+    * quality-weighted corpus subsampling.
+    *
+    * Scale shape: one pass to compute keys (codegen'd md5 + ln), then a
+    * global top-k — Spark plans TakeOrderedAndProject (per-partition
+    * heaps, one k-row driver merge), so there is NO shuffle of the
+    * corpus and NO window. Non-positive weights are excluded (their
+    * formal key is -inf). */
+  def sampleWeighted(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val id = graft.Meta.saltedId(df.sparkSession, col(idCol))
+    df.filter(col(weightCol) > 0)
+      .withColumn("__es_key",
+        log(hashUniform(id)) / col(weightCol).cast("double"))
+      .orderBy(col("__es_key").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

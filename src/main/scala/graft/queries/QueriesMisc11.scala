@@ -45,6 +45,33 @@ object QueriesMisc11 {
           Seq("hash", "join", "vector"))
         .orderBy(col("doc_id"))),
 
+    // Efraimidis–Spirakis weighted sampling without replacement
+    // (ops/Sampling.sampleWeighted): k=25 docs drawn
+    // proportional-to-n_chars, deterministic via the md5 60-bit uniform.
+    // The plan is a global TakeOrderedAndProject — no shuffle, no window.
+    // es_key6 emits the integer-scaled selection key so the oracle pins
+    // the MATH, not just the chosen id set.
+    "misc_sample_weighted" -> ((s, d) =>
+      graft.ops.Sampling.sampleWeighted(
+          t(s, d, "documents"), "doc_id", "n_chars", k = 25)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (round(col("__es_key") * 1e6) / 1e6).as("es_key6"))
+        .orderBy(col("doc_id"))),
+
+    // Corpus-wide top-20 word trigrams by document frequency (distinct
+    // docs containing the shingle — the corpus-stats signal dedup and
+    // boilerplate detection read). One explode + one (shingle)-keyed
+    // count agg + a global top-k: TakeOrderedAndProject, no full sort.
+    // Ties pinned by shingle text ascending.
+    "text_top_ngrams" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(graft.text.Dedup.shingles(col("text"), 3)))
+            .as("ngram"))
+        .groupBy(col("ngram")).agg(count(lit(1)).as("doc_freq"))
+        .orderBy(col("doc_freq").desc, col("ngram").asc)
+        .limit(20)),
+
     // Per-document top-3 TF-IDF terms over the full corpus vocabulary:
     // explode → (doc,term) tf shuffle → term-keyed df join → windowed
     // top-k, ties by term ascending on the ROUNDED score (deterministic
@@ -114,6 +141,26 @@ object QueriesMisc11 {
         |    AS score
         |FROM tf CROSS JOIN st
         |ORDER BY doc_id""".stripMargin,
+
+    "misc_sample_weighted" ->
+      """WITH t AS (
+        | SELECT doc_id, lang, n_chars,
+        |  ln(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+        |     / 1152921504606846976.0) / n_chars AS k
+        | FROM documents WHERE n_chars > 0),
+        |top AS (SELECT * FROM t ORDER BY k DESC, doc_id LIMIT 25)
+        |SELECT doc_id, lang, n_chars,
+        | round(k * 1e6) / 1e6 + 0.0 AS es_key6
+        |FROM top ORDER BY doc_id""".stripMargin,
+
+    "text_top_ngrams" ->
+      s"""WITH sh AS (
+         | SELECT doc_id, unnest(list_distinct(${QueriesText.shinglesSql(3)}))
+         |   AS ngram
+         | FROM documents)
+         |SELECT ngram, count(*) AS doc_freq
+         |FROM sh GROUP BY 1
+         |ORDER BY doc_freq DESC, ngram ASC LIMIT 20""".stripMargin,
 
     "text_tfidf_topk" ->
       """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 4000),

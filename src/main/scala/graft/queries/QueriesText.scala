@@ -203,8 +203,8 @@ object QueriesText {
         .orderBy(col("seq_id"), col("doc_id")))
   )
 
-  private val tokensSql = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')"
-  private def shinglesSql(w: Int) =
+  private[queries] val tokensSql = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')"
+  private[queries] def shinglesSql(w: Int) =
     s"""(CASE WHEN len($tokensSql) >= $w
        | THEN [array_to_string(($tokensSql)[i:i+${w - 1}], ' ')
        |       FOR i IN generate_series(1, len($tokensSql) - ${w - 1})]

@@ -146,6 +146,37 @@ class RankingSemDedupSpec extends SparkSpec {
     assert(math.abs(tfidf - math.round(math.log(3.0) * 1e4) / 1e4) < 1e-9)
   }
 
+  // --- Weighted sampling ------------------------------------------------
+
+  test("sampleWeighted draws exactly k rows, deterministically, skipping w<=0") {
+    val docs = (1L to 100L).map(i => (i, if (i % 10 == 0) 0L else i)).toDF("id", "w")
+    val a = graft.ops.Sampling.sampleWeighted(docs, "id", "w", k = 7)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val b = graft.ops.Sampling.sampleWeighted(docs, "id", "w", k = 7)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(a == b && a.size == 7)
+    assert(a.forall(_ % 10 != 0), "zero-weight rows must never be sampled")
+  }
+
+  test("sampleWeighted plans a global top-k (TakeOrderedAndProject, no window)") {
+    val docs = (1L to 100L).map(i => (i, i)).toDF("id", "w")
+    val plan = graft.ops.Sampling.sampleWeighted(docs, "id", "w", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected per-partition heap top-k:\n$plan")
+    assert(!plan.contains("Window"), s"no window allowed:\n$plan")
+  }
+
+  test("sampleWeighted favors heavy rows (proportional-to-weight law)") {
+    // one row carries 10^6 times the weight of the other 99 combined:
+    // its E–S key ln(u)/w is ~0 while the rest sit far below
+    val docs = (1L to 99L).map(i => (i, 1L)).toDF("id", "w")
+      .union(Seq((1000L, 100000000L)).toDF("id", "w"))
+    val got = graft.ops.Sampling.sampleWeighted(docs, "id", "w", k = 1)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1000L))
+  }
+
   test("tfidfTopTerms emits at most k rows per doc with dense ranks 1..k") {
     val docs = (1L to 8L).map(i => (i, s"a b c d$i e$i f$i")).toDF("id", "text")
     val out = Ranking.tfidfTopTerms(docs, "id", "text", k = 3)
