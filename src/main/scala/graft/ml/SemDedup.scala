@@ -2,7 +2,7 @@ package graft.ml
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.{cosineSimilarity, dotProduct, l2Norm}
+import graft.functions.cosineSimilarity
 
 /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
   * arXiv:2303.09540): cluster the corpus embeddings with fixed centroids,
@@ -40,15 +40,7 @@ object SemDedup {
     * the assignment and the dominance rule are reproducible across
     * engines and summation orders. */
   def assignWithSim(vec: Column, centroids: Seq[(Int, Array[Double])]): Column = {
-    val cents = array(centroids.map { case (id, v) =>
-      struct(lit(id).as("cid"), array(v.map(lit): _*).as("cvec"))
-    }: _*)
-    val scored = transform(cents, c =>
-      struct(
-        (-round(dotProduct(vec, c.getField("cvec")) /
-          (l2Norm(vec) * l2Norm(c.getField("cvec"))) * 1e6) / 1e6).as("negsim"),
-        c.getField("cid").as("cid")))
-    val best = array_min(scored)
+    val best = array_min(Similarity.scoredCentroids(vec, centroids, roundTo = 1e6))
     struct(best.getField("cid").as("cid"),
       (-best.getField("negsim")).as("csim"))
   }
@@ -76,13 +68,15 @@ object SemDedup {
       col(vecCol).as("__vy"), col("csim").as("__cs_y"))
     // x is dominated by y: same cluster, near-duplicate, y is the
     // preferred exemplar (lower centroid-sim, ties to smaller id).
+    // cheap dominance predicate FIRST: only the dominated direction of
+    // each unordered pair (at most half the join output) pays the O(dim)
+    // fused cosine kernel — CombineFilters keeps conjunct order
     val dominated = l.join(r, Seq("cluster"))
-      .filter(col("__id_x") =!= col("__id_y"))
+      .filter(col("__cs_y") < col("__cs_x") ||
+        (col("__cs_y") === col("__cs_x") && col("__id_y") < col("__id_x")))
       .filter(
         (round(cosineSimilarity(col("__vx"), col("__vy")) * 1e4) / 1e4)
           >= threshold)
-      .filter(col("__cs_y") < col("__cs_x") ||
-        (col("__cs_y") === col("__cs_x") && col("__id_y") < col("__id_x")))
       .select(col("__id_x").as(idCol)).distinct()
     part.join(dominated, Seq(idCol), "left_anti")
       .select(col(idCol), col("cluster"), col("csim"))

@@ -35,34 +35,40 @@ object Similarity {
       .select(col(qidCol), col(idCol), col("cosine"), col("__rn").as("rank"))
   }
 
-  /** Assign each vector to its nearest centroid id (IVF cell). Centroids are
-    * a Seq of (id, vector) — broadcast as a literal array, evaluated with
-    * codegen'd HOFs, no UDF. */
-  def assignToCentroid(vec: Column, centroids: Seq[(Int, Array[Double])]): Column = {
+  /** Shared centroid-scoring shape: the centroid set as a broadcast
+    * literal array, each element scored to struct(negsim, cid) with the
+    * codegen'd cosine kernel (negated so array_min/array_sort pick the
+    * most-similar first, ties to the smaller cid). `roundTo` > 0
+    * integer-scale-rounds the similarity first — callers whose
+    * assignment must be reproducible across engines/summation orders
+    * (SemDedup) snap the boundary; the IVF paths keep full precision. */
+  private[ml] def scoredCentroids(vec: Column,
+                                  centroids: Seq[(Int, Array[Double])],
+                                  roundTo: Double = 0): Column = {
     val cents = array(centroids.map { case (id, v) =>
       struct(lit(id).as("cid"), array(v.map(lit): _*).as("cvec"))
     }: _*)
-    val scored = transform(cents, c =>
-      struct((-dotProduct(vec, c.getField("cvec")) /
-        (l2Norm(vec) * l2Norm(c.getField("cvec")))).as("negsim"),
-        c.getField("cid").as("cid")))
-    array_min(scored).getField("cid")
+    transform(cents, c => {
+      val sim = dotProduct(vec, c.getField("cvec")) /
+        (l2Norm(vec) * l2Norm(c.getField("cvec")))
+      val snapped = if (roundTo > 0) round(sim * roundTo) / roundTo else sim
+      struct((-snapped).as("negsim"), c.getField("cid").as("cid"))
+    })
   }
+
+  /** Assign each vector to its nearest centroid id (IVF cell). Centroids are
+    * a Seq of (id, vector) — broadcast as a literal array, evaluated with
+    * codegen'd HOFs, no UDF. */
+  def assignToCentroid(vec: Column, centroids: Seq[(Int, Array[Double])]): Column =
+    array_min(scoredCentroids(vec, centroids)).getField("cid")
 
   /** The `nprobe` nearest centroid ids for a vector (FAISS-IVF multi-probe):
     * per-centroid cosine scored with the codegen'd kernel, array_sort on the
     * (negated-similarity, cid) structs, first nprobe cell ids. */
   def nearestCentroids(vec: Column, centroids: Seq[(Int, Array[Double])],
-                       nprobe: Int): Column = {
-    val cents = array(centroids.map { case (id, v) =>
-      struct(lit(id).as("cid"), array(v.map(lit): _*).as("cvec"))
-    }: _*)
-    val scored = transform(cents, c =>
-      struct((-dotProduct(vec, c.getField("cvec")) /
-        (l2Norm(vec) * l2Norm(c.getField("cvec")))).as("negsim"),
-        c.getField("cid").as("cid")))
-    transform(slice(array_sort(scored), 1, nprobe), s => s.getField("cid"))
-  }
+                       nprobe: Int): Column =
+    transform(slice(array_sort(scoredCentroids(vec, centroids)), 1, nprobe),
+      s => s.getField("cid"))
 
   /** IVF search: the corpus is bucketed once by nearest centroid; each
     * query probes its `nprobe` nearest cells (query side explodes — queries

@@ -62,15 +62,23 @@ object Sampling {
     * global top-k — Spark plans TakeOrderedAndProject (per-partition
     * heaps, one k-row driver merge), so there is NO shuffle of the
     * corpus and NO window. Non-positive weights are excluded (their
-    * formal key is -inf). */
+    * formal key is -inf).
+    *
+    * The selection key is exposed as an `es_key` output column, and the
+    * top-k ranks on its integer-scaled-to-1e-6 form (ties to the smaller
+    * id): `ln` is only 1-ulp-accurate and differs between libm
+    * implementations, so ranking raw keys could pick different k-th rows
+    * on different engines — snapping the boundary keeps the SELECTION
+    * bit-reproducible everywhere, the same discipline as
+    * [[sampleStratified]]'s exact cutoffs. */
   def sampleWeighted(df: DataFrame, idCol: String, weightCol: String,
                      k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val id = graft.Meta.saltedId(df.sparkSession, col(idCol))
     df.filter(col(weightCol) > 0)
-      .withColumn("__es_key",
-        log(hashUniform(id)) / col(weightCol).cast("double"))
-      .orderBy(col("__es_key").desc, col(idCol).asc)
+      .withColumn("es_key",
+        round(log(hashUniform(id)) / col(weightCol).cast("double") * 1e6) / 1e6)
+      .orderBy(col("es_key").desc, col(idCol).asc)
       .limit(k)
   }
 }

@@ -49,22 +49,26 @@ object QueriesMisc11 {
     // (ops/Sampling.sampleWeighted): k=25 docs drawn
     // proportional-to-n_chars, deterministic via the md5 60-bit uniform.
     // The plan is a global TakeOrderedAndProject — no shuffle, no window.
-    // es_key6 emits the integer-scaled selection key so the oracle pins
-    // the MATH, not just the chosen id set.
+    // The op ranks on (and emits) the integer-scaled selection key, so
+    // the oracle pins the MATH, not just the chosen id set — and the
+    // k-th-row boundary is libm-proof (see Sampling.sampleWeighted).
     "misc_sample_weighted" -> ((s, d) =>
       graft.ops.Sampling.sampleWeighted(
           t(s, d, "documents"), "doc_id", "n_chars", k = 25)
-        .select(col("doc_id"), col("lang"), col("n_chars"),
-          (round(col("__es_key") * 1e6) / 1e6).as("es_key6"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("es_key"))
         .orderBy(col("doc_id"))),
 
     // Corpus-wide top-20 word trigrams by document frequency (distinct
     // docs containing the shingle — the corpus-stats signal dedup and
     // boilerplate detection read). One explode + one (shingle)-keyed
     // count agg + a global top-k: TakeOrderedAndProject, no full sort.
-    // Ties pinned by shingle text ascending.
+    // Ties pinned by shingle text ascending. Docs under 3 tokens are
+    // excluded FIRST: Dedup.shingles' short-doc fallback emits the whole
+    // doc as one pseudo-shingle, which would pollute a trigram stat
+    // (crawl corpora are full of short/empty docs).
     "text_top_ngrams" -> ((s, d) =>
       t(s, d, "documents")
+        .filter(size(graft.text.TextAnalysis.tokens(col("text"))) >= 3)
         .select(col("doc_id"),
           explode(array_distinct(graft.text.Dedup.shingles(col("text"), 3)))
             .as("ngram"))
@@ -113,10 +117,8 @@ object QueriesMisc11 {
         |ORDER BY a.vec_id""".stripMargin,
 
     "text_bm25" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |      x -> x <> '') AS tk
+      s"""WITH toks AS (
+        |  SELECT doc_id, ${QueriesText.tokensSql} AS tk
         |  FROM documents),
         |tf AS (
         |  SELECT doc_id, len(tk) AS dl,
@@ -143,31 +145,32 @@ object QueriesMisc11 {
         |ORDER BY doc_id""".stripMargin,
 
     "misc_sample_weighted" ->
+      // + 0.0 normalizes DuckDB round's IEEE -0.0 BEFORE ranking, so the
+      // ordering and the emitted value both match Spark's never--0.0 round
       """WITH t AS (
         | SELECT doc_id, lang, n_chars,
-        |  ln(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
-        |     / 1152921504606846976.0) / n_chars AS k
+        |  round(ln(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+        |        / 1152921504606846976.0) / n_chars * 1e6) / 1e6 + 0.0
+        |    AS es_key
         | FROM documents WHERE n_chars > 0),
-        |top AS (SELECT * FROM t ORDER BY k DESC, doc_id LIMIT 25)
-        |SELECT doc_id, lang, n_chars,
-        | round(k * 1e6) / 1e6 + 0.0 AS es_key6
+        |top AS (SELECT * FROM t ORDER BY es_key DESC, doc_id LIMIT 25)
+        |SELECT doc_id, lang, n_chars, es_key
         |FROM top ORDER BY doc_id""".stripMargin,
 
     "text_top_ngrams" ->
       s"""WITH sh AS (
          | SELECT doc_id, unnest(list_distinct(${QueriesText.shinglesSql(3)}))
          |   AS ngram
-         | FROM documents)
+         | FROM documents
+         | WHERE len(${QueriesText.tokensSql}) >= 3)
          |SELECT ngram, count(*) AS doc_freq
          |FROM sh GROUP BY 1
          |ORDER BY doc_freq DESC, ngram ASC LIMIT 20""".stripMargin,
 
     "text_tfidf_topk" ->
-      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 4000),
+      s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 4000),
         |pairs AS (
-        |  SELECT doc_id, unnest(list_filter(
-        |    string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''))
-        |    AS term
+        |  SELECT doc_id, unnest(${QueriesText.tokensSql}) AS term
         |  FROM docs),
         |tf AS (SELECT doc_id, term, count(*) AS tfc
         |       FROM pairs GROUP BY 1, 2),

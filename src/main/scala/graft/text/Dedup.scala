@@ -22,8 +22,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object Dedup {
 
-  private def tokens(text: Column): Column =
-    filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
+  private def tokens(text: Column): Column = TextAnalysis.tokens(text)
 
   /** w-token shingles of a text column — native one-pass expression
     * ([[graft.functions.ShinglesExpr]]); byte-identical to [[shinglesHof]]. */

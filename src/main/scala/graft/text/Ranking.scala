@@ -30,8 +30,7 @@ import org.apache.spark.sql.functions._
   */
 object Ranking {
 
-  private def tokens(text: Column): Column =
-    filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
+  private def tokens(text: Column): Column = TextAnalysis.tokens(text)
 
   /** Okapi BM25 scores for a literal query (k1/b per Robertson et al.;
     * idf = ln(1 + (N − df + 0.5)/(df + 0.5)), the standard

@@ -9,6 +9,12 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** THE whitespace token convention every text op in graft shares:
+    * lowercase, trim, split on \s+, drop empties. The SQL oracles mirror
+    * it as `QueriesText.tokensSql`; change both together or nowhere. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
+
   /** Whitespace token count. Empty/blank text → 0. Native one-pass
     * ([[graft.functions.textStats]]); [[tokenCountRegex]] is the reference
     * formulation. */
