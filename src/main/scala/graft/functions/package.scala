@@ -261,6 +261,15 @@ package object functions {
       .otherwise(bit_count(x.bitwiseAND(-x) - 1))
   }
 
+  /** polars bitwise_leading_ones = leading zeros of the complement
+    * (x = −1, all ones, correctly yields `width`). */
+  def bitLeadingOnes(c: Column, width: Int = 64): Column =
+    bitLeadingZeros(bitwise_not(c.cast("long")), width)
+
+  /** polars bitwise_trailing_ones = trailing zeros of the complement. */
+  def bitTrailingOnes(c: Column, width: Int = 64): Column =
+    bitTrailingZeros(bitwise_not(c.cast("long")), width)
+
   // ---- strings -------------------------------------------------------------
 
   /** polars str.zfill. */
@@ -358,11 +367,20 @@ package object functions {
       asciiCaseInsensitive, overlapping, findStarts = true))
   }
 
+  private def charClassEsc(chars: String): String =
+    java.util.regex.Pattern.quote(chars).replace("\\", "\\\\")
+
+  /** polars str.strip_chars_start (leading only, char set). */
+  def stripCharsStart(c: Column, chars: String): Column =
+    regexp_replace(c, s"^[${charClassEsc(chars)}]+", "")
+
+  /** polars str.strip_chars_end (trailing only, char set). */
+  def stripCharsEnd(c: Column, chars: String): Column =
+    regexp_replace(c, s"[${charClassEsc(chars)}]+$$", "")
+
   /** polars str.strip_chars (both ends, char set). */
-  def stripChars(c: Column, chars: String): Column = {
-    val esc = java.util.regex.Pattern.quote(chars).replace("\\", "\\\\")
-    regexp_replace(regexp_replace(c, s"^[$esc]+", ""), s"[$esc]+$$", "")
-  }
+  def stripChars(c: Column, chars: String): Column =
+    stripCharsEnd(stripCharsStart(c, chars), chars)
 
   // ---- lists / vectors ------------------------------------------------------
 

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.ml.SemDedup
 import graft.text.Ranking
+import graft.{functions => gf}
 import util._
 
 /** Round-11 batch 4 — beyond-reference training-data curation ops:
@@ -12,6 +13,46 @@ import util._
 object QueriesMisc11 {
 
   val queries: Map[String, Q] = Map(
+
+    // polars inverse + hyperbolic trig (Expr.arccos/arcsin/arctan/cot/
+    // degrees/radians/sinh/cosh/tanh/arcsinh/arccosh/arctanh — reference
+    // dsl/function_expr/trigonometry.rs). Domains arranged from the
+    // bounded l_discount/l_tax columns (acos/asin/atanh need |x| ≤ 1,
+    // acosh needs x ≥ 1). DuckDB has no hyperbolics — the oracle uses
+    // the exp/ln closed forms; at |x| ≤ 1.1 they agree with libm well
+    // inside the round-8 envelope.
+    "math_trig_full" -> ((s, d) =>
+      t(s, d, "lineitem").filter(col("l_orderkey") <= 1000).select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(acos(col("l_discount")), 8).as("acos_d"),
+        round(asin(col("l_discount")), 8).as("asin_d"),
+        round(atan(col("l_tax")), 8).as("atan_t"),
+        round(cot(col("l_tax") + lit(0.01)), 8).as("cot_t"),
+        round(degrees(col("l_discount")), 8).as("deg_d"),
+        round(radians(col("l_quantity")), 8).as("rad_q"),
+        round(sinh(col("l_discount")), 8).as("sinh_d"),
+        round(cosh(col("l_discount")), 8).as("cosh_d"),
+        round(tanh(col("l_tax")), 8).as("tanh_t"),
+        round(asinh(col("l_discount")), 8).as("asinh_d"),
+        round(acosh(col("l_quantity") + lit(1.0)), 8).as("acosh_q"),
+        round(atanh(col("l_tax")), 8).as("atanh_t"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // polars bitwise_leading_ones / bitwise_trailing_ones — the ones
+    // duals of the green math_bit_counts zeros key: leading/trailing
+    // zeros of the complement (x = −1 yields 64). y goes negative, so
+    // the sign-bit path is exercised on both duals.
+    "math_bit_ones" -> ((s, d) =>
+      t(s, d, "part").filter(col("p_partkey") <= 2000)
+        .select(col("p_partkey"),
+          col("p_partkey").cast("long").as("x"),
+          (col("p_partkey").cast("long") - 1000L).as("y"))
+        .select(col("p_partkey"),
+          gf.bitLeadingOnes(col("x")).as("lead1_x"),
+          gf.bitTrailingOnes(col("x")).as("trail1_x"),
+          gf.bitLeadingOnes(col("y")).as("lead1_y"),
+          gf.bitTrailingOnes(col("y")).as("trail1_y"))
+        .orderBy(col("p_partkey"))),
 
     // SemDeDup (arXiv:2303.09540): cluster on 8 fixed centroids (the
     // first 8 vectors, same convention as sim_ivf_topk), then remove
@@ -87,6 +128,45 @@ object QueriesMisc11 {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "math_trig_full" ->
+      // DuckDB has no sinh/cosh/tanh/asinh/acosh/atanh — exp/ln closed
+      // forms; all values O(1) so round-8 absorbs the ≤2-ulp difference
+      """SELECT l_orderkey, l_linenumber,
+        | round(acos(l_discount), 8) AS acos_d,
+        | round(asin(l_discount), 8) AS asin_d,
+        | round(atan(l_tax), 8) AS atan_t,
+        | round(cot(l_tax + 0.01), 8) AS cot_t,
+        | round(degrees(l_discount), 8) AS deg_d,
+        | round(radians(l_quantity), 8) AS rad_q,
+        | round((exp(l_discount) - exp(-l_discount)) / 2, 8) AS sinh_d,
+        | round((exp(l_discount) + exp(-l_discount)) / 2, 8) AS cosh_d,
+        | round((exp(l_tax) - exp(-l_tax))
+        |       / (exp(l_tax) + exp(-l_tax)), 8) AS tanh_t,
+        | round(ln(l_discount + sqrt(l_discount * l_discount + 1)), 8)
+        |   AS asinh_d,
+        | round(ln((l_quantity + 1.0)
+        |       + sqrt((l_quantity + 1.0) * (l_quantity + 1.0) - 1)), 8)
+        |   AS acosh_q,
+        | round(0.5 * ln((1 + l_tax) / (1 - l_tax)), 8) AS atanh_t
+        |FROM lineitem WHERE l_orderkey <= 1000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "math_bit_ones" ->
+      """WITH t AS (
+        | SELECT p_partkey, ~(p_partkey::BIGINT) AS nx,
+        |        ~(p_partkey::BIGINT - 1000) AS ny
+        | FROM part WHERE p_partkey <= 2000)
+        |SELECT p_partkey,
+        | (CASE WHEN nx = 0 THEN 64 ELSE 64 - length(bin(nx)) END)::INT
+        |   AS lead1_x,
+        | (CASE WHEN nx = 0 THEN 64 ELSE bit_count((nx & -nx) - 1) END)::INT
+        |   AS trail1_x,
+        | (CASE WHEN ny = 0 THEN 64 ELSE 64 - length(bin(ny)) END)::INT
+        |   AS lead1_y,
+        | (CASE WHEN ny = 0 THEN 64 ELSE bit_count((ny & -ny) - 1) END)::INT
+        |   AS trail1_y
+        |FROM t ORDER BY p_partkey""".stripMargin,
 
     "sim_semdedup" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -32,7 +32,9 @@ object QueriesMisc5 {
         rpad(col("p_brand"), 12, ".").as("padr"),
         gf.replaceMany(col("p_type"), Seq("PROMO" -> "P~", "BRUSHED" -> "B~"))
           .as("repl"),
-        gf.stripChars(col("p_name"), "aeiou").as("strip"))
+        gf.stripChars(col("p_name"), "aeiou").as("strip"),
+        gf.stripCharsStart(col("p_name"), "aeiou").as("strip_s"),
+        gf.stripCharsEnd(col("p_name"), "aeiou").as("strip_e"))
         .orderBy(col("p_partkey"))),
 
     // polars cum_fold (FunctionExpr mod.rs:319-340): running fold across
@@ -203,7 +205,9 @@ object QueriesMisc5 {
         | lpad(p_brand, 12, '*') AS padl,
         | rpad(p_brand, 12, '.') AS padr,
         | replace(replace(p_type, 'PROMO', 'P~'), 'BRUSHED', 'B~') AS repl,
-        | regexp_replace(regexp_replace(p_name, '^[aeiou]+', ''), '[aeiou]+$', '') AS strip
+        | regexp_replace(regexp_replace(p_name, '^[aeiou]+', ''), '[aeiou]+$', '') AS strip,
+        | regexp_replace(p_name, '^[aeiou]+', '') AS strip_s,
+        | regexp_replace(p_name, '[aeiou]+$', '') AS strip_e
         |FROM part ORDER BY p_partkey""".stripMargin,
 
     "misc_cum_fold" ->

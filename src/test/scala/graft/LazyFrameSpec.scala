@@ -346,6 +346,28 @@ class LazyFrameSpec extends SparkSpec {
       (0, 0, 0), (53, 10, 5)))
   }
 
+  test("bit ones duals: leading/trailing ones via the complement") {
+    val df = Seq(0L, 1L, -1L, -8L, 3L).toDF("x")
+    val out = df.select(
+      graft.functions.bitLeadingOnes(col("x")).as("lo"),
+      graft.functions.bitTrailingOnes(col("x")).as("to"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    // -1 = all ones; -8 = ...11111000 (61 leading ones, 0 trailing);
+    // 3 = ...011 (0 leading, 2 trailing)
+    assert(out == Seq((0, 0), (0, 1), (64, 64), (61, 0), (0, 2)))
+  }
+
+  test("stripCharsStart/End strip exactly one side; both compose to stripChars") {
+    val df = Seq("aeiXoYu", "xyz", "", "aaa").toDF("s")
+    val out = df.select(
+      graft.functions.stripCharsStart(col("s"), "aeiou").as("l"),
+      graft.functions.stripCharsEnd(col("s"), "aeiou").as("r"),
+      graft.functions.stripChars(col("s"), "aeiou").as("b"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(out == Seq(("XoYu", "aeiXoY", "XoY"),
+      ("xyz", "xyz", "xyz"), ("", "", ""), ("", "", "")))
+  }
+
   test("insertColumn/replaceColumn/mapColumns keep slots; glimpse renders") {
     val df = Seq((1, 2.0, "x"), (3, 4.0, "y")).toDF("a", "b", "c")
     val ins = LazyFrame(df).insertColumn(1, "n", col("a") * 10)
