@@ -54,6 +54,35 @@ object QueriesMisc11 {
           gf.bitTrailingOnes(col("y")).as("trail1_y"))
         .orderBy(col("p_partkey"))),
 
+    // polars write_ipc_stream / read_ipc_stream (io/ipc/functions.py
+    // stream variants): the footer-less IPC STREAM framing through the
+    // graft-ipc-stream DSv2 connector — one partition per file on read
+    // (no block index to split on; the honest contract for a pipe
+    // format), batch-streamed distributed write.
+    "io_ipc_stream_roundtrip" -> ((s, d) => {
+      val tmp = "/tmp/graft_io/ipcs_supplier"
+      graft.sources.ArrowIpcStream.writeStream(t(s, d, "supplier"), tmp)
+      s.read.format("graft-ipc-stream").load(tmp).orderBy(col("s_suppkey"))
+    }),
+
+    // polars rolling_median_by (Expr.rolling_median_by — the value-based
+    // sibling of win_rolling_quantile's rows window and
+    // win_rolling_by_value's sum/count/min): interpolated median over a
+    // RANGE frame keyed on integer cents. Integer inputs make the
+    // two-middle-element mean exact cross-engine.
+    "win_rolling_median_by" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      val base = t(s, d, "orders").filter(col("o_custkey") <= 500)
+        .select(col("o_orderkey"), col("o_custkey"), cents.as("cents"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("cents"))
+        .rangeBetween(-5000000L, 0L)
+      base.select(col("o_orderkey"), col("o_custkey"),
+          round(expr("percentile(cents, 0.5)").over(w) * 100).cast("long")
+            .as("roll_med_c"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // SemDeDup (arXiv:2303.09540): cluster on 8 fixed centroids (the
     // first 8 vectors, same convention as sim_ivf_topk), then remove
     // every vector dominated by a same-cluster semantic duplicate
@@ -167,6 +196,23 @@ object QueriesMisc11 {
         | (CASE WHEN ny = 0 THEN 64 ELSE bit_count((ny & -ny) - 1) END)::INT
         |   AS trail1_y
         |FROM t ORDER BY p_partkey""".stripMargin,
+
+    "io_ipc_stream_roundtrip" ->
+      "SELECT * FROM supplier ORDER BY s_suppkey",
+
+    "win_rolling_median_by" ->
+      // quantile_cont(0.5) shares percentile's pos = p·(n−1) definition;
+      // ×100 integer scaling keeps the half-sum exact in both engines
+      """WITH t AS (
+        | SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        | FROM orders WHERE o_custkey <= 500)
+        |SELECT o_orderkey, o_custkey,
+        | CAST(round((quantile_cont(cents, 0.5) OVER
+        |   (PARTITION BY o_custkey ORDER BY cents
+        |    RANGE BETWEEN 5000000 PRECEDING AND CURRENT ROW)) * 100)
+        |   AS BIGINT) AS roll_med_c
+        |FROM t ORDER BY o_orderkey""".stripMargin,
 
     "sim_semdedup" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -32,6 +32,13 @@ class ParametricIOSpec extends SparkSpec {
       (p, _) => spark.read.format("graft-ipc").load(p))
   }
 
+  test("graft-ipc-stream round-trips 100+ seeded random frames (same pool as ipc)") {
+    ParametricRoundTrip.run(spark, "ipcs", 1 to 104,
+      Parametric.dtypePool :+ BinaryType,
+      (d, p) => graft.sources.ArrowIpcStream.writeStream(d, p),
+      (p, _) => spark.read.format("graft-ipc-stream").load(p))
+  }
+
   test("graft-avro round-trips 100+ seeded random frames (its type surface)") {
     ParametricRoundTrip.run(spark, "avro", 1 to 104, avroPool,
       (d, p) => Avro.write(d, p),
