@@ -134,7 +134,35 @@ object GraftFunctions {
         require(args.length == 1, "graft_pii_count(text)")
         Bridge.eagerExpression(
           graft.text.TextAnalysis.piiCount(Bridge.column(args.head)))
+      }),
+    // Spark's native Bloom runtime-filter pair surfaced in SQL: build a
+    // constant-size membership sketch, probe it inline — the 100 TB
+    // alternative to broadcasting an exact digest set
+    (FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo("graft.functions", "graft_bloom_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_bloom_agg(x, numBits)")
+        val bits = e2long(args(1), "graft_bloom_agg", "numBits")
+        // return the bare AggregateFunction — the analyzer wraps it, the
+        // same contract as Spark's own registered aggregates
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(args.head)),
+          Literal(bits / 16), Literal(bits))
+      }),
+    (FunctionIdentifier("graft_bloom_might_contain"),
+      new ExpressionInfo("graft.functions", "graft_bloom_might_contain"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_bloom_might_contain(sketch, x)")
+        Bridge.eagerExpression(graft.functions.bloomMightContain(
+          Bridge.column(args.head), Bridge.column(args(1))))
       }))
+
+  private def e2long(e: Expression, fn: String, arg: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
 
   def register(spark: SparkSession): Unit =
     (all ++ PolarsSqlShims.all).foreach { case (id, info, b) =>

@@ -261,6 +261,33 @@ package object functions {
       .otherwise(bit_count(x.bitwiseAND(-x) - 1))
   }
 
+  /** Bloom-filter sketch over xxhash64 of a column — Spark's native
+    * runtime-filter aggregate (BloomFilterAggregate) exposed as a user
+    * aggregate. Returns the serialized sketch as binary; pair with
+    * [[bloomMightContain]]. The sketch is the 100 TB membership-test
+    * lever: a billion-item set tests at fpp≈1% from a ~1.2 GB sketch, a
+    * million-item eval set from ~1.2 MB — constant-size broadcast where
+    * an exact digest set would grow with the data. */
+  def bloomAgg(c: Column, expectedItems: Long, numBits: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(new BloomFilterAggregate(
+      new XxHash64(Seq(Bridge.expression(c))),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+  }
+
+  /** Membership probe against a [[bloomAgg]] sketch (never false-negative;
+    * false-positive rate set by the sketch's numBits/items). `sketch` must
+    * be a literal or scalar subquery — collect the (small) sketch first,
+    * exactly like a broadcast digest set. */
+  def bloomMightContain(sketch: Column, c: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, XxHash64}
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(BloomFilterMightContain(Bridge.expression(sketch),
+      new XxHash64(Seq(Bridge.expression(c)))))
+  }
+
   /** polars bitwise_leading_ones = leading zeros of the complement
     * (x = −1, all ones, correctly yields `width`). */
   def bitLeadingOnes(c: Column, width: Int = 64): Column =

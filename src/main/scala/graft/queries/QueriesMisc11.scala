@@ -54,6 +54,40 @@ object QueriesMisc11 {
           gf.bitTrailingOnes(col("y")).as("trail1_y"))
         .orderBy(col("p_partkey"))),
 
+    // Sketch-based decontamination (Dedup.contaminationHitsBloom — Spark's
+    // native Bloom runtime-filter aggregate + inline might_contain probe,
+    // no join): bench = every doc_id%31==0 document VERBATIM (still in
+    // the corpus, so real 13-gram contamination exists and the exact hit
+    // set is SQL-computable). The sketch's false-positive set is not
+    // oracle-predictable, so the key pins the INVARIANTS that define a
+    // Bloom filter: (1) the exact-contaminated doc count (vs the SQL
+    // replica), (2) zero false negatives — every exact hit is flagged
+    // with at least its exact hit count, (3) the false-positive overshoot
+    // stays under 1% of the corpus (astronomically satisfied at this
+    // sketch size; generous so the key never flakes).
+    "text_decontaminate_bloom" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(col("doc_id") % 31 === 0)
+      val bloom = graft.text.Dedup.contaminationHitsBloom(
+        docs, "doc_id", "text", bench, "text", w = 13)
+        .select(col("doc_id"), col("n_hits").as("bloom_hits"))
+      val exact = graft.text.Dedup.contaminationHits(
+        docs, "doc_id", "text", bench, "text", w = 13)
+        .select(col("doc_id"), col("n_hits").as("exact_hits"))
+      val joined = exact.join(bloom, Seq("doc_id"), "left")
+      joined.agg(
+          count(lit(1)).as("n_exact_docs"),
+          (count(when(col("bloom_hits").isNull ||
+            col("bloom_hits") < col("exact_hits"), 1)) === 0)
+            .as("no_false_neg"))
+        .crossJoin(broadcast(bloom.agg(count(lit(1)).as("__nb"))))
+        .crossJoin(broadcast(docs.select(count(lit(1)).as("__n"))))
+        .select(col("n_exact_docs"), col("no_false_neg"),
+          (col("__nb") <= col("n_exact_docs")
+            + greatest(lit(1L), ceil(col("__n") * 0.01).cast("long")))
+            .as("fp_bounded"))
+    }),
+
     // polars write_ipc_stream / read_ipc_stream (io/ipc/functions.py
     // stream variants): the footer-less IPC STREAM framing through the
     // graft-ipc-stream DSv2 connector — one partition per file on read
@@ -199,6 +233,26 @@ object QueriesMisc11 {
 
     "io_ipc_stream_roundtrip" ->
       "SELECT * FROM supplier ORDER BY s_suppkey",
+
+    "text_decontaminate_bloom" ->
+      // the booleans are the Bloom contract (no false negatives, bounded
+      // overshoot) — constants on the oracle side by construction
+      """WITH tok AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> x <> '') AS toks
+        | FROM documents),
+        |b AS (SELECT DISTINCT array_to_string(toks[i:i+12], ' ') AS g
+        | FROM tok, unnest(range(1, len(toks) - 11)) AS r(i)
+        | WHERE doc_id % 31 = 0 AND len(toks) >= 13),
+        |d AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+12], ' ') AS g
+        | FROM tok, unnest(range(1, len(toks) - 11)) AS r(i)
+        | WHERE len(toks) >= 13)
+        |SELECT
+        | (SELECT count(DISTINCT doc_id) FROM d JOIN b USING (g))
+        |   AS n_exact_docs,
+        | true AS no_false_neg,
+        | true AS fp_bounded""".stripMargin,
 
     "win_rolling_median_by" ->
       // quantile_cont(0.5) shares percentile's pos = p·(n−1) definition;

@@ -259,6 +259,37 @@ object Dedup {
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Sketch form of [[contaminationHits]]: the benchmark n-gram digests go
+    * into a Bloom filter ([[graft.functions.bloomAgg]] — Spark's native
+    * runtime-filter sketch) instead of a broadcast digest SET, and the
+    * corpus probes the sketch inline ([[graft.functions.bloomMightContain]]
+    * — codegen'd, no join at all). Trade: the sketch is CONSTANT-size
+    * (numBits/8 bytes however large the benchmark grows — the exact set
+    * broadcast grows linearly), at the cost of a bounded false-positive
+    * rate; never false-negative, so no contaminated document escapes.
+    * That is the right shape when the "benchmark" side is itself huge
+    * (e.g. decontaminating against another full corpus). Returns
+    * (idCol, n_hits) counting DISTINCT n-grams whose digest the sketch
+    * accepts — a superset of the exact hit set. */
+  def contaminationHitsBloom(corpus: DataFrame, idCol: String, textCol: String,
+                             bench: DataFrame, benchTextCol: String,
+                             w: Int = 13, numBits: Long = 1L << 23): DataFrame = {
+    def grams(text: Column) =
+      explode(array_distinct(shingles(text, w))).as("__g")
+    val benchGrams = bench.select(grams(col(benchTextCol)))
+      .filter(size(split(col("__g"), " ")) === w)
+      .select(md5(col("__g")).as("__h")).distinct()
+    // ONE row of sketch bytes; the only thing that ever leaves the bench
+    // side. expectedItems is a hint — numBits fixes the real size/fpp.
+    val sketch = benchGrams
+      .agg(graft.functions.bloomAgg(col("__h"), numBits / 16, numBits))
+      .head.getAs[Array[Byte]](0)
+    corpus.select(col(idCol), grams(col(textCol)))
+      .filter(size(split(col("__g"), " ")) === w)
+      .filter(graft.functions.bloomMightContain(lit(sketch), md5(col("__g"))))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Drop corpus documents with ≥ `minHits` distinct n-gram collisions
     * against the benchmark set (anti-join on the flagged ids). */
   def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
