@@ -143,6 +143,8 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_bloom_agg(x, numBits)")
         val bits = e2long(args(1), "graft_bloom_agg", "numBits")
+        require(bits >= 16,
+          s"graft_bloom_agg: numBits must be >= 16, got $bits")
         // return the bare AggregateFunction — the analyzer wraps it, the
         // same contract as Spark's own registered aggregates
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
@@ -160,6 +162,14 @@ object GraftFunctions {
   private def e2long(e: Expression, fn: String, arg: String): Long = e match {
     case Literal(v: Long, _) => v
     case Literal(v: Int, _) => v.toLong
+    // foldable-but-composite (e.g. 2*32768): constant folding runs AFTER
+    // function resolution, so evaluate here instead of rejecting
+    case other if other.foldable => other.eval() match {
+      case l: java.lang.Long => l
+      case i: java.lang.Integer => i.toLong
+      case x => throw new IllegalArgumentException(
+        s"$fn: $arg must be an integer constant, got $x")
+    }
     case other => throw new IllegalArgumentException(
       s"$fn: $arg must be an integer literal, got $other")
   }

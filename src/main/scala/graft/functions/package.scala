@@ -264,10 +264,14 @@ package object functions {
   /** Bloom-filter sketch over xxhash64 of a column — Spark's native
     * runtime-filter aggregate (BloomFilterAggregate) exposed as a user
     * aggregate. Returns the serialized sketch as binary; pair with
-    * [[bloomMightContain]]. The sketch is the 100 TB membership-test
-    * lever: a billion-item set tests at fpp≈1% from a ~1.2 GB sketch, a
-    * million-item eval set from ~1.2 MB — constant-size broadcast where
-    * an exact digest set would grow with the data. */
+    * [[bloomMightContain]]. The sketch is the membership-test lever at
+    * scale: constant-size broadcast where an exact digest set grows with
+    * the data (a million-item set tests at fpp well under 1% from a
+    * ~1 MB sketch). NOTE the aggregate enforces the runtime-filter
+    * SQLConf ceilings — by default numBits ≤
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` (2^26 ≈ 8 MB)
+    * and expectedItems ≤ `...maxNumItems` (4M); raise both confs for
+    * larger sketches (billion-item sets need ~1.2 GB at 1% fpp). */
   def bloomAgg(c: Column, expectedItems: Long, numBits: Long): Column = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
@@ -394,8 +398,16 @@ package object functions {
       asciiCaseInsensitive, overlapping, findStarts = true))
   }
 
+  // Per-character escaping of the class metachars only. The previous
+  // Pattern.quote(...).replace("\\","\\\\") form put LITERAL '\', 'Q',
+  // and 'E' into the class (and left '-' ranges live): strip_chars("Qx",
+  // "aeiou") wrongly stripped the Q. TPC-H's all-lowercase fixtures
+  // masked it; caught by the continuation-session review.
   private def charClassEsc(chars: String): String =
-    java.util.regex.Pattern.quote(chars).replace("\\", "\\\\")
+    chars.flatMap {
+      case c if "\\^]-[&".contains(c) => s"\\$c"
+      case c => c.toString
+    }
 
   /** polars str.strip_chars_start (leading only, char set). */
   def stripCharsStart(c: Column, chars: String): Column =

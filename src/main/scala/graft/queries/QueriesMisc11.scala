@@ -74,13 +74,17 @@ object QueriesMisc11 {
       val exact = graft.text.Dedup.contaminationHits(
         docs, "doc_id", "text", bench, "text", w = 13)
         .select(col("doc_id"), col("n_hits").as("exact_hits"))
-      val joined = exact.join(bloom, Seq("doc_id"), "left")
+      // ONE full-outer join then one aggregate: the expensive corpus
+      // shingle/probe pipelines each execute exactly once (the earlier
+      // left-join + separate count re-ran `bloom` end to end)
+      val joined = exact.join(bloom, Seq("doc_id"), "full")
       joined.agg(
-          count(lit(1)).as("n_exact_docs"),
-          (count(when(col("bloom_hits").isNull ||
-            col("bloom_hits") < col("exact_hits"), 1)) === 0)
-            .as("no_false_neg"))
-        .crossJoin(broadcast(bloom.agg(count(lit(1)).as("__nb"))))
+          count(col("exact_hits")).as("n_exact_docs"),
+          (count(when(col("exact_hits").isNotNull &&
+            (col("bloom_hits").isNull ||
+              col("bloom_hits") < col("exact_hits")), 1)) === 0)
+            .as("no_false_neg"),
+          count(col("bloom_hits")).as("__nb"))
         .crossJoin(broadcast(docs.select(count(lit(1)).as("__n"))))
         .select(col("n_exact_docs"), col("no_false_neg"),
           (col("__nb") <= col("n_exact_docs")

@@ -128,68 +128,24 @@ class IpcReaderFactory(columns: Array[String]) extends PartitionReaderFactory {
   }
 
   // row-based fallback (Spark uses columnar when supportColumnarReads=true)
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val columnar = createColumnarReader(p)
-    new PartitionReader[InternalRow] {
-      private var rows: java.util.Iterator[InternalRow] = java.util.Collections.emptyIterator()
-      override def next(): Boolean =
-        rows.hasNext || (columnar.next() && { rows = columnar.get().rowIterator(); rows.hasNext })
-      override def get(): InternalRow = rows.next()
-      override def close(): Unit = columnar.close()
-    }
-  }
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    IpcCommon.rowFallback(createColumnarReader(p))
 }
 
 object ArrowIpc {
 
   /** Distributed IPC sink: each non-empty partition streams to its own
-    * `part-NNNNN.arrow` in `batchRows`-row record batches. Memory per task
-    * is one batch of vectors; nothing touches the driver. */
-  def write(df: DataFrame, dir: String, batchRows: Int = 4096): Unit = {
-    val schema = df.schema
-    val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
-    val out = new Path(dir)
-    val fs = out.getFileSystem(new Configuration())
-    fs.delete(out, true)
-    fs.mkdirs(out)
-    df.queryExecution.toRdd.foreachPartition { iter: Iterator[InternalRow] =>
-      if (iter.hasNext) {
-        val pid = TaskContext.getPartitionId()
-        val path = new Path(dir, f"part-$pid%05d.arrow")
-        val pfs = path.getFileSystem(new Configuration())
-        val os = pfs.create(path, true)
-        val allocator = new RootAllocator(Long.MaxValue)
-        val root = VectorSchemaRoot.create(ArrowBridge.toArrowSchema(schema, tz), allocator)
-        val (writeRow, finishBatch, resetBatch) = ArrowBridge.batchWriter(root)
-        val fileWriter = new ArrowFileWriter(root, null, Channels.newChannel(os))
-        try {
-          fileWriter.start()
-          var n = 0
-          while (iter.hasNext) {
-            writeRow(iter.next())
-            n += 1
-            if (n == batchRows) {
-              finishBatch(); fileWriter.writeBatch(); resetBatch(); n = 0
-            }
-          }
-          if (n > 0) { finishBatch(); fileWriter.writeBatch() }
-          fileWriter.end()
-        } finally {
-          fileWriter.close(); root.close(); allocator.close(); os.close()
-        }
-      }
-    }
-  }
+    * `part-NNNNN.arrow` in `batchRows`-row record batches (shared
+    * [[IpcCommon.writeLoop]]). Memory per task is one batch of vectors;
+    * nothing touches the driver. */
+  def write(df: DataFrame, dir: String, batchRows: Int = 4096): Unit =
+    IpcCommon.writeLoop(df, dir, "arrow", batchRows)(
+      (root, ch) => new ArrowFileWriter(root, null, ch))
 
-  private[sources] def listFiles(path: String): Seq[String] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
-    val st = fs.getFileStatus(p)
-    if (st.isDirectory)
-      fs.listStatus(p).toSeq.map(_.getPath)
-        .filter(_.getName.endsWith(".arrow")).sortBy(_.getName).map(_.toString)
-    else Seq(path)
-  }
+  private[sources] def listFiles(path: String): Seq[String] =
+    // ".arrow" must not also catch ".arrows" stream files in a mixed dir
+    IpcCommon.listFiles(path, ".arrow")
+      .filterNot(_.endsWith(".arrows"))
 
   private[sources] def openChannel(file: String): SeekableByteChannel = {
     val p = new Path(file)

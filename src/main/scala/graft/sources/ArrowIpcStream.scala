@@ -114,69 +114,22 @@ class IpcStreamReaderFactory(columns: Array[String]) extends PartitionReaderFact
     }
   }
 
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val columnar = createColumnarReader(p)
-    new PartitionReader[InternalRow] {
-      private var rows: java.util.Iterator[InternalRow] = java.util.Collections.emptyIterator()
-      override def next(): Boolean =
-        rows.hasNext || (columnar.next() && { rows = columnar.get().rowIterator(); rows.hasNext })
-      override def get(): InternalRow = rows.next()
-      override def close(): Unit = columnar.close()
-    }
-  }
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    IpcCommon.rowFallback(createColumnarReader(p))
 }
 
 object ArrowIpcStream {
 
   /** Distributed IPC-stream sink: each non-empty partition streams to its
     * own `part-NNNNN.arrows` in `batchRows`-row record batches — identical
-    * memory/shuffle posture to [[ArrowIpc.write]], different framing. */
-  def writeStream(df: DataFrame, dir: String, batchRows: Int = 4096): Unit = {
-    val schema = df.schema
-    val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
-    val out = new Path(dir)
-    val fs = out.getFileSystem(new Configuration())
-    fs.delete(out, true)
-    fs.mkdirs(out)
-    df.queryExecution.toRdd.foreachPartition { iter: Iterator[InternalRow] =>
-      if (iter.hasNext) {
-        val pid = TaskContext.getPartitionId()
-        val path = new Path(dir, f"part-$pid%05d.arrows")
-        val pfs = path.getFileSystem(new Configuration())
-        val os = pfs.create(path, true)
-        val allocator = new RootAllocator(Long.MaxValue)
-        val root = VectorSchemaRoot.create(ArrowBridge.toArrowSchema(schema, tz), allocator)
-        val (writeRow, finishBatch, resetBatch) = ArrowBridge.batchWriter(root)
-        val writer = new ArrowStreamWriter(root, null,
-          java.nio.channels.Channels.newChannel(os))
-        try {
-          writer.start()
-          var n = 0
-          while (iter.hasNext) {
-            writeRow(iter.next())
-            n += 1
-            if (n == batchRows) {
-              finishBatch(); writer.writeBatch(); resetBatch(); n = 0
-            }
-          }
-          if (n > 0) { finishBatch(); writer.writeBatch() }
-          writer.end()
-        } finally {
-          writer.close(); root.close(); allocator.close(); os.close()
-        }
-      }
-    }
-  }
+    * memory/shuffle posture to [[ArrowIpc.write]] (shared
+    * [[IpcCommon.writeLoop]]), different framing. */
+  def writeStream(df: DataFrame, dir: String, batchRows: Int = 4096): Unit =
+    IpcCommon.writeLoop(df, dir, "arrows", batchRows)(
+      (root, ch) => new ArrowStreamWriter(root, null, ch))
 
-  private[sources] def listFiles(path: String): Seq[String] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
-    val st = fs.getFileStatus(p)
-    if (st.isDirectory)
-      fs.listStatus(p).toSeq.map(_.getPath)
-        .filter(_.getName.endsWith(".arrows")).sortBy(_.getName).map(_.toString)
-    else Seq(path)
-  }
+  private[sources] def listFiles(path: String): Seq[String] =
+    IpcCommon.listFiles(path, ".arrows")
 
   private[sources] def openStream(file: String): java.io.InputStream = {
     val p = new Path(file)

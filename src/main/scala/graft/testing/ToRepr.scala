@@ -31,6 +31,17 @@ object ToRepr {
     def cell(v: Any, dt: DataType): String = v match {
       case null => "null"
       case ts: java.time.LocalDateTime => ts.toString.replace("T", " ")
+      case s: String =>
+        // the box dialect cannot carry these losslessly (FromRepr splits
+        // cells on │/┆/|, trims whitespace, maps bare `null` to SQL null,
+        // and drops `…` truncation rows) — refuse rather than silently
+        // break the round-trip law the pair advertises
+        require(!s.exists(c => c == '│' || c == '┆' || c == '|' || c == '\n')
+            && s != "null" && s != "…" && s == s.trim,
+          s"to_repr: string value '${s.take(40)}' is not " +
+            "representable in the box repr dialect (cell separators, " +
+            "newlines, bare 'null'/'…', or untrimmed whitespace)")
+        s
       case other => other.toString
     }
     val header = schema.fields.map(_.name)

@@ -268,7 +268,10 @@ object Dedup {
     * broadcast grows linearly), at the cost of a bounded false-positive
     * rate; never false-negative, so no contaminated document escapes.
     * That is the right shape when the "benchmark" side is itself huge
-    * (e.g. decontaminating against another full corpus). Returns
+    * (e.g. decontaminating against another full corpus — note Spark's
+    * default runtime-filter confs cap the sketch at 2^26 bits / 4M
+    * items; raise `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` /
+    * `...maxNumItems` for corpus-scale benchmarks). Returns
     * (idCol, n_hits) counting DISTINCT n-grams whose digest the sketch
     * accepts — a superset of the exact hit set. */
   def contaminationHitsBloom(corpus: DataFrame, idCol: String, textCol: String,

@@ -146,6 +146,24 @@ class RankingSemDedupSpec extends SparkSpec {
     assert(math.abs(tfidf - math.round(math.log(3.0) * 1e4) / 1e4) < 1e-9)
   }
 
+  // --- strip_chars char-class escaping ----------------------------------
+
+  test("stripChars treats the char set literally: no ranges, no \\Q\\E leakage") {
+    val df = Seq("QxE", "a-z-b", "\\path\\", "abc").toDF("s")
+    val out = df.select(
+      graft.functions.stripChars(col("s"), "aeiou").as("vowels"),
+      // "a-z" is the SET {a,-,z}, never a range (polars semantics)
+      graft.functions.stripChars(col("s"), "a-z").as("dashset"),
+      graft.functions.stripChars(col("s"), "\\").as("bslash"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    // the pre-fix Pattern.quote escaping put literal Q/E/\ into the class,
+    // which would have stripped the Q and E here
+    assert(out == Seq(("QxE", "QxE", "QxE"),
+      ("-z-b", "b", "a-z-b"),
+      ("\\path\\", "\\path\\", "path"),
+      ("bc", "bc", "abc")))
+  }
+
   // --- Weighted sampling ------------------------------------------------
 
   test("sampleWeighted draws exactly k rows, deterministically, skipping w<=0") {
