@@ -90,4 +90,37 @@ object Ranking {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Per-document mean negative log-likelihood under the corpus's OWN
+    * add-alpha-smoothed unigram LM — the cheap stand-in for the KenLM
+    * perplexity filter every pretraining pipeline runs (CCNet et al.):
+    * boilerplate/repetitive docs score low, lexically odd docs score
+    * high, and both tails get dropped by the caller's band filter.
+    *
+    * Plan: explode to (doc, term); the unigram table is the term-keyed
+    * count aggregate (vocabulary-sized — bounded far below corpus size);
+    * scoring joins the token stream back to the table ON THE SAME term
+    * key (Catalyst reuses the exchange: both the aggregate and the join
+    * shuffle hash on `__term`), then one doc-keyed aggregate. Two
+    * bounded shuffles, no window, no driver state. Totals (token count,
+    * vocab size) ride one broadcast one-row aggregate.
+    *
+    * Emits docs + `n_tok` + raw `nll` (mean over token instances of
+    * −ln p; null for token-free docs — callers band-filter, so a
+    * sentinel would poison the band edge). */
+  def unigramNll(docs: DataFrame, idCol: String, textCol: String,
+                 alpha: Double = 1.0): DataFrame = {
+    val ex = docs.select(col(idCol), explode(tokens(col(textCol))).as("__term"))
+    val vocab = ex.groupBy(col("__term")).agg(count(lit(1)).as("__c"))
+    val stats = vocab.agg(sum(col("__c")).as("__tot"), count(lit(1)).as("__v"))
+    val scored = ex.join(vocab, Seq("__term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__nll",
+        -log((col("__c") + lit(alpha)) /
+          (col("__tot") + lit(alpha) * col("__v"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"), avg(col("__nll")).as("nll"))
+    docs.join(scored, Seq(idCol), "left")
+      .withColumn("n_tok", coalesce(col("n_tok"), lit(0L)))
+  }
 }

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.KMeans
+import graft.text.{Dsir, Ranking}
+
+/** Round-11 curation flagships: k-means training laws, DSIR weight
+  * semantics, and unigram-LM NLL against hand-computed references. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- KMeans -----------------------------------------------------------
+
+  private val seed2 = Seq(0 -> Array(0.0, 0.0), 1 -> Array(10.0, 10.0))
+
+  test("kmeans assignment is the snapped-L2 argmin, ties to smaller cid") {
+    val df = Seq(
+      (1L, Array(1.0, 0.0)),   // near centroid 0
+      (2L, Array(9.0, 10.0)),  // near centroid 1
+      (3L, Array(5.0, 5.0))    // exactly equidistant → cid 0
+    ).toDF("id", "v")
+    val a = KMeans.assign(df, "id", "v", seed2).orderBy("id").collect()
+    assert(a.map(_.getInt(2)).toSeq == Seq(0, 1, 0))
+    assert(a.head.getDouble(3) == 1.0) // dist² to (0,0) from (1,0)
+  }
+
+  test("one Lloyd round moves centroids to the snapped member means") {
+    val df = Seq(
+      (1L, Array(1.0, 1.0)), (2L, Array(3.0, 1.0)),     // cluster 0: mean (2,1)
+      (3L, Array(9.0, 9.0)), (4L, Array(11.0, 9.0))     // cluster 1: mean (10,9)
+    ).toDF("id", "v")
+    val (cents, asgn) = KMeans.train(df, "id", "v", seed2, iters = 1)
+    val c = cents.toMap
+    assert(c(0).toSeq == Seq(2.0, 1.0) && c(1).toSeq == Seq(10.0, 9.0))
+    // final assignment is against the RECOMPUTED centroids
+    val d = asgn.orderBy("id").collect()
+    assert(d.map(_.getInt(1)).toSeq == Seq(0, 0, 1, 1))
+    assert(d.head.getDouble(2) == 1.0) // (1,1) to (2,1): dist² 1
+  }
+
+  test("a cluster that loses all members keeps its previous centroid") {
+    val df = Seq((1L, Array(0.0, 1.0)), (2L, Array(1.0, 0.0))).toDF("id", "v")
+    val far = Seq(0 -> Array(0.0, 0.0), 1 -> Array(100.0, 100.0))
+    val (cents, _) = KMeans.train(df, "id", "v", far, iters = 2)
+    assert(cents.toMap.apply(1).toSeq == Seq(100.0, 100.0))
+    assert(cents.toMap.apply(0).toSeq == Seq(0.5, 0.5))
+  }
+
+  test("lloyd iterations never increase inertia (beyond snap tolerance)") {
+    val pts = (0 until 40).map(i =>
+      (i.toLong, Array((i % 7).toDouble, (i % 5).toDouble)))
+    val df = pts.toDF("id", "v")
+    val init = Seq(0 -> Array(0.0, 0.0), 1 -> Array(6.0, 4.0))
+    def inertia(iters: Int): Double = {
+      val (_, a) = KMeans.train(df, "id", "v", init, iters)
+      a.agg(sum(col("__d2"))).collect()(0).getDouble(0)
+    }
+    val i1 = inertia(1); val i2 = inertia(2); val i3 = inertia(3)
+    assert(i2 <= i1 + 1e-4 && i3 <= i2 + 1e-4)
+  }
+
+  // --- DSIR -------------------------------------------------------------
+
+  test("dsir weights: target-only vocabulary scores positive, off-target negative") {
+    val df = Seq(
+      (1L, "alpha alpha beta", true),
+      (2L, "alpha beta beta", true),
+      (3L, "gamma delta gamma", false),
+      (4L, "delta gamma delta", false)
+    ).toDF("id", "text", "is_en")
+    val w = Dsir.importanceWeights(df, "id", "text", col("is_en"),
+        buckets = 256, alpha = 0.1)
+      .select(col("id"), col("dsir_logw")).orderBy("id").collect()
+    assert(w(0).getDouble(1) > 0 && w(1).getDouble(1) > 0)
+    assert(w(2).getDouble(1) < 0 && w(3).getDouble(1) < 0)
+  }
+
+  test("dsir: token-free doc scores exactly 0 and n_tok 0") {
+    val df = Seq((1L, "   ", true), (2L, "word", false)).toDF("id", "text", "t")
+    val r = Dsir.importanceWeights(df, "id", "text", col("t"))
+      .orderBy("id").collect()
+    assert(r.head.getInt(r.head.fieldIndex("n_tok")) == 0)
+    assert(r.head.getDouble(r.head.fieldIndex("dsir_logw")) == 0.0)
+  }
+
+  test("dsir hand-check: single shared token, half target") {
+    // one token "x" appearing once in a target doc, once in a raw-only
+    // doc: raw count 2, target count 1, B buckets, alpha 1.
+    // logw(per token) = ln((1+1)/(1+B)) - ln((2+1)/(2+B))
+    val B = 64
+    val df = Seq((1L, "x", true), (2L, "x", false)).toDF("id", "text", "t")
+    val expect = math.log(2.0 / (1 + B)) - math.log(3.0 / (2 + B))
+    val got = Dsir.importanceWeights(df, "id", "text", col("t"), buckets = B)
+      .filter(col("id") === 1).collect()(0)
+    assert(math.abs(got.getDouble(got.fieldIndex("dsir_logw")) - expect) < 1e-12)
+  }
+
+  // --- unigram NLL ------------------------------------------------------
+
+  test("unigramNll hand-check on a two-doc corpus") {
+    // corpus tokens: a a b  |  b c   → counts a:2 b:2 c:1, tot 5, V 3,
+    // alpha 1 → p(a)=3/8, p(b)=3/8, p(c)=2/8
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("id", "text")
+    val r = Ranking.unigramNll(df, "id", "text")
+      .select(col("id"), col("n_tok"), col("nll")).orderBy("id").collect()
+    val p38 = -math.log(3.0 / 8); val p28 = -math.log(2.0 / 8)
+    assert(r(0).getLong(1) == 3 && math.abs(r(0).getDouble(2) - p38) < 1e-12)
+    assert(r(1).getLong(1) == 2 &&
+      math.abs(r(1).getDouble(2) - (p38 + p28) / 2) < 1e-12)
+  }
+
+  test("unigramNll: token-free docs keep null nll, n_tok 0") {
+    val df = Seq((1L, ""), (2L, "only words here")).toDF("id", "text")
+    val r = Ranking.unigramNll(df, "id", "text").orderBy("id").collect()
+    assert(r.head.getLong(r.head.fieldIndex("n_tok")) == 0)
+    assert(r.head.isNullAt(r.head.fieldIndex("nll")))
+  }
+
+  test("dsir plan: the only exchange carries the bucket table, not documents") {
+    val df = (1 to 50).map(i => (i.toLong, s"tok$i word common", i % 2 == 0))
+      .toDF("id", "text", "t")
+    val plan = Dsir.importanceWeights(df, "id", "text", col("t"))
+      .queryExecution.executedPlan.toString
+    // document rows are never hash-repartitioned: the only exchanges are
+    // the ≤B-row bucket aggregate's and the one-row broadcast
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 1, s"unexpected document shuffle:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"))
+  }
+}
