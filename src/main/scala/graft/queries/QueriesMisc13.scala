@@ -1,0 +1,262 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.ml.{KMeans, Similarity}
+import util._
+
+/** Round-11 batch 6: rolling covariance/correlation (pl.rolling_cov /
+  * rolling_corr), the plural range builders (pl.int_ranges /
+  * date_ranges), the trained-IVF composition (KMeans → ivfTopK), and a
+  * Johnson–Lindenstrauss random projection for embedding compression. */
+object QueriesMisc13 {
+
+  /** md5-prefix parity, matching DuckDB's
+    * `('0x' || substr(md5(s), 1, 8))::BIGINT % 2`. */
+  private def md5Mod2(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) % 2
+  }
+
+  /** Achlioptas ±1/√k sign matrix, k×dim, seeded by md5("i,j") parity —
+    * reproducible in SQL, which is the point: the projection is a plan
+    * artifact, not driver randomness. */
+  private def signMatrix(k: Int, dim: Int): Seq[Array[Double]] = {
+    val scale = 1.0 / math.sqrt(k)
+    (0 until k).map(i => (1 to dim).map(j =>
+      if (md5Mod2(s"$i,$j") == 0) scale else -scale).toArray)
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    // polars rolling_cov / rolling_corr (functions/lazy.py rolling_cov,
+    // rolling_corr): 5-row windows per supplier over (extendedprice,
+    // quantity). Composed from windowed sums — the online covariance
+    // algorithms differ across engines in the last ulp, the
+    // sum-of-products form is the same float path on both sides (the
+    // win_rolling_stats discipline).
+    "win_rolling_corr" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(-4, Window.currentRow)
+      val x = col("l_extendedprice"); val y = col("l_quantity")
+      val n = count(lit(1)).over(w).cast("double")
+      val sx = sum(x).over(w); val sy = sum(y).over(w)
+      val sxy = sum(x * y).over(w)
+      val sxx = sum(x * x).over(w); val syy = sum(y * y).over(w)
+      val cov = when(n > 1, (sxy - sx * sy / n) / (n - 1))
+      val vx = (sxx - sx * sx / n) / (n - 1)
+      val vy = (syy - sy * sy / n) / (n - 1)
+      val corr = when(n > 1 && vx > lit(1e-12) && vy > lit(1e-12),
+        (sxy - sx * sy / n) / (n - 1) / sqrt(vx * vy))
+      t(s, d, "lineitem").filter(col("l_suppkey") <= 20).select(
+          col("l_orderkey"), col("l_linenumber"),
+          (round(cov * 1e4) / 1e4).as("roll_cov"),
+          (round(corr * 1e6) / 1e6).as("roll_corr"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // polars int_ranges + date_ranges (functions/range/*.py — the plural,
+    // per-row-list forms). Emitted as scalar projections (size / ends /
+    // sum / joined string): raw list columns are a driver hash hazard
+    // (arrow child-name skew). int_ranges is end-EXCLUSIVE and empty when
+    // end ≤ start (pinned by the len=0 rows); date_ranges is closed-both.
+    "range_int_lists" -> ((s, d) => {
+      val start = col("o_custkey") % 5
+      val len = col("o_orderkey") % 4
+      val ints = when(len > 0, sequence(start, start + len - 1))
+        .otherwise(array().cast("array<bigint>"))
+      val nDays = (col("o_orderkey") % 3).cast("int")
+      val dates = expr(
+        "transform(sequence(o_orderdate, timestampadd(DAY, cast(o_orderkey % 3 as int), o_orderdate), interval 1 day), x -> date_format(x, 'yyyy-MM-dd'))")
+      t(s, d, "orders").filter(col("o_orderkey") <= 2000).select(
+          col("o_orderkey"),
+          size(ints).as("n_int"),
+          try_element_at(ints, lit(1)).as("int_first"),
+          try_element_at(ints, lit(-1)).as("int_last"),
+          aggregate(ints, lit(0L), (a, x) => a + x).as("int_sum"),
+          array_join(transform(ints, _.cast("string")), ",").as("int_csv"),
+          (nDays + 1).as("n_date"),
+          element_at(dates, -1).as("date_last"),
+          array_join(dates, ",").as("date_csv"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // The trained-IVF composition: KMeans.train (one Lloyd round, k=4,
+    // L2) supplies ivfTopK's centroid set — the FAISS build-then-search
+    // shape as two plan-native steps. nprobe=2 exercises the multi-probe
+    // path against trained (not seed) cells; queries are corpus members,
+    // so rank 1 is the self-hit at cosine 1 (a free sanity pin).
+    "sim_ivf_trained" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("e"))
+      val init = emb.filter(col("vec_id") < 4)
+        .collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
+        .sortBy(_._1).toSeq
+      val (cents, _) = KMeans.train(emb, "vec_id", "e", init, iters = 1)
+      val qs = emb.filter(col("vec_id") <= 2)
+        .select(col("vec_id").as("query_id"), col("e"))
+      Similarity.ivfTopK(emb, qs, "vec_id", "e", "query_id",
+          cents, k = 5, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Johnson–Lindenstrauss random projection (Achlioptas sign matrix,
+    // 64 → 16 dims): the standard 4× embedding-compression step before
+    // clustering/ANN at corpus scale. The matrix is seeded from md5
+    // parities so the SQL oracle rebuilds it bit-identically; the key
+    // emits the first four components plus the projected/original
+    // squared norms — pinning the whole transform, not a sample of it.
+    "sim_random_projection" -> ((s, d) => {
+      val p = signMatrix(16, 64)
+      val e = col("e")
+      val ys = p.map(row => dotProduct64(e, row))
+      val sq = ys.map(y => y * y).reduce(_ + _)
+      t(s, d, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("e"))
+        .select(col("vec_id"),
+          (round(ys(0) * 1e6) / 1e6).as("y0"),
+          (round(ys(1) * 1e6) / 1e6).as("y1"),
+          (round(ys(2) * 1e6) / 1e6).as("y2"),
+          (round(ys(3) * 1e6) / 1e6).as("y3"),
+          (round(sq * 1e6) / 1e6).as("proj_sq"),
+          (round(graft.functions.dotProduct(e, e) * 1e6) / 1e6).as("x_sq"))
+        .orderBy(col("vec_id"))
+    })
+  )
+
+  private def dotProduct64(vec: Column, row: Array[Double]): Column =
+    graft.functions.dotProduct(vec, array(row.map(lit): _*))
+
+  val oracle: Map[String, String] = Map(
+
+    "win_rolling_corr" ->
+      """WITH t AS (
+        | SELECT l_orderkey, l_linenumber, l_extendedprice AS x,
+        |   l_quantity AS y,
+        |  count(*) OVER w AS n,
+        |  sum(l_extendedprice) OVER w AS sx,
+        |  sum(l_quantity) OVER w AS sy,
+        |  sum(l_extendedprice * l_quantity) OVER w AS sxy,
+        |  sum(l_extendedprice * l_extendedprice) OVER w AS sxx,
+        |  sum(l_quantity * l_quantity) OVER w AS syy
+        | FROM lineitem WHERE l_suppkey <= 20
+        | WINDOW w AS (PARTITION BY l_suppkey
+        |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+        |SELECT l_orderkey, l_linenumber,
+        | round((CASE WHEN n > 1
+        |   THEN (sxy - sx * sy / n) / (n - 1) END) * 1e4) / 1e4 AS roll_cov,
+        | round((CASE WHEN n > 1
+        |   AND (sxx - sx * sx / n) / (n - 1) > 1e-12
+        |   AND (syy - sy * sy / n) / (n - 1) > 1e-12
+        |   THEN (sxy - sx * sy / n) / (n - 1)
+        |     / sqrt(((sxx - sx * sx / n) / (n - 1))
+        |          * ((syy - sy * sy / n) / (n - 1))) END) * 1e6) / 1e6
+        |   AS roll_corr
+        |FROM t ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "range_int_lists" ->
+      """WITH t AS (
+        | SELECT o_orderkey,
+        |  range(o_custkey % 5, o_custkey % 5 + o_orderkey % 4) AS ints,
+        |  [strftime(x, '%Y-%m-%d')
+        |   FOR x IN generate_series(o_orderdate,
+        |     o_orderdate + to_days((o_orderkey % 3)::INT),
+        |     INTERVAL 1 DAY)] AS dates
+        | FROM orders WHERE o_orderkey <= 2000)
+        |SELECT o_orderkey,
+        | len(ints)::INT AS n_int,
+        | ints[1] AS int_first,
+        | ints[-1] AS int_last,
+        | coalesce(list_sum(ints), 0)::BIGINT AS int_sum,
+        | coalesce(array_to_string(ints, ','), '') AS int_csv,
+        | len(dates)::INT AS n_date,
+        | dates[-1] AS date_last,
+        | array_to_string(dates, ',') AS date_csv
+        |FROM t ORDER BY o_orderkey""".stripMargin,
+
+    "sim_ivf_trained" ->
+      // c1 = the KMeans round replayed (same CTEs as sim_kmeans_train),
+      // then the ivfTopK shape: corpus cells by raw-cosine argmax (ties
+      // to smaller cid), queries probe their 2 nearest cells.
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |c0 AS (SELECT vec_id::INT AS cid, e AS cvec FROM v WHERE vec_id < 4),
+        |a1 AS (
+        |  SELECT vec_id, e, cid FROM (
+        |    SELECT v.vec_id, v.e, c.cid,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        round((list_dot_product(v.e, v.e)
+        |               - 2 * list_dot_product(v.e, c.cvec)
+        |               + list_dot_product(c.cvec, c.cvec)) * 1e6) ASC,
+        |        c.cid ASC) AS rn
+        |    FROM v CROSS JOIN c0 c) WHERE rn = 1),
+        |m1 AS (
+        |  SELECT cid, pos, round(avg(e[pos]) * 1e6) / 1e6 AS m
+        |  FROM a1 CROSS JOIN range(1, 65) AS r(pos)
+        |  GROUP BY cid, pos),
+        |c1 AS (SELECT cid, list(m ORDER BY pos) AS cvec FROM m1 GROUP BY cid),
+        |cells AS (
+        |  SELECT vec_id, e, cid FROM (
+        |    SELECT v.vec_id, v.e, c.cid,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        -(list_dot_product(v.e, c.cvec)
+        |          / (sqrt(list_dot_product(v.e, v.e))
+        |             * sqrt(list_dot_product(c.cvec, c.cvec)))) ASC,
+        |        c.cid ASC) AS rn
+        |    FROM v CROSS JOIN c1 c) WHERE rn = 1),
+        |q AS (
+        |  SELECT vec_id AS query_id, e AS qv, cid FROM (
+        |    SELECT v.vec_id, v.e, c.cid,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        -(list_dot_product(v.e, c.cvec)
+        |          / (sqrt(list_dot_product(v.e, v.e))
+        |             * sqrt(list_dot_product(c.cvec, c.cvec)))) ASC,
+        |        c.cid ASC) AS rn
+        |    FROM v CROSS JOIN c1 c WHERE v.vec_id <= 2) WHERE rn <= 2),
+        |scored AS (
+        |  SELECT q.query_id, d.vec_id,
+        |    round(list_dot_product(d.e, q.qv)
+        |      / (sqrt(list_dot_product(d.e, d.e))
+        |         * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+        |  FROM cells d JOIN q ON d.cid = q.cid)
+        |SELECT query_id, vec_id, cosine, rank FROM (
+        |  SELECT query_id, vec_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "sim_random_projection" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |pm AS (
+        |  SELECT i, [CASE WHEN ('0x' || substr(md5(i::VARCHAR || ','
+        |        || j::VARCHAR), 1, 8))::BIGINT % 2 = 0
+        |      THEN 0.25 ELSE -0.25 END
+        |    FOR j IN generate_series(1, 64)] AS prow
+        |  FROM generate_series(0, 15) AS t(i)),
+        |proj AS (
+        |  SELECT vec_id, i, list_dot_product(e, prow) AS y
+        |  FROM v CROSS JOIN pm),
+        |agg AS (
+        |  SELECT vec_id, sum(y * y) AS sq,
+        |    max(CASE WHEN i = 0 THEN y END) AS y0,
+        |    max(CASE WHEN i = 1 THEN y END) AS y1,
+        |    max(CASE WHEN i = 2 THEN y END) AS y2,
+        |    max(CASE WHEN i = 3 THEN y END) AS y3
+        |  FROM proj GROUP BY vec_id)
+        |SELECT a.vec_id,
+        | round(y0 * 1e6) / 1e6 + 0.0 AS y0,
+        | round(y1 * 1e6) / 1e6 + 0.0 AS y1,
+        | round(y2 * 1e6) / 1e6 + 0.0 AS y2,
+        | round(y3 * 1e6) / 1e6 + 0.0 AS y3,
+        | round(sq * 1e6) / 1e6 AS proj_sq,
+        | round(list_dot_product(v.e, v.e) * 1e6) / 1e6 AS x_sq
+        |FROM agg a JOIN v USING (vec_id) ORDER BY a.vec_id""".stripMargin
+  )
+}

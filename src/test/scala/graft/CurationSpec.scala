@@ -116,6 +116,28 @@ class CurationSpec extends SparkSpec {
     assert(r.head.isNullAt(r.head.fieldIndex("nll")))
   }
 
+  // --- JL random projection (QueriesMisc13 helpers via the key) --------
+
+  test("JL projection concentrates norms: proj_sq within 60% of x_sq for most rows") {
+    // Achlioptas sign matrix, 64→16: E[proj_sq] = x_sq; at k=16 the
+    // deviation is wide but bounded — check the median ratio lands near
+    // 1, which would fail for any systematically-scaled-wrong matrix.
+    val out = graft.queries.QueriesMisc13
+      .queries("sim_random_projection")(spark, "/root/testdata/sf0.001")
+      .select(col("proj_sq") / col("x_sq"))
+    val ratios = out.collect().map(_.getDouble(0)).sorted
+    val med = ratios(ratios.length / 2)
+    assert(med > 0.4 && med < 1.6, s"median norm ratio $med")
+  }
+
+  test("rolling corr is bounded to [-1, 1] and cov row-1 is null") {
+    val out = graft.queries.QueriesMisc13
+      .queries("win_rolling_corr")(spark, "/root/testdata/sf0.001")
+    val bad = out.filter(abs(col("roll_corr")) > 1.0 + 1e-9).count()
+    assert(bad == 0)
+    assert(out.filter(col("roll_cov").isNull).count() > 0)
+  }
+
   test("dsir plan: the only exchange carries the bucket table, not documents") {
     val df = (1 to 50).map(i => (i.toLong, s"tok$i word common", i % 2 == 0))
       .toDF("id", "text", "t")
