@@ -41,4 +41,24 @@ object Meta {
       case Some(s) => concat(id.cast("string"), lit(":"), lit(s.toString))
       case None    => id
     }
+
+  /** polars thread_pool_size (functions/misc.py): the engine's worker
+    * parallelism — in Spark terms, the scheduler's default parallelism
+    * (executor cores in local mode, total cores on a cluster). */
+  def threadPoolSize(spark: SparkSession): Int =
+    spark.sparkContext.defaultParallelism
+
+  /** polars get_index_type: the dtype backing row indices. polars returns
+    * UInt32; graft's `row_index`/gather surface is 64-bit (Spark has no
+    * unsigned 32-bit type and 100 TB corpora overflow u32 row counts
+    * anyway), so this reports the actual engine contract. */
+  def indexType: String = "Int64"
+
+  /** polars read_ipc_schema (io/ipc/functions.py): footer-only schema of
+    * an Arrow IPC file/directory through the graft-ipc DSv2 connector —
+    * resolving the relation reads schema metadata, never record batches
+    * (the scan stays lazy and unexecuted). */
+  def readIpcSchema(spark: SparkSession, path: String):
+      org.apache.spark.sql.types.StructType =
+    spark.read.format("graft-ipc").load(path).schema
 }

@@ -105,6 +105,54 @@ object QueriesMisc13 {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // polars arg_sort_by (functions/lazy.py): the permutation that would
+    // sort the frame by (totalprice DESC, orderdate ASC, key ASC) — the
+    // k-th output row carries the original index of the k-th row in that
+    // order. A global permutation is inherently a total order, so the
+    // key keeps the input small; at scale the same shape is sort +
+    // row_index (zipWithIndex), which SURVEY's sort row already covers.
+    "misc_arg_sort_by" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderdate").asc,
+        col("o_orderkey").asc)
+      t(s, d, "orders").filter(col("o_orderkey") <= 200)
+        .select(col("o_orderkey"), row_number().over(w).as("pos"))
+        .select(col("pos"), col("o_orderkey").as("orig_idx"))
+        .orderBy(col("pos"))
+    }),
+
+    // polars linear_spaces / datetime_ranges / time_ranges (the plural,
+    // per-row-list range builders; time lists emitted as HH:mm:ss
+    // strings — the honest mapping, Spark has no TIME dtype). Same
+    // scalar-projection discipline as range_int_lists.
+    "range_more_lists" -> ((s, d) => {
+      val n = (col("r_regionkey") % 3 + 2).cast("int")    // num samples ≥ 2
+      val span = (col("r_regionkey") + 1).cast("double")
+      // closed-both linspace, emitted as 1e6-scaled longs (exact csv —
+      // no double-repr dependence)
+      val lin = transform(sequence(lit(0), n - 1), i =>
+        round((col("r_regionkey").cast("double") + i.cast("double") * span /
+          (n - 1).cast("double")) * 1e6).cast("long"))
+      val t0 = "timestamp'2024-03-01 06:30:00'"
+      val start = s"timestampadd(DAY, cast(r_regionkey as int), $t0)"
+      val hours = expr(
+        s"transform(sequence($start, timestampadd(HOUR, cast(r_regionkey % 3 as int) + 1, $start), " +
+          "interval 1 hour), x -> date_format(x, 'yyyy-MM-dd HH:mm:ss'))")
+      val times = expr(
+        s"transform(sequence($t0, timestampadd(MINUTE, 30 * cast(r_regionkey % 4 as int), $t0), " +
+          "interval 30 minute), x -> date_format(x, 'HH:mm:ss'))")
+      t(s, d, "region").select(
+          col("r_regionkey"),
+          size(lin).as("n_lin"),
+          try_element_at(lin, lit(1)).as("lin_first"),
+          try_element_at(lin, lit(-1)).as("lin_last"),
+          array_join(transform(lin, _.cast("string")), ",").as("lin_csv"),
+          expr(s"date_format($start, 'yyyy-MM-dd HH:mm:ss')").as("dt_start"),
+          array_join(hours, ",").as("dt_csv"),
+          array_join(times, ",").as("time_csv"))
+        .orderBy(col("r_regionkey"))
+    }),
+
     // Johnson–Lindenstrauss random projection (Achlioptas sign matrix,
     // 64 → 16 dims): the standard 4× embedding-compression step before
     // clustering/ANN at corpus scale. The matrix is seeded from md5
@@ -180,6 +228,46 @@ object QueriesMisc13 {
         | dates[-1] AS date_last,
         | array_to_string(dates, ',') AS date_csv
         |FROM t ORDER BY o_orderkey""".stripMargin,
+
+    "misc_arg_sort_by" ->
+      """SELECT pos, orig_idx FROM (
+        |  SELECT o_orderkey AS orig_idx,
+        |    CAST(row_number() OVER (ORDER BY o_totalprice DESC,
+        |      o_orderdate ASC, o_orderkey ASC) AS INTEGER) AS pos
+        |  FROM orders WHERE o_orderkey <= 200)
+        |ORDER BY pos""".stripMargin,
+
+    "range_more_lists" ->
+      """WITH t AS (
+        | SELECT r_regionkey,
+        |  (r_regionkey % 3 + 2)::INT AS n,
+        |  (r_regionkey + 1)::DOUBLE AS span,
+        |  TIMESTAMP '2024-03-01 06:30:00' + to_days(r_regionkey::INT)
+        |    AS strt
+        | FROM region),
+        |l AS (
+        | SELECT r_regionkey, n, strt,
+        |  [CAST(round((r_regionkey + i * span / (n - 1)) * 1e6) AS BIGINT)
+        |   FOR i IN generate_series(0, n - 1)] AS lin,
+        |  [strftime(x, '%Y-%m-%d %H:%M:%S')
+        |   FOR x IN generate_series(strt,
+        |     strt + to_hours((r_regionkey % 3)::INT + 1),
+        |     INTERVAL 1 HOUR)] AS hrs,
+        |  [strftime(x, '%H:%M:%S')
+        |   FOR x IN generate_series(TIMESTAMP '2024-03-01 06:30:00',
+        |     TIMESTAMP '2024-03-01 06:30:00'
+        |       + to_minutes(30 * (r_regionkey % 4)::INT),
+        |     INTERVAL 30 MINUTE)] AS tms
+        | FROM t)
+        |SELECT r_regionkey,
+        | len(lin)::INT AS n_lin,
+        | lin[1] AS lin_first,
+        | lin[-1] AS lin_last,
+        | array_to_string(lin, ',') AS lin_csv,
+        | strftime(strt, '%Y-%m-%d %H:%M:%S') AS dt_start,
+        | array_to_string(hrs, ',') AS dt_csv,
+        | array_to_string(tms, ',') AS time_csv
+        |FROM l ORDER BY r_regionkey""".stripMargin,
 
     "sim_ivf_trained" ->
       // c1 = the KMeans round replayed (same CTEs as sim_kmeans_train),

@@ -38,4 +38,22 @@ class MetaSpec extends SparkSpec {
 
   private def util_t(name: String) =
     graft.queries.util.t(spark, "/root/testdata/sf0.001", name)
+
+  test("thread_pool_size reports the scheduler parallelism") {
+    assert(Meta.threadPoolSize(spark) ==
+      spark.sparkContext.defaultParallelism)
+    assert(Meta.threadPoolSize(spark) > 0)
+  }
+
+  test("index type is the engine's 64-bit row-index contract") {
+    assert(Meta.indexType == "Int64")
+  }
+
+  test("read_ipc_schema resolves schema footer-only through graft-ipc") {
+    val dir = "/tmp/graft_test/meta_ipc"
+    val df = util_t("region")
+    graft.sources.ArrowIpc.write(df, dir)
+    val sch = Meta.readIpcSchema(spark, dir)
+    assert(sch.fieldNames.toSeq == df.schema.fieldNames.toSeq)
+  }
 }
