@@ -11,6 +11,45 @@ import util._
   * log-likelihood scoring (the KenLM-perplexity-filter stand-in). */
 object QueriesMisc12 {
 
+  /** The first-k seed-centroid convention shared by the kmeans/IVF keys
+    * (and SemDedup): collect k driver-side (cid, vector) pairs. */
+  private[queries] def seedCentroids(
+      emb: org.apache.spark.sql.DataFrame, k: Int): Seq[(Int, Array[Double])] =
+    emb.filter(col("vec_id") < k)
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+
+  /** One replayed Lloyd round as oracle CTEs (v → c0 → a1 → m1 → c1):
+    * the assignment argmin orders on round(dist²·1e6) with ties to the
+    * smaller cid, means snap to the 1e-6 grid, and — mirroring
+    * `KMeans.recompute`'s empty-cell policy — a cluster that lost all
+    * members keeps its SEED centroid (the LEFT JOIN coalesce; a
+    * mean-only c1 would silently drop it and diverge from the engine
+    * whenever two seed vectors coincide). Shared by sim_kmeans_train
+    * and sim_ivf_trained so the snap discipline cannot drift. */
+  private[queries] val kmeansReplayCtes: String =
+    """v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |c0 AS (SELECT vec_id::INT AS cid, e AS cvec FROM v WHERE vec_id < 4),
+      |a1 AS (
+      |  SELECT vec_id, e, cid FROM (
+      |    SELECT v.vec_id, v.e, c.cid,
+      |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |        round((list_dot_product(v.e, v.e)
+      |               - 2 * list_dot_product(v.e, c.cvec)
+      |               + list_dot_product(c.cvec, c.cvec)) * 1e6) ASC,
+      |        c.cid ASC) AS rn
+      |    FROM v CROSS JOIN c0 c) WHERE rn = 1),
+      |m1 AS (
+      |  SELECT cid, pos, round(avg(e[pos]) * 1e6) / 1e6 AS m
+      |  FROM a1 CROSS JOIN range(1, 65) AS r(pos)
+      |  GROUP BY cid, pos),
+      |c1 AS (
+      |  SELECT c0.cid, coalesce(mm.mvec, c0.cvec) AS cvec
+      |  FROM c0 LEFT JOIN
+      |    (SELECT cid, list(m ORDER BY pos) AS mvec FROM m1 GROUP BY cid) mm
+      |    ON mm.cid = c0.cid)""".stripMargin
+
   val queries: Map[String, Q] = Map(
 
     // Distributed Lloyd's k-means (ml/KMeans): k=4 centroids seeded from
@@ -26,11 +65,8 @@ object QueriesMisc12 {
       val emb = t(s, d, "embeddings")
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("e"))
-      val init = emb.filter(col("vec_id") < 4)
-        .collect()
-        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
-        .sortBy(_._1).toSeq
-      val (_, asgn) = KMeans.train(emb, "vec_id", "e", init, iters = 1)
+      val (_, asgn) =
+        KMeans.train(emb, "vec_id", "e", seedCentroids(emb, 4), iters = 1)
       asgn.select(col("vec_id"), col("cluster"),
           (round(col("__d2") * 1e4) / 1e4).as("d2"))
         .orderBy(col("vec_id"))
@@ -64,25 +100,10 @@ object QueriesMisc12 {
   val oracle: Map[String, String] = Map(
 
     "sim_kmeans_train" ->
-      // replayed training: a1 = assignment under the seed centroids,
-      // c1 = snapped element-wise member means, final = assignment
-      // under c1. dist² compared via the same 1e6 snap as the engine.
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        |c0 AS (SELECT vec_id::INT AS cid, e AS cvec FROM v WHERE vec_id < 4),
-        |a1 AS (
-        |  SELECT vec_id, e, cid FROM (
-        |    SELECT v.vec_id, v.e, c.cid,
-        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |        round((list_dot_product(v.e, v.e)
-        |               - 2 * list_dot_product(v.e, c.cvec)
-        |               + list_dot_product(c.cvec, c.cvec)) * 1e6) ASC,
-        |        c.cid ASC) AS rn
-        |    FROM v CROSS JOIN c0 c) WHERE rn = 1),
-        |m1 AS (
-        |  SELECT cid, pos, round(avg(e[pos]) * 1e6) / 1e6 AS m
-        |  FROM a1 CROSS JOIN range(1, 65) AS r(pos)
-        |  GROUP BY cid, pos),
-        |c1 AS (SELECT cid, list(m ORDER BY pos) AS cvec FROM m1 GROUP BY cid),
+      // replayed training (shared CTEs): a1 = assignment under the seed
+      // centroids, c1 = snapped member means (seed kept for empty
+      // cells), final = assignment under c1.
+      s"""WITH $kmeansReplayCtes,
         |s2 AS (
         |  SELECT v.vec_id, c.cid,
         |    list_dot_product(v.e, v.e) - 2 * list_dot_product(v.e, c.cvec)
@@ -116,7 +137,8 @@ object QueriesMisc12 {
         |ws AS (SELECT doc_id, sum(v) AS w
         |       FROM ex JOIN lr USING (b) GROUP BY doc_id)
         |SELECT t.doc_id, t.lang, len(t.tk)::INT AS n_tok,
-        |  round(coalesce(ws.w, 0.0) * 1e6) / 1e6 + 0.0 AS logw
+        |  CASE WHEN t.tk IS NULL THEN NULL
+        |    ELSE round(coalesce(ws.w, 0.0) * 1e6) / 1e6 + 0.0 END AS logw
         |FROM tok t LEFT JOIN ws USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
 

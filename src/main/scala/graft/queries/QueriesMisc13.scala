@@ -93,11 +93,8 @@ object QueriesMisc13 {
       val emb = t(s, d, "embeddings")
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("e"))
-      val init = emb.filter(col("vec_id") < 4)
-        .collect()
-        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
-        .sortBy(_._1).toSeq
-      val (cents, _) = KMeans.train(emb, "vec_id", "e", init, iters = 1)
+      val (cents, _) = KMeans.train(emb, "vec_id", "e",
+        QueriesMisc12.seedCentroids(emb, 4), iters = 1)
       val qs = emb.filter(col("vec_id") <= 2)
         .select(col("vec_id").as("query_id"), col("e"))
       Similarity.ivfTopK(emb, qs, "vec_id", "e", "query_id",
@@ -199,13 +196,14 @@ object QueriesMisc13 {
         |   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
         |SELECT l_orderkey, l_linenumber,
         | round((CASE WHEN n > 1
-        |   THEN (sxy - sx * sy / n) / (n - 1) END) * 1e4) / 1e4 AS roll_cov,
+        |   THEN (sxy - sx * sy / n) / (n - 1) END) * 1e4) / 1e4 + 0.0
+        |   AS roll_cov,
         | round((CASE WHEN n > 1
         |   AND (sxx - sx * sx / n) / (n - 1) > 1e-12
         |   AND (syy - sy * sy / n) / (n - 1) > 1e-12
         |   THEN (sxy - sx * sy / n) / (n - 1)
         |     / sqrt(((sxx - sx * sx / n) / (n - 1))
-        |          * ((syy - sy * sy / n) / (n - 1))) END) * 1e6) / 1e6
+        |          * ((syy - sy * sy / n) / (n - 1))) END) * 1e6) / 1e6 + 0.0
         |   AS roll_corr
         |FROM t ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
@@ -270,25 +268,11 @@ object QueriesMisc13 {
         |FROM l ORDER BY r_regionkey""".stripMargin,
 
     "sim_ivf_trained" ->
-      // c1 = the KMeans round replayed (same CTEs as sim_kmeans_train),
-      // then the ivfTopK shape: corpus cells by raw-cosine argmax (ties
-      // to smaller cid), queries probe their 2 nearest cells.
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        |c0 AS (SELECT vec_id::INT AS cid, e AS cvec FROM v WHERE vec_id < 4),
-        |a1 AS (
-        |  SELECT vec_id, e, cid FROM (
-        |    SELECT v.vec_id, v.e, c.cid,
-        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |        round((list_dot_product(v.e, v.e)
-        |               - 2 * list_dot_product(v.e, c.cvec)
-        |               + list_dot_product(c.cvec, c.cvec)) * 1e6) ASC,
-        |        c.cid ASC) AS rn
-        |    FROM v CROSS JOIN c0 c) WHERE rn = 1),
-        |m1 AS (
-        |  SELECT cid, pos, round(avg(e[pos]) * 1e6) / 1e6 AS m
-        |  FROM a1 CROSS JOIN range(1, 65) AS r(pos)
-        |  GROUP BY cid, pos),
-        |c1 AS (SELECT cid, list(m ORDER BY pos) AS cvec FROM m1 GROUP BY cid),
+      // c1 = the KMeans round replayed (the SAME shared CTE constant as
+      // sim_kmeans_train — QueriesMisc12.kmeansReplayCtes), then the
+      // ivfTopK shape: corpus cells by raw-cosine argmax (ties to
+      // smaller cid), queries probe their 2 nearest cells.
+      s"""WITH ${QueriesMisc12.kmeansReplayCtes},
         |cells AS (
         |  SELECT vec_id, e, cid FROM (
         |    SELECT v.vec_id, v.e, c.cid,
