@@ -678,6 +678,18 @@ final class LazyFrame(val df: DataFrame) {
 
   def cache(): LazyFrame = LazyFrame(df.cache())
 
+  /** polars set_sorted: a memory-layout hint in the reference. Spark
+    * tracks ordering through SortExec nodes, not frame metadata, so the
+    * honest mapping is the identity — kept so ported pipelines type-check
+    * and so the contract is explicit rather than a missing method. */
+  def setSorted(cols: String*): LazyFrame = { require(cols.nonEmpty); this }
+
+  /** polars rechunk: contiguous-buffer compaction in the reference.
+    * Spark's columnar batches are managed by the engine (no user-visible
+    * chunking), so this is the identity; `repartition` is the analogous
+    * physical-layout lever when one is actually wanted. */
+  def rechunk(): LazyFrame = this
+
   /** polars collect() — in Spark the frame IS lazy; this just returns the
     * underlying DataFrame for an action. */
   def collect(): DataFrame = df

@@ -56,6 +56,12 @@ package object functions {
   def isFirstDistinct(c: Column, orderBy: Column): Column =
     row_number().over(Window.partitionBy(c).orderBy(orderBy)) === 1
 
+  /** polars is_last_distinct: the mirror — true on the LAST occurrence
+    * of each distinct value along the order (pass a plain ascending
+    * order column; the reversal happens here). */
+  def isLastDistinct(c: Column, orderBy: Column): Column =
+    row_number().over(Window.partitionBy(c).orderBy(orderBy.desc)) === 1
+
   /** polars peak_max (chunked_array/peaks.rs): strictly greater than both
     * neighbors; at the partition edge only the existing neighbor counts. */
   def peakMax(c: Column, w: WindowSpec): Column = {

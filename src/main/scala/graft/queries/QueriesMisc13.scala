@@ -102,6 +102,18 @@ object QueriesMisc13 {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // polars cbrt (Expr.cbrt) + is_last_distinct (the mirror of the
+    // green win_first_distinct key): cube root keeps negative-input
+    // semantics (cbrt(-8) = -2, both engines), last-distinct flags the
+    // final occurrence of each event_type along event time.
+    "misc_cbrt_last_distinct" -> ((s, d) =>
+      t(s, d, "events").filter(col("user_id") <= 10).select(
+          col("event_id"),
+          (round(cbrt(col("value")) * 1e6) / 1e6).as("cbrt_v"),
+          graft.functions.isLastDistinct(col("event_type"),
+            struct(col("ts"), col("event_id"))).as("is_last"))
+        .orderBy(col("event_id"))),
+
     // polars arg_sort_by (functions/lazy.py): the permutation that would
     // sort the frame by (totalprice DESC, orderdate ASC, key ASC) — the
     // k-th output row carries the original index of the k-th row in that
@@ -226,6 +238,14 @@ object QueriesMisc13 {
         | dates[-1] AS date_last,
         | array_to_string(dates, ',') AS date_csv
         |FROM t ORDER BY o_orderkey""".stripMargin,
+
+    "misc_cbrt_last_distinct" ->
+      """SELECT event_id,
+        | round(cbrt(value) * 1e6) / 1e6 + 0.0 AS cbrt_v,
+        | row_number() OVER (PARTITION BY event_type
+        |   ORDER BY ts DESC, event_id DESC) = 1 AS is_last
+        |FROM events WHERE user_id <= 10
+        |ORDER BY event_id""".stripMargin,
 
     "misc_arg_sort_by" ->
       """SELECT pos, orig_idx FROM (

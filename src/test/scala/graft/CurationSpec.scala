@@ -138,6 +138,28 @@ class CurationSpec extends SparkSpec {
     assert(out.filter(col("roll_cov").isNull).count() > 0)
   }
 
+  test("is_last_distinct marks exactly one row per distinct value") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "a"), (4L, "a"), (5L, "b"))
+      .toDF("i", "v")
+    val out = df.select(col("i"), col("v"),
+      graft.functions.isLastDistinct(col("v"), col("i")).as("l"))
+    assert(out.filter(col("l")).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(4L, 5L))
+    // complement law: last along asc == first along desc
+    val first = df.select(col("i"),
+      graft.functions.isFirstDistinct(col("v"), -col("i")).as("f"))
+    assert(first.filter(col("f")).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(4L, 5L))
+  }
+
+  test("set_sorted and rechunk are identity no-ops on the plan") {
+    val lf = graft.dsl.LazyFrame(Seq((1, "x")).toDF("a", "b"))
+    assert(lf.setSorted("a").df.queryExecution.logical
+      == lf.df.queryExecution.logical)
+    assert(lf.rechunk().df.queryExecution.logical
+      == lf.df.queryExecution.logical)
+  }
+
   test("dsir plan: the only exchange carries the bucket table, not documents") {
     val df = (1 to 50).map(i => (i.toLong, s"tok$i word common", i % 2 == 0))
       .toDF("id", "text", "t")
