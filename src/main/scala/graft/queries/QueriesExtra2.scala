@@ -206,8 +206,16 @@ object QueriesExtra2 {
       |LIMIT 10""".stripMargin
 
   val q5Sql: String =
+    // revenue is summed as EXACT integer 1e-4 dollars (price and discount
+    // are 2dp, so round(·*100) is integral and each product is exact in a
+    // double; the bigint sum is then order-independent and engine-
+    // identical — the float sum's last-ulp jitter flipped a cent-rounding
+    // boundary at sf1). round(x/100.0)/100 re-emits 2dp dollars: both
+    // engines round halves away from zero, so even an exact N.5 agrees.
     """SELECT n_name,
-      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      | round(cast(sum(cast(round(l_extendedprice * 100)
+      |   * round((1 - l_discount) * 100) as bigint)) as double) / 100.0)
+      |   / 100 AS revenue
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey
       |JOIN lineitem ON l_orderkey = o_orderkey
