@@ -690,6 +690,35 @@ final class LazyFrame(val df: DataFrame) {
     * physical-layout lever when one is actually wanted. */
   def rechunk(): LazyFrame = this
 
+  /** polars shrink_to_fit: buffer-capacity trimming — engine-managed in
+    * Spark (Tungsten owns the memory), so the identity. */
+  def shrinkToFit(): LazyFrame = this
+
+  /** polars select_seq / with_columns_seq: the reference's "don't run
+    * these expressions in parallel" variants. Catalyst schedules
+    * expression evaluation itself (whole-stage codegen is one fused
+    * loop), so they delegate — the sequencing hint has no Spark
+    * analogue and the semantics are identical. */
+  def selectSeq(exprs: Column*): LazyFrame = select(exprs: _*)
+  def withColumnsSeq(cols: (String, Column)*): LazyFrame =
+    withColumns(cols: _*)
+
+  /** polars collect_schema: the resolved schema without executing —
+    * Spark's analysis phase resolves it lazily on the plan. */
+  def collectSchema: org.apache.spark.sql.types.StructType = df.schema
+
+  /** polars get_column_index (ColumnNotFoundError analogue: throws). */
+  def getColumnIndex(name: String): Int = {
+    val i = df.schema.fieldIndex(name) // throws IllegalArgumentException
+    i
+  }
+
+  /** polars estimated_size: the optimizer's size estimate for the frame
+    * in bytes (parquet statistics / plan stats — the Spark-native
+    * analogue of polars' heap measurement; both are estimates). */
+  def estimatedSize: BigInt =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes
+
   /** polars collect() — in Spark the frame IS lazy; this just returns the
     * underlying DataFrame for an action. */
   def collect(): DataFrame = df

@@ -158,6 +158,18 @@ class CurationSpec extends SparkSpec {
       == lf.df.queryExecution.logical)
     assert(lf.rechunk().df.queryExecution.logical
       == lf.df.queryExecution.logical)
+    assert(lf.shrinkToFit().df.queryExecution.logical
+      == lf.df.queryExecution.logical)
+  }
+
+  test("seq variants, collect_schema, column index, estimated size") {
+    val lf = graft.dsl.LazyFrame(Seq((1, "x"), (2, "y")).toDF("a", "b"))
+    assert(lf.selectSeq(col("a")).df.columns.toSeq == Seq("a"))
+    assert(lf.withColumnsSeq("c" -> (col("a") + 1)).df.columns.contains("c"))
+    assert(lf.collectSchema.fieldNames.toSeq == Seq("a", "b"))
+    assert(lf.getColumnIndex("b") == 1)
+    intercept[IllegalArgumentException](lf.getColumnIndex("zz"))
+    assert(lf.estimatedSize > 0)
   }
 
   test("dsir plan: the only exchange carries the bucket table, not documents") {
