@@ -50,6 +50,31 @@ object QueriesMisc12 {
       |    (SELECT cid, list(m ORDER BY pos) AS mvec FROM m1 GROUP BY cid) mm
       |    ON mm.cid = c0.cid)""".stripMargin
 
+  /** The DSIR weight replay as oracle CTEs (tok → pairs → tab → tot →
+    * lr → ex → ws): 64 md5-hashed unigram buckets, add-1 smoothing,
+    * per-doc log-ratio sums. Shared by text_dsir_weights and the
+    * end-to-end resample key so the bucket/smoothing math cannot
+    * drift between them. */
+  private[queries] val dsirCtes: String =
+    s"""tok AS (
+      |  SELECT doc_id, lang, ${QueriesText.tokensSql} AS tk FROM documents),
+      |pairs AS (
+      |  SELECT (lang = 'en')::INT AS t,
+      |    ('0x' || substr(md5(u.term), 1, 8))::BIGINT % 64 AS b
+      |  FROM tok, unnest(tk) AS u(term)),
+      |tab AS (SELECT b, count(*) AS rawc, sum(t) AS tgtc
+      |        FROM pairs GROUP BY b),
+      |tot AS (SELECT sum(rawc) AS rtot, sum(tgtc) AS ttot FROM tab),
+      |lr AS (SELECT b,
+      |         ln((tgtc + 1.0) / (ttot + 64.0))
+      |           - ln((rawc + 1.0) / (rtot + 64.0)) AS v
+      |       FROM tab CROSS JOIN tot),
+      |ex AS (SELECT doc_id,
+      |         ('0x' || substr(md5(u.term), 1, 8))::BIGINT % 64 AS b
+      |       FROM tok, unnest(tk) AS u(term)),
+      |ws AS (SELECT doc_id, sum(v) AS w
+      |       FROM ex JOIN lr USING (b) GROUP BY doc_id)""".stripMargin
+
   val queries: Map[String, Q] = Map(
 
     // Distributed Lloyd's k-means (ml/KMeans): k=4 centroids seeded from
@@ -118,24 +143,7 @@ object QueriesMisc12 {
         |FROM a2 ORDER BY vec_id""".stripMargin,
 
     "text_dsir_weights" ->
-      s"""WITH tok AS (
-        |  SELECT doc_id, lang, ${QueriesText.tokensSql} AS tk FROM documents),
-        |pairs AS (
-        |  SELECT (lang = 'en')::INT AS t,
-        |    ('0x' || substr(md5(u.term), 1, 8))::BIGINT % 64 AS b
-        |  FROM tok, unnest(tk) AS u(term)),
-        |tab AS (SELECT b, count(*) AS rawc, sum(t) AS tgtc
-        |        FROM pairs GROUP BY b),
-        |tot AS (SELECT sum(rawc) AS rtot, sum(tgtc) AS ttot FROM tab),
-        |lr AS (SELECT b,
-        |         ln((tgtc + 1.0) / (ttot + 64.0))
-        |           - ln((rawc + 1.0) / (rtot + 64.0)) AS v
-        |       FROM tab CROSS JOIN tot),
-        |ex AS (SELECT doc_id,
-        |         ('0x' || substr(md5(u.term), 1, 8))::BIGINT % 64 AS b
-        |       FROM tok, unnest(tk) AS u(term)),
-        |ws AS (SELECT doc_id, sum(v) AS w
-        |       FROM ex JOIN lr USING (b) GROUP BY doc_id)
+      s"""WITH $dsirCtes
         |SELECT t.doc_id, t.lang, len(t.tk)::INT AS n_tok,
         |  CASE WHEN t.tk IS NULL THEN NULL
         |    ELSE round(coalesce(ws.w, 0.0) * 1e6) / 1e6 + 0.0 END AS logw

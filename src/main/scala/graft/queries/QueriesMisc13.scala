@@ -102,6 +102,24 @@ object QueriesMisc13 {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // The DSIR paper's actual selection step, end to end: importance
+    // weights → Efraimidis–Spirakis weighted sampling WITHOUT
+    // replacement on imp = exp(logw) (Dsir + Sampling.sampleWeighted,
+    // composed unchanged). Top-50 by the integer-scaled es_key, ties
+    // by doc_id — fully deterministic and fully replayed by the oracle
+    // (the shared dsirCtes feed the same ES ranking). The plan stays
+    // the zero-doc-shuffle scoring shape plus one global
+    // TakeOrderedAndProject for the top-k.
+    "text_dsir_resample" -> ((s, d) => {
+      val w = graft.text.Dsir.importanceWeights(
+          t(s, d, "documents"), "doc_id", "text",
+          isTarget = col("lang") === "en", buckets = 64)
+        .withColumn("imp", exp(col("dsir_logw")))
+      graft.ops.Sampling.sampleWeighted(w, "doc_id", "imp", k = 50)
+        .select(col("doc_id"), col("lang"), col("es_key"))
+        .orderBy(col("doc_id"))
+    }),
+
     // polars cbrt (Expr.cbrt) + is_last_distinct (the mirror of the
     // green win_first_distinct key): cube root keeps negative-input
     // semantics (cbrt(-8) = -2, both engines), last-distinct flags the
@@ -238,6 +256,22 @@ object QueriesMisc13 {
         | dates[-1] AS date_last,
         | array_to_string(dates, ',') AS date_csv
         |FROM t ORDER BY o_orderkey""".stripMargin,
+
+    "text_dsir_resample" ->
+      // imp = exp(RAW logw) (not the rounded emission); es_key ranks on
+      // the integer-scaled value, ties to doc_id — the k-th-row boundary
+      // is deterministic. exp(w) > 0 always, so the weight filter drops
+      // only NULL-text docs (mirrored by tk IS NOT NULL).
+      s"""WITH ${QueriesMisc12.dsirCtes},
+        |sel AS (
+        |  SELECT t.doc_id, t.lang,
+        |    round(ln(('0x' || substr(md5(t.doc_id::VARCHAR), 1, 15))::BIGINT
+        |          / 1152921504606846976.0)
+        |      / exp(coalesce(ws.w, 0.0)) * 1e6) / 1e6 + 0.0 AS es_key
+        |  FROM tok t LEFT JOIN ws USING (doc_id)
+        |  WHERE t.tk IS NOT NULL),
+        |top AS (SELECT * FROM sel ORDER BY es_key DESC, doc_id LIMIT 50)
+        |SELECT doc_id, lang, es_key FROM top ORDER BY doc_id""".stripMargin,
 
     "misc_cbrt_last_distinct" ->
       """SELECT event_id,
