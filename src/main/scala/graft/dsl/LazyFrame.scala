@@ -707,11 +707,9 @@ final class LazyFrame(val df: DataFrame) {
     * Spark's analysis phase resolves it lazily on the plan. */
   def collectSchema: org.apache.spark.sql.types.StructType = df.schema
 
-  /** polars get_column_index (ColumnNotFoundError analogue: throws). */
-  def getColumnIndex(name: String): Int = {
-    val i = df.schema.fieldIndex(name) // throws IllegalArgumentException
-    i
-  }
+  /** polars get_column_index (ColumnNotFoundError analogue: throws
+    * IllegalArgumentException on a missing name). */
+  def getColumnIndex(name: String): Int = df.schema.fieldIndex(name)
 
   /** polars estimated_size: the optimizer's size estimate for the frame
     * in bytes (parquet statistics / plan stats — the Spark-native

@@ -81,4 +81,26 @@ object Sampling {
       .orderBy(col("es_key").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** [[sampleWeighted]] for LOG-scale weights (the Gumbel-top-k form):
+    * ranks descending on `logw − ln(−ln u)`, which selects the same set
+    * as ES with w = exp(logw) — maximizing u^(1/w) ⟺ maximizing
+    * ln(u)·e^(−logw) ⟺ minimizing ln(−ln u) − logw — but never
+    * exponentiates the log-weight, so it cannot overflow (logw ≥ ~16
+    * would collapse exp-form keys to round-to-0.0 ties) or underflow
+    * (logw < −745 would zero the weight and silently drop the row).
+    * This is the right entry point for DSIR-style log importance
+    * weights. Same determinism contract: integer-scaled key, ties to
+    * the smaller id, one global TakeOrderedAndProject. */
+  def sampleWeightedLog(df: DataFrame, idCol: String, logWeightCol: String,
+                        k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val id = graft.Meta.saltedId(df.sparkSession, col(idCol))
+    df.filter(col(logWeightCol).isNotNull)
+      .withColumn("es_key",
+        round((col(logWeightCol).cast("double") -
+          log(-log(hashUniform(id)))) * 1e6) / 1e6)
+      .orderBy(col("es_key").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -104,18 +104,21 @@ object QueriesMisc13 {
 
     // The DSIR paper's actual selection step, end to end: importance
     // weights → Efraimidis–Spirakis weighted sampling WITHOUT
-    // replacement on imp = exp(logw) (Dsir + Sampling.sampleWeighted,
-    // composed unchanged). Top-50 by the integer-scaled es_key, ties
-    // by doc_id — fully deterministic and fully replayed by the oracle
-    // (the shared dsirCtes feed the same ES ranking). The plan stays
-    // the zero-doc-shuffle scoring shape plus one global
+    // replacement in the Gumbel-top-k log form (Dsir +
+    // Sampling.sampleWeightedLog, composed unchanged) — ranks on
+    // logw − ln(−ln u), which selects the same set as ES on
+    // w = exp(logw) but never exponentiates, so corpus-scale log
+    // weights can't overflow the key to rounded-0.0 ties or underflow
+    // the weight to a silent row drop. Top-50 by the integer-scaled
+    // es_key, ties by doc_id — fully deterministic and fully replayed
+    // by the oracle (the shared dsirCtes feed the same ranking). The
+    // plan stays the zero-doc-shuffle scoring shape plus one global
     // TakeOrderedAndProject for the top-k.
     "text_dsir_resample" -> ((s, d) => {
       val w = graft.text.Dsir.importanceWeights(
           t(s, d, "documents"), "doc_id", "text",
           isTarget = col("lang") === "en", buckets = 64)
-        .withColumn("imp", exp(col("dsir_logw")))
-      graft.ops.Sampling.sampleWeighted(w, "doc_id", "imp", k = 50)
+      graft.ops.Sampling.sampleWeightedLog(w, "doc_id", "dsir_logw", k = 50)
         .select(col("doc_id"), col("lang"), col("es_key"))
         .orderBy(col("doc_id"))
     }),
@@ -258,16 +261,16 @@ object QueriesMisc13 {
         |FROM t ORDER BY o_orderkey""".stripMargin,
 
     "text_dsir_resample" ->
-      // imp = exp(RAW logw) (not the rounded emission); es_key ranks on
-      // the integer-scaled value, ties to doc_id — the k-th-row boundary
-      // is deterministic. exp(w) > 0 always, so the weight filter drops
-      // only NULL-text docs (mirrored by tk IS NOT NULL).
+      // Gumbel form: es_key = RAW logw − ln(−ln u) (not the rounded
+      // logw emission), integer-scaled, ties to doc_id — the k-th-row
+      // boundary is deterministic. NULL-text docs have NULL logw and
+      // are dropped on both sides (isNotNull / tk IS NOT NULL).
       s"""WITH ${QueriesMisc12.dsirCtes},
         |sel AS (
         |  SELECT t.doc_id, t.lang,
-        |    round(ln(('0x' || substr(md5(t.doc_id::VARCHAR), 1, 15))::BIGINT
-        |          / 1152921504606846976.0)
-        |      / exp(coalesce(ws.w, 0.0)) * 1e6) / 1e6 + 0.0 AS es_key
+        |    round((coalesce(ws.w, 0.0)
+        |      - ln(-ln(('0x' || substr(md5(t.doc_id::VARCHAR), 1, 15))::BIGINT
+        |              / 1152921504606846976.0))) * 1e6) / 1e6 + 0.0 AS es_key
         |  FROM tok t LEFT JOIN ws USING (doc_id)
         |  WHERE t.tk IS NOT NULL),
         |top AS (SELECT * FROM sel ORDER BY es_key DESC, doc_id LIMIT 50)

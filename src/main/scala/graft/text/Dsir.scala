@@ -26,9 +26,11 @@ import org.apache.spark.sql.functions._
   * and never joined; the only exchange in the plan carries ≤`buckets`
   * rows. (Same stats-ride-one-tiny-row shape as [[Ranking.bm25]].)
   *
-  * Resampling composes with [[graft.ops.Sampling.sampleWeighted]]
-  * (Efraimidis–Spirakis on exp(logw)·gumbel-free md5 keys) — the paper's
-  * sampled-without-replacement step — so it is not duplicated here.
+  * Resampling composes with [[graft.ops.Sampling.sampleWeightedLog]]
+  * (Efraimidis–Spirakis in the Gumbel-top-k log form — rank on
+  * logw − ln(−ln u), never exponentiating the log-weight) — the paper's
+  * sampled-without-replacement step — so it is not duplicated here;
+  * the `text_dsir_resample` key pins the composition end to end.
   */
 object Dsir {
 

@@ -112,6 +112,25 @@ class CurationPropertySpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  test("Gumbel log-form sampling selects the ES set and survives extreme log weights") {
+    // equivalence in the exp-safe range: same selected ids as ES on exp(logw)
+    val r = new Random(7)
+    val rows = (0 until 60).map(i => (i.toLong, r.nextDouble() * 8 - 4)) // logw in [-4,4]
+    val df = rows.toDF("id", "logw").withColumn("w", exp(col("logw")))
+    val es = graft.ops.Sampling.sampleWeighted(df, "id", "w", k = 15)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val gm = graft.ops.Sampling.sampleWeightedLog(df, "id", "logw", k = 15)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(es == gm)
+    // extreme log weights: exp-form would overflow/underflow; the log form
+    // keeps all rows rankable and prefers the astronomically heavier ones
+    val ext = Seq((1L, 1000.0), (2L, 900.0), (3L, -800.0), (4L, -900.0))
+      .toDF("id", "logw")
+    val top2 = graft.ops.Sampling.sampleWeightedLog(ext, "id", "logw", k = 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(top2 == Set(1L, 2L))
+  }
+
   test("tokens() matches the spec tokenizer on generated texts") {
     for (seed <- 51 to 60) {
       val docs = corpus(seed, 20)
