@@ -19,11 +19,16 @@ object Streams {
   /** Open a parquet directory as an unbounded stream (new files = new data).
     * Schema must be supplied — streams can't infer. */
   def readParquetStream(spark: SparkSession, path: String, schema: StructType,
-                        maxFilesPerTrigger: Int = 16): DataFrame =
-    spark.readStream
+                        maxFilesPerTrigger: Int = 16,
+                        basePath: Option[String] = None): DataFrame = {
+    val r = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(path)
+    // a single-FILE source (the driver tables) needs an explicit directory
+    // basePath — FileStreamSource otherwise derives it from the file itself
+    basePath.foreach(r.option("basePath", _))
+    r.parquet(path)
+  }
 
   /** Tumbling/hopping event-time aggregation with late-data handling — the
     * streaming version of LazyFrame.groupByDynamic. */
