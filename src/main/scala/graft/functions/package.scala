@@ -473,6 +473,21 @@ package object functions {
     Bridge.column(NormalizeExpr(Bridge.expression(text), form))
   }
 
+  /** polars dt.base_utc_offset: the zone's standard (non-DST) offset at
+    * each instant, in seconds (native [[TzOffsetExpr]] over tzdb rules;
+    * polars emits Duration — seconds-as-long is the honest mapping). */
+  def baseUtcOffset(ts: Column, zone: String): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(TzOffsetExpr(Bridge.expression(ts), zone, base = true))
+  }
+
+  /** polars dt.dst_offset: daylight savings in force at each instant,
+    * seconds (total offset − standard offset). */
+  def dstOffset(ts: Column, zone: String): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(TzOffsetExpr(Bridge.expression(ts), zone, base = false))
+  }
+
   /** One-pass text statistics (native [[TextStatsExpr]]): struct of
     * n_chars / n_alpha / n_punct / n_tokens, byte-identical to the regex
     * formulations in [[graft.text.TextAnalysis]]. */
