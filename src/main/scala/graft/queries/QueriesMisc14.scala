@@ -30,6 +30,26 @@ object QueriesMisc14 {
           graft.functions.baseUtcOffset(ts, "Asia/Kolkata").as("kol_base"),
           graft.functions.dstOffset(ts, "Asia/Kolkata").as("kol_dst"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // A fastText-style quality classifier TRAINED on the cluster
+    // (text/QualityClassifier): logistic regression over 8 md5-hashed
+    // unigram-frequency buckets + bias, 3 full-batch GD steps at η=1,
+    // labels = "looks English". Each step is ONE corpus scan reduced to a
+    // single 9-column gradient row (documents never shuffle); weights
+    // live on the driver and snap to the 1e-6 grid per step so the
+    // DuckDB oracle replays training EXACTLY (3 unrolled gradient CTEs).
+    // Emitted margins pin w·x per doc; pred pins the decision boundary.
+    "text_quality_classifier" -> ((s, d) => {
+      val (_, scored) = graft.text.QualityClassifier.train(
+        t(s, d, "documents"), "text",
+        label = col("lang") === "en", buckets = 8, iters = 3, lr = 1.0)
+      scored.filter(col("doc_id") <= 300)
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          (round(col("margin") * 1e6) / 1e6).as("margin"),
+          (round(col("score") * 1e6) / 1e6).as("score"),
+          (round(col("margin") * 1e6) > 0).as("pred"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -63,6 +83,44 @@ object QueriesMisc14 {
         | least(ny_jan, ny_jul) AS ny_base, ny - least(ny_jan, ny_jul) AS ny_dst,
         | least(syd_jan, syd_jul) AS syd_base, syd - least(syd_jan, syd_jul) AS syd_dst,
         | least(kol_jan, kol_jul) AS kol_base, kol - least(kol_jan, kol_jul) AS kol_dst
-        |FROM o ORDER BY o_orderkey""".stripMargin
+        |FROM o ORDER BY o_orderkey""".stripMargin,
+
+    // Training replayed: f = hashed-bucket frequency features + bias,
+    // w0 = 0, three (gradient → snapped update) CTE pairs, then the final
+    // scoring pass. avg/exp/list_dot_product mirror the Spark plan; the
+    // per-step round((w - g)*1e6)/1e6 is the snap that keeps both engines
+    // on the same trajectory.
+    "text_quality_classifier" -> {
+      val tokensSql = QueriesText.tokensSql
+      def gw(i: Int) =
+        s"""g$i AS (
+          |  SELECT s.i,
+          |    avg((1 / (1 + exp(-list_dot_product(f.x, w.w))) - f.y) * f.x[s.i]) AS g
+          |  FROM f CROSS JOIN w${i - 1} w CROSS JOIN generate_series(1, 9) AS s(i)
+          |  GROUP BY s.i),
+          |w$i AS (
+          |  SELECT list(round((w.w[g.i] - 1.0 * g.g) * 1e6) / 1e6 ORDER BY g.i) AS w
+          |  FROM g$i g CROSS JOIN w${i - 1} w)""".stripMargin
+      s"""WITH tok AS (
+        |  SELECT doc_id, lang, $tokensSql AS tk FROM documents),
+        |f AS (
+        |  SELECT doc_id, lang, len(tk)::INT AS n_tok,
+        |    (lang = 'en')::INT::DOUBLE AS y,
+        |    [ (len(list_filter(tk,
+        |          t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % 8 = b)))::DOUBLE
+        |        / len(tk) FOR b IN generate_series(0, 7) ]
+        |      || [1.0::DOUBLE] AS x
+        |  FROM tok WHERE len(tk) > 0),
+        |w0 AS (SELECT [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0] AS w),
+        |${gw(1)},
+        |${gw(2)},
+        |${gw(3)}
+        |SELECT f.doc_id, f.lang, f.n_tok,
+        | round(list_dot_product(f.x, w.w) * 1e6) / 1e6 + 0.0 AS margin,
+        | round(1 / (1 + exp(-list_dot_product(f.x, w.w))) * 1e6) / 1e6 AS score,
+        | round(list_dot_product(f.x, w.w) * 1e6) > 0 AS pred
+        |FROM f CROSS JOIN w3 w WHERE f.doc_id <= 300
+        |ORDER BY f.doc_id""".stripMargin
+    }
   )
 }
