@@ -43,7 +43,7 @@ object KMeans {
   /** (snapped dist², cid, raw dist²) per centroid; `array_min` picks the
     * nearest (struct comparison is field-lexicographic, cid breaks ties —
     * raw is never reached because cids are distinct). */
-  private def scoredL2(vec: Column, vn2: Column,
+  private[ml] def scoredL2(vec: Column, vn2: Column,
                        centroids: Seq[(Int, Array[Double])]): Column = {
     val cents = array(centroids.map { case (id, v) =>
       struct(lit(id).as("cid"), array(v.map(lit): _*).as("cvec"))

@@ -54,4 +54,54 @@ object Quantize {
     df.withColumn(scaleCol, int8Scale(v))
       .withColumn(qCol, quantizeInt8(v, col(scaleCol)))
   }
+
+  /** Product quantization (Jégou et al. 2011, "Product Quantization for
+    * Nearest Neighbor Search"; the PQ half of FAISS's IVF-PQ): split each
+    * vector into `m` contiguous subvectors, train an independent
+    * [[KMeans]] codebook per subspace, and encode every vector as `m`
+    * small centroid ids. Storage per vector drops from dim doubles to
+    * m codes (64×8 B → 4 B at m=4/k≤256) — the lever that makes
+    * billion-vector ANN fit in memory.
+    *
+    * Execution shape: training is `m` independent KMeans runs over
+    * SLICES of the same cached frame (per iteration: codegen argmin +
+    * one k·subdim-row aggregate — vectors never shuffle); encoding is a
+    * single projection computing all `m` argmins per row against
+    * broadcast codebook literals. Same determinism contract as KMeans
+    * (snapped-grid argmin, ties to smaller cid), so a SQL oracle replays
+    * codebooks AND codes exactly.
+    *
+    * Returns (per-subspace codebooks, encoded frame): the frame keeps
+    * `idCol` and gains `code_j` (int) + `err_j` (raw squared
+    * subspace-reconstruction error) per subspace.
+    */
+  def productQuantize(df: DataFrame, idCol: String, vecCol: String,
+                      m: Int, k: Int, iters: Int,
+                      seed: DataFrame => Seq[(Int, Array[Double])])
+      : (Seq[Seq[(Int, Array[Double])]], DataFrame) = {
+    require(m > 0, "pq: m must be positive")
+    val d = subDim(df, vecCol, m)
+    val books = (0 until m).map { j =>
+      val sub = df.select(col(idCol),
+        slice(col(vecCol), lit(j * d + 1), lit(d)).as(vecCol))
+      KMeans.train(sub, idCol, vecCol, seed(sub), iters)._1
+    }
+    val encoded = books.zipWithIndex.foldLeft(df) { case (acc, (cents, j)) =>
+      val sv = slice(col(vecCol), lit(j * d + 1), lit(d))
+      val best = array_min(KMeans.scoredL2(sv,
+        graft.functions.dotProduct(sv, sv), cents))
+      acc.withColumn(s"code_$j", best.getField("cid"))
+        .withColumn(s"err_$j", best.getField("raw"))
+    }
+    (books, encoded)
+  }
+
+  /** Subspace width — requires the (static) dim to divide evenly; probed
+    * from the first row once at plan-build time. */
+  private def subDim(df: DataFrame, vecCol: String, m: Int): Int = {
+    val dim = df.select(org.apache.spark.sql.functions.size(col(vecCol)))
+      .head().getInt(0)
+    require(dim % m == 0, s"pq: dim $dim not divisible by m=$m")
+    dim / m
+  }
 }

@@ -50,6 +50,27 @@ object QueriesMisc14 {
           (round(col("score") * 1e6) / 1e6).as("score"),
           (round(col("margin") * 1e6) > 0).as("pred"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Product quantization (ml/Quantize.productQuantize — Jégou et al.
+    // 2011, the PQ half of FAISS IVF-PQ): 64-dim vectors → 4 subspaces ×
+    // 4-centroid codebooks (one Lloyd round each, seeded from the first
+    // four vectors' subvectors), every vector encoded as 4 small codes in
+    // ONE projection against broadcast codebook literals. The key pins
+    // codebooks AND codes: per-subspace code + squared reconstruction
+    // error, replayed end to end by the oracle's per-subspace KMeans CTEs
+    // under the shared snap discipline.
+    "sim_pq_codes" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("e"))
+      val (_, enc) = graft.ml.Quantize.productQuantize(emb, "vec_id", "e",
+        m = 4, k = 4, iters = 1,
+        seed = sub => QueriesMisc12.seedCentroids(sub, 4))
+      enc.select(col("vec_id") +: (0 until 4).flatMap(j => Seq(
+          col(s"code_$j"),
+          (round(col(s"err_$j") * 1e4) / 1e4).as(s"errv_$j"))): _*)
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -121,6 +142,60 @@ object QueriesMisc14 {
         | round(list_dot_product(f.x, w.w) * 1e6) > 0 AS pred
         |FROM f CROSS JOIN w3 w WHERE f.doc_id <= 300
         |ORDER BY f.doc_id""".stripMargin
+    },
+
+    // PQ replayed: per subspace j — slice, seed codebook from vec_id<4,
+    // one Lloyd round (assign on round(d²·1e6) ties-to-cid, member means
+    // snapped to 1e-6, empty cells keep the seed), final encode under the
+    // trained codebook. The same CTE shape as kmeansReplayCtes, ×4.
+    "sim_pq_codes" -> {
+      def sub(j: Int): String = {
+        val lo = j * 16 + 1; val hi = (j + 1) * 16
+        s"""s$j AS (SELECT vec_id, e[$lo:$hi] AS sv FROM v),
+          |c0$j AS (SELECT vec_id::INT AS cid, sv AS cvec FROM s$j WHERE vec_id < 4),
+          |a1$j AS (
+          |  SELECT vec_id, sv, cid FROM (
+          |    SELECT s.vec_id, s.sv, c.cid,
+          |      row_number() OVER (PARTITION BY s.vec_id ORDER BY
+          |        round((list_dot_product(s.sv, s.sv)
+          |               - 2 * list_dot_product(s.sv, c.cvec)
+          |               + list_dot_product(c.cvec, c.cvec)) * 1e6) ASC,
+          |        c.cid ASC) AS rn
+          |    FROM s$j s CROSS JOIN c0$j c) WHERE rn = 1),
+          |m1$j AS (
+          |  SELECT cid, pos, round(avg(sv[pos]) * 1e6) / 1e6 AS m
+          |  FROM a1$j CROSS JOIN range(1, 17) AS r(pos)
+          |  GROUP BY cid, pos),
+          |c1$j AS (
+          |  SELECT c0.cid, coalesce(mm.mvec, c0.cvec) AS cvec
+          |  FROM c0$j c0 LEFT JOIN
+          |    (SELECT cid, list(m ORDER BY pos) AS mvec FROM m1$j GROUP BY cid) mm
+          |    ON mm.cid = c0.cid),
+          |f$j AS (
+          |  SELECT vec_id, cid AS code_$j,
+          |    round(d2 * 1e4) / 1e4 + 0.0 AS errv_$j
+          |  FROM (
+          |    SELECT s.vec_id, c.cid,
+          |      list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.cvec)
+          |        + list_dot_product(c.cvec, c.cvec) AS d2,
+          |      row_number() OVER (PARTITION BY s.vec_id ORDER BY
+          |        round((list_dot_product(s.sv, s.sv)
+          |               - 2 * list_dot_product(s.sv, c.cvec)
+          |               + list_dot_product(c.cvec, c.cvec)) * 1e6) ASC,
+          |        c.cid ASC) AS rn
+          |    FROM s$j s CROSS JOIN c1$j c) WHERE rn = 1)""".stripMargin
+      }
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |${sub(0)},
+        |${sub(1)},
+        |${sub(2)},
+        |${sub(3)}
+        |SELECT f0.vec_id,
+        | f0.code_0, f0.errv_0, f1.code_1, f1.errv_1,
+        | f2.code_2, f2.errv_2, f3.code_3, f3.errv_3
+        |FROM f0 JOIN f1 USING (vec_id) JOIN f2 USING (vec_id)
+        |  JOIN f3 USING (vec_id)
+        |ORDER BY f0.vec_id""".stripMargin
     }
   )
 }
