@@ -123,6 +123,30 @@ object QueriesStream {
         .select(col("event_id"), col("user_id"), col("n_name"),
           round(col("value") * 100).cast("long").as("cents"))
         .orderBy(col("event_id"))
+    }),
+
+    // Stream-stream interval join (Streams.intervalJoin): every purchase
+    // within [0, 2 h] AFTER a click by the same user, both sides
+    // unbounded. Watermarks on both sides bound the join state to one
+    // horizon of arrivals; the emitted pair set is deterministic (append
+    // mode, stateful symmetric hash join).
+    "stream_interval_join" -> ((s, d) => {
+      val ev = eventsStream(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("r_user_id"),
+          col("event_id").as("buy_id"), col("ts").as("buy_ts"))
+      val joined = Streams.intervalJoin(clicks, buys,
+        "click_ts", "buy_ts", watermark = "1 hour",
+        keyEq = col("user_id") === col("r_user_id"),
+        lower = "0 seconds", upper = "2 hours")
+      replay(joined, "stream_interval", "append")
+        .select(col("user_id"), col("click_id"), col("buy_id"),
+          date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("cts"),
+          date_format(col("buy_ts"), "yyyy-MM-dd HH:mm:ss").as("bts"))
+        .orderBy(col("click_id"), col("buy_id"))
     })
   )
 
@@ -165,6 +189,16 @@ object QueriesStream {
         | CAST(round(e.value * 100) AS BIGINT) AS cents
         |FROM events e LEFT JOIN nation n
         |  ON (e.user_id % 25)::INT = n.n_nationkey
-        |WHERE e.event_id <= 2000 ORDER BY e.event_id""".stripMargin
+        |WHERE e.event_id <= 2000 ORDER BY e.event_id""".stripMargin,
+
+    "stream_interval_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, b.event_id AS buy_id,
+        | strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS cts,
+        | strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS bts
+        |FROM events c JOIN events b
+        |  ON c.user_id = b.user_id
+        | AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 2 HOUR
+        |WHERE c.event_type = 'click' AND b.event_type = 'purchase'
+        |ORDER BY click_id, buy_id""".stripMargin
   )
 }
