@@ -96,6 +96,56 @@ object Quantize {
     (books, encoded)
   }
 
+  /** Asymmetric distance computation (the search half of PQ): for each
+    * query, squared L2 to every ENCODED vector is approximated as
+    * Σ_j dtab_j[code_j], where dtab_j[c] = ‖q_j − codebook_j[c]‖² is an
+    * m×k lookup table computed once per query on the driver and shipped
+    * as literals. Scoring a database row is m array lookups + adds —
+    * the raw vectors are never read at query time, which is what lets a
+    * billion-vector index serve from code storage alone.
+    *
+    * The table entries use the expanded qq − 2·qc + cc form — the same
+    * float path as the SQL oracle — and ranking orders on
+    * round(adc·1e6) with ties to the id (the KMeans grid discipline).
+    * One projection + one per-query TakeOrdered; no shuffle of the
+    * encoded corpus.
+    */
+  def adcTopK(encoded: DataFrame, idCol: String,
+              books: Seq[Seq[(Int, Array[Double])]],
+              queries: Seq[(Long, Array[Double])], k: Int): DataFrame = {
+    require(books.nonEmpty && queries.nonEmpty, "adc: empty books/queries")
+    val m = books.size
+    val d = queries.head._2.length / m
+    val qStructs = queries.map { case (qid, qv) =>
+      val tabs = (0 until m).map { j =>
+        val qs = qv.slice(j * d, (j + 1) * d)
+        val qq = qs.map(x => x * x).sum
+        books(j).sortBy(_._1).map { case (_, c) =>
+          val qc = qs.zip(c).map { case (a, b) => a * b }.sum
+          val cc = c.map(x => x * x).sum
+          qq - 2 * qc + cc
+        }.toArray
+      }
+      struct(lit(qid).as("qid") +:
+        tabs.zipWithIndex.map { case (tab, j) =>
+          array(tab.map(lit): _*).as(s"tab_$j")
+        }: _*)
+    }
+    val q = explode(array(qStructs: _*)).as("__q")
+    val adc = (0 until m).map(j =>
+      element_at(col(s"__q.tab_$j"), col(s"code_$j") + 1)).reduce(_ + _)
+    val scored = encoded
+      .select(col(idCol) +: (0 until m).map(j => col(s"code_$j")) :+ q: _*)
+      .withColumn("adc", adc)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__q.qid"))
+      .orderBy(round(col("adc") * 1e6).cast("long").asc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__q.qid").as("query_id"), col(idCol), col("rank"),
+        (round(col("adc") * 1e4) / 1e4).as("adc"))
+  }
+
   /** Subspace width — requires the (static) dim to divide evenly; probed
     * from the first row once at plan-build time. */
   private def subDim(df: DataFrame, vecCol: String, m: Int): Int = {

@@ -71,6 +71,26 @@ object QueriesMisc14 {
           col(s"code_$j"),
           (round(col(s"err_$j") * 1e4) / 1e4).as(s"errv_$j"))): _*)
         .orderBy(col("vec_id"))
+    }),
+
+    // The search half of PQ (ml/Quantize.adcTopK — asymmetric distance
+    // computation): queries 0-1 build m×k distance lookup tables on the
+    // driver, every ENCODED vector is scored with 4 array lookups + adds
+    // (raw vectors never read at query time), top-10 per query ranked on
+    // the snapped grid. Same codebooks as sim_pq_codes — the oracle
+    // reuses the shared PQ replay CTEs.
+    "sim_pq_adc" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("e"))
+      val (books, enc) = graft.ml.Quantize.productQuantize(emb, "vec_id", "e",
+        m = 4, k = 4, iters = 1,
+        seed = sub => QueriesMisc12.seedCentroids(sub, 4))
+      val qs = emb.filter(col("vec_id") <= 1).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).toSeq
+      graft.ml.Quantize.adcTopK(enc, "vec_id", books, qs, k = 10)
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -148,7 +168,52 @@ object QueriesMisc14 {
     // one Lloyd round (assign on round(d²·1e6) ties-to-cid, member means
     // snapped to 1e-6, empty cells keep the seed), final encode under the
     // trained codebook. The same CTE shape as kmeansReplayCtes, ×4.
-    "sim_pq_codes" -> {
+    "sim_pq_codes" ->
+      s"""WITH $pqReplayCtes
+        |SELECT f0.vec_id,
+        | f0.code_0, f0.errv_0, f1.code_1, f1.errv_1,
+        | f2.code_2, f2.errv_2, f3.code_3, f3.errv_3
+        |FROM f0 JOIN f1 USING (vec_id) JOIN f2 USING (vec_id)
+        |  JOIN f3 USING (vec_id)
+        |ORDER BY f0.vec_id""".stripMargin,
+
+    // ADC replayed on the shared PQ CTEs: distance = Σ_j (qq − 2qc + cc)
+    // over the codebook entries selected by each vector's codes, ranked
+    // on round(adc·1e6) with ties to vec_id.
+    "sim_pq_adc" -> {
+      def term(j: Int): String = {
+        val lo = j * 16 + 1; val hi = (j + 1) * 16
+        s"""(list_dot_product(q.e[$lo:$hi], q.e[$lo:$hi])
+          |   - 2 * list_dot_product(q.e[$lo:$hi], b$j.cvec)
+          |   + list_dot_product(b$j.cvec, b$j.cvec))""".stripMargin
+      }
+      s"""WITH $pqReplayCtes,
+        |q AS (SELECT vec_id AS qid, e FROM v WHERE vec_id <= 1),
+        |adc AS (
+        |  SELECT q.qid, f0.vec_id,
+        |    ${term(0)} + ${term(1)} + ${term(2)} + ${term(3)} AS adc
+        |  FROM f0 JOIN f1 USING (vec_id) JOIN f2 USING (vec_id)
+        |    JOIN f3 USING (vec_id)
+        |    JOIN c10 b0 ON b0.cid = f0.code_0
+        |    JOIN c11 b1 ON b1.cid = f1.code_1
+        |    JOIN c12 b2 ON b2.cid = f2.code_2
+        |    JOIN c13 b3 ON b3.cid = f3.code_3
+        |    CROSS JOIN q),
+        |r AS (
+        |  SELECT qid AS query_id, vec_id, adc,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY round(adc * 1e6) ASC, vec_id ASC) AS INTEGER) AS rank
+        |  FROM adc)
+        |SELECT query_id, vec_id, rank,
+        | round(adc * 1e4) / 1e4 + 0.0 AS adc
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    }
+  )
+
+  /** The PQ training/encode replay shared by sim_pq_codes and
+    * sim_pq_adc (the kmeansReplayCtes discipline, one block per
+    * subspace). */
+  private[queries] lazy val pqReplayCtes: String = {
       def sub(j: Int): String = {
         val lo = j * 16 + 1; val hi = (j + 1) * 16
         s"""s$j AS (SELECT vec_id, e[$lo:$hi] AS sv FROM v),
@@ -185,17 +250,10 @@ object QueriesMisc14 {
           |        c.cid ASC) AS rn
           |    FROM s$j s CROSS JOIN c1$j c) WHERE rn = 1)""".stripMargin
       }
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |${sub(0)},
         |${sub(1)},
         |${sub(2)},
-        |${sub(3)}
-        |SELECT f0.vec_id,
-        | f0.code_0, f0.errv_0, f1.code_1, f1.errv_1,
-        | f2.code_2, f2.errv_2, f3.code_3, f3.errv_3
-        |FROM f0 JOIN f1 USING (vec_id) JOIN f2 USING (vec_id)
-        |  JOIN f3 USING (vec_id)
-        |ORDER BY f0.vec_id""".stripMargin
-    }
-  )
+        |${sub(3)}""".stripMargin
+  }
 }
