@@ -723,6 +723,32 @@ final class LazyFrame(val df: DataFrame) {
   def collectRows(): Array[Row] = df.collect()
   def count(): Long = df.count()
 
+  /** polars LazyFrame.fetch(n): materialize at most n rows cheaply —
+    * Spark's limit is pushed into the scan (CollectLimitExec), so this
+    * reads only what it returns, the same debugging contract. */
+  def fetch(n: Int): Array[Row] = df.limit(n).collect()
+
+  /** polars DataFrame.rows_by_key: driver-side rows grouped by key tuple —
+    * DRIVER-BOUNDED by contract (a Python-dict return in polars too);
+    * unique=true keeps the last row per key (the polars semantics). */
+  def rowsByKey(keys: Seq[String], unique: Boolean = false)
+      : Map[Seq[Any], Seq[Row]] = {
+    val idx = keys.map(df.schema.fieldIndex)
+    val grouped = df.collect().toSeq.groupBy(r => idx.map(r.get))
+    if (unique) grouped.map { case (k, rs) => k -> Seq(rs.last) }
+    else grouped
+  }
+
+  /** polars DataFrame.iter_slices: the frame as driver-side chunks of
+    * ≤`size` rows (order = frame order). Spark analogue of the zero-copy
+    * slice iterator; use toLocalIterator-based streaming for frames that
+    * don't fit the driver. */
+  def iterSlices(size: Int): Iterator[Seq[Row]] = {
+    require(size > 0, "iter_slices: size must be positive")
+    import scala.jdk.CollectionConverters._
+    df.toLocalIterator().asScala.grouped(size)
+  }
+
   /** Parquet sink with the reference's two partitioned-sink flavors
     * (`crates/polars-plan/src/dsl/options/sink.rs:249-258`): by-key
     * (`partitionBy`, hive layout) and max-size (`maxRecordsPerFile` > 0
@@ -867,6 +893,18 @@ final class LazyFrame(val df: DataFrame) {
     val qe = df.queryExecution
     qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
   }
+
+  /** polars show_graph: the plan as a renderable graph description. No
+    * graphviz offline — the honest Spark mapping is the formatted plan
+    * tree (same information, text-rendered); `show_graph(raw_output=True)`
+    * in polars likewise returns the dot SOURCE, not an image. */
+  def showGraph(): String = explainFormatted()
+
+  /** polars DataFrame.show / print-style preview: first n rows rendered
+    * with the polars box-table repr (driver-side by contract; the same
+    * renderer round-trips through [[graft.testing.FromRepr]]). */
+  def show(n: Int = 20): String =
+    graft.testing.ToRepr.render(df.limit(n), maxRows = n)
 
   /** polars profile(): execute the plan and return per-operator runtime
     * metrics. Spark-first mapping: the physical plan runs once (distributed

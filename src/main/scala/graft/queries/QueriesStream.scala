@@ -147,6 +147,28 @@ object QueriesStream {
           date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("cts"),
           date_format(col("buy_ts"), "yyyy-MM-dd HH:mm:ss").as("bts"))
         .orderBy(col("click_id"), col("buy_id"))
+    }),
+
+    // Arbitrary keyed state via mapGroupsWithState (Streams.runningTotals)
+    // — the custom-state surface the reference engine has no analogue
+    // for. Values are pre-scaled to exact integer cents (doubles sum
+    // integers exactly below 2^53) so arrival order cannot move the
+    // total; update-mode replay emits one row per key per trigger, and
+    // the final state per key is selected by max n (totals are
+    // monotone), which keeps the key correct however many triggers the
+    // file source splits the input into.
+    "stream_running_totals" -> ((s, d) => {
+      val ev = eventsStream(s, d).filter(col("user_id") <= 50)
+        .withColumn("value", round(col("value") * 100))
+      val totals = Streams.runningTotals(ev)
+      val tbl = Streams.replayDatasetToTable(totals,
+        s"stream_running_${nameSeq.incrementAndGet()}", "update")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("n").desc)
+      tbl.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("user_id"), col("n"),
+          col("total").cast("long").as("cents"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -199,6 +221,12 @@ object QueriesStream {
         |  ON c.user_id = b.user_id
         | AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 2 HOUR
         |WHERE c.event_type = 'click' AND b.event_type = 'purchase'
-        |ORDER BY click_id, buy_id""".stripMargin
+        |ORDER BY click_id, buy_id""".stripMargin,
+
+    "stream_running_totals" ->
+      """SELECT user_id, count(*) AS n,
+        | sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+        |FROM events WHERE user_id <= 50
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -172,6 +172,20 @@ class CurationSpec extends SparkSpec {
     assert(lf.estimatedSize > 0)
   }
 
+  test("fetch, rows_by_key, iter_slices, show, show_graph conveniences") {
+    val lf = graft.dsl.LazyFrame(
+      Seq((1, "x"), (2, "y"), (2, "z"), (3, "w")).toDF("a", "b"))
+    assert(lf.fetch(2).length == 2)
+    val byKey = lf.rowsByKey(Seq("a"))
+    assert(byKey(Seq(2)).map(_.getString(1)).toSet == Set("y", "z"))
+    val uniq = lf.rowsByKey(Seq("a"), unique = true)
+    assert(uniq(Seq(2)).size == 1)
+    val slices = lf.iterSlices(3).toSeq
+    assert(slices.map(_.size) == Seq(3, 1))
+    assert(lf.show(2).contains("shape:"))
+    assert(lf.showGraph().nonEmpty)
+  }
+
   test("dsir plan: the only exchange carries the bucket table, not documents") {
     val df = (1 to 50).map(i => (i.toLong, s"tok$i word common", i % 2 == 0))
       .toDF("id", "text", "t")
