@@ -44,6 +44,40 @@ object Distributed {
         sum(value).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     }.withColumnRenamed("__scan", name)
 
+  /** Grouped prefix sum: `name` = running sum of `value` along `ord`
+    * WITHIN each `group` tuple, without keying a window on the group —
+    * the shape that survives skewed groups (a `Window.partitionBy(group)`
+    * puts each whole group in one task; a 70%-English corpus would hang
+    * its biggest group on one core). Same two-branch skeleton as
+    * [[withPrefixSum]]: range-partition on (group, ord) so groups are
+    * contiguous but SPLIT across partitions when large, per-partition
+    * local running sums, then per-(partition, group) totals — a
+    * metadata-scale frame (≈ partitions + groups rows, since range
+    * contiguity means few groups straddle a partition) — carry each
+    * group's earlier-partition totals forward via a broadcast join. */
+  def withPrefixSumBy(df: DataFrame, value: Column, group: Seq[String],
+                      ord: Seq[Column], name: String): DataFrame = {
+    val gCols = group.map(col)
+    val ranged = df.repartitionByRange(gCols ++ ord: _*)
+      .withColumn("__dp", spark_partition_id())
+      .localCheckpoint(eager = false)
+    val w = Window.partitionBy(col("__dp") +: gCols: _*).orderBy(ord: _*)
+    val localized = ranged.withColumn("__val",
+      sum(value).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = ranged.groupBy(col("__dp") +: gCols: _*)
+      .agg(sum(value).as("__t"), count(value).as("__c"))
+    val wOff = Window.partitionBy(gCols: _*).orderBy(col("__dp"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals.select(col("__dp") +: gCols :+
+      coalesce(sum(col("__t")).over(wOff), lit(0L)).as("__off") :+
+      coalesce(sum(col("__c")).over(wOff), lit(0L)).as("__pc"): _*)
+    localized.join(broadcast(offsets), "__dp" +: group)
+      .withColumn(name,
+        when(col("__val").isNotNull, col("__off") + col("__val"))
+          .when(col("__pc") > 0, col("__off")))
+      .drop("__dp", "__val", "__off", "__pc")
+  }
+
   /** Shared skeleton: range-repartition on `ord`, compute a per-partition
     * running value `__val` with `local`, then shift each partition by the
     * sum of all earlier partitions' totals. `__scan` = the corrected global

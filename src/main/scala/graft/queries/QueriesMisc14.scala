@@ -73,6 +73,20 @@ object QueriesMisc14 {
         .orderBy(col("vec_id"))
     }),
 
+    // Static mixture sampling (ops/Mixing — the Pile/DoReMi "domain
+    // weights" application step): per-language character budgets, docs
+    // kept in md5-rank order until each group's running total hits its
+    // budget; zh has no budget and drops entirely (the whole-group-cut
+    // path). Running totals via the grouped RANGE-partitioned prefix sum
+    // (Distributed.withPrefixSumBy) — no group-keyed window, so a
+    // 70%-English corpus cannot hang its biggest group on one core.
+    "text_mixture_sample" -> ((s, d) =>
+      graft.ops.Mixing.sampleToBudgets(
+          t(s, d, "documents"), "doc_id", "lang", "n_chars",
+          Map("en" -> 30000L, "de" -> 8000L, "es" -> 8000L, "fr" -> 8000L))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("cum_tok"))
+        .orderBy(col("doc_id"))),
+
     // The search half of PQ (ml/Quantize.adcTopK — asymmetric distance
     // computation): queries 0-1 build m×k distance lookup tables on the
     // driver, every ENCODED vector is scored with 4 array lookups + adds
@@ -176,6 +190,21 @@ object QueriesMisc14 {
         |FROM f0 JOIN f1 USING (vec_id) JOIN f2 USING (vec_id)
         |  JOIN f3 USING (vec_id)
         |ORDER BY f0.vec_id""".stripMargin,
+
+    "text_mixture_sample" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang, n_chars, md5(doc_id::VARCHAR) AS rk
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY lang ORDER BY rk, doc_id
+        |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tok
+        |  FROM c)
+        |SELECT doc_id, lang, n_chars, cum_tok FROM cum
+        |WHERE cum_tok <= CASE lang
+        |  WHEN 'en' THEN 30000 WHEN 'de' THEN 8000
+        |  WHEN 'es' THEN 8000 WHEN 'fr' THEN 8000 ELSE 0 END
+        |ORDER BY doc_id""".stripMargin,
 
     // ADC replayed on the shared PQ CTEs: distance = Σ_j (qq − 2qc + cc)
     // over the codebook entries selected by each vector's codes, ranked

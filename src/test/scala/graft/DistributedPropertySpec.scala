@@ -47,6 +47,36 @@ class DistributedPropertySpec extends SparkSpec {
     } }
   }
 
+  test("withPrefixSumBy equals the group-keyed window, any partitioning") {
+    withRealPartitions { for (seed <- seeds) {
+      val rnd = new scala.util.Random(seed)
+      val n = 1 + rnd.nextInt(500)
+      val parts = 1 + rnd.nextInt(7)
+      val nGroups = 1 + rnd.nextInt(4) // skew: few groups, many rows each
+      val data = rnd.shuffle((0 until n).toList).map { k =>
+        val v: java.lang.Long =
+          if (rnd.nextInt(10) == 0) null
+          else java.lang.Long.valueOf(rnd.nextInt(200) - 100L)
+        (k.toLong, s"g${rnd.nextInt(nGroups)}", v)
+      }
+      val df = spark.createDataFrame(data).toDF("k", "g", "v")
+        .repartition(parts)
+
+      val got = Distributed.withPrefixSumBy(df, col("v"), Seq("g"),
+          Seq(col("k")), "ps")
+        .select(col("k"), col("ps")).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+      val w = Window.partitionBy(col("g")).orderBy(col("k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val want = df.withColumn("ps", sum(col("v")).over(w))
+        .select(col("k"), col("ps")).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+      assert(got == want, s"seed=$seed n=$n parts=$parts groups=$nGroups")
+    } }
+  }
+
   test("withContext zip alignment equals the single-task row_number zip") {
     withRealPartitions { for (seed <- seeds) {
       val rnd = new scala.util.Random(seed)
