@@ -561,6 +561,96 @@ final class LazyFrame(val df: DataFrame) {
     LazyFrame(graft.ops.Distributed.withRowNumber(df, name, orderBy)
       .withColumn(name, col(name) - 1))
 
+  /** polars LazyFrame.reverse. Spark frames carry no implicit order
+    * (§7.1), so the order being reversed must be named — reversing an
+    * order is just sorting by its descending dual, which Catalyst
+    * executes as one range-partitioned sort (nothing driver-side). */
+  def reverse(ord: Column*): LazyFrame =
+    LazyFrame(df.orderBy(ord.map(_.desc): _*))
+
+  /** polars LazyFrame.shift(n): every column shifted by n rows along
+    * `ord` (negative n shifts backward), vacated rows null. A global
+    * shift is inherently a total order — fine for the driver-bounded
+    * frames polars uses it on; at scale shift WITHIN keys via
+    * `lag(c).over(partitionBy(key))` instead (the win_shift_diff path). */
+  def shiftAll(n: Int, ord: Column*): LazyFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(ord: _*)
+    LazyFrame(df.select(df.columns.map(c => lag(col(c), n).over(w).as(c)): _*))
+  }
+
+  /** polars gather_every(n, offset) along `ord`: rows at positions
+    * offset, offset+n, … (0-based). Row numbering is the distributed
+    * range-partitioned scan, not a single-task window. */
+  def gatherEvery(n: Int, offset: Int, ord: Seq[Column]): LazyFrame = {
+    require(n > 0, "gather_every: n must be positive")
+    val idx = "__ge_idx"
+    val indexed = withRowIndex(idx, ord).df
+    LazyFrame(indexed
+      .filter(col(idx) >= offset && (col(idx) - offset) % n === 0)
+      .drop(idx))
+  }
+
+  /** polars frame-level aggregation shortcuts (LazyFrame.max/min/sum/
+    * mean/median/std/var/null_count): one row, every NUMERIC column
+    * aggregated (polars applies them per column; non-numeric columns are
+    * skipped here, the DataFrame.sum behavior). All partial-aggregated —
+    * one row leaves the executors. */
+  private def aggAll(f: Column => Column): DataFrame = {
+    val numeric = df.schema.fields.filter(_.dataType.isInstanceOf[
+      org.apache.spark.sql.types.NumericType]).map(_.name)
+    require(numeric.nonEmpty, "frame agg: no numeric columns")
+    df.agg(f(col(numeric.head)).as(numeric.head),
+      numeric.tail.map(c => f(col(c)).as(c)): _*)
+  }
+  def maxAll(): DataFrame = aggAll(max)
+  def minAll(): DataFrame = aggAll(min)
+  def sumAll(): DataFrame = aggAll(sum)
+  def meanAll(): DataFrame = aggAll(avg)
+  def medianAll(): DataFrame = aggAll(median)
+  def stdAll(): DataFrame = aggAll(stddev_samp)
+  def varAll(): DataFrame = aggAll(var_samp)
+  def quantileAll(q: Double): DataFrame =
+    aggAll(c => percentile_approx(c, lit(q), lit(10000)))
+
+  /** polars null_count: per-column null counts, ALL columns, one row. */
+  def nullCount(): DataFrame =
+    df.agg(
+      sum(col(df.columns.head).isNull.cast("long")).as(df.columns.head),
+      df.columns.tail.map(c => sum(col(c).isNull.cast("long")).as(c)): _*)
+
+  /** polars first/last along `ord` — one-row frames via TopK (no full
+    * sort; Catalyst plans TakeOrderedAndProject). */
+  def firstRow(ord: Column*): LazyFrame =
+    LazyFrame(df.orderBy(ord: _*).limit(1))
+  def lastRow(ord: Column*): LazyFrame =
+    LazyFrame(df.orderBy(ord.map(_.desc): _*).limit(1))
+
+  /** polars clear: an empty frame with this schema (n=0 form). */
+  def clear(): LazyFrame = LazyFrame(df.limit(0))
+
+  /** polars clone — plans are immutable values here; identity. */
+  def cloneFrame(): LazyFrame = this
+
+  /** polars LazyFrame.inspect: print a preview as a side effect and pass
+    * the frame through unchanged (polars evaluates it mid-chain; the
+    * eager preview here costs one limited collect). */
+  def inspect(n: Int = 5): LazyFrame = { println(show(n)); this }
+
+  /** polars merge_sorted: delegate to [[graft.ops.MergeSorted]] — the
+    * streaming two-way merge on a shared range partitioning. */
+  def mergeSorted(other: LazyFrame, key: Column*): LazyFrame =
+    LazyFrame(graft.ops.MergeSorted.merge(df, other.df, key: _*))
+
+  /** polars match_to_schema: cast common columns to the target type, add
+    * missing columns as typed nulls, drop extras, order as the target. */
+  def matchToSchema(target: org.apache.spark.sql.types.StructType): LazyFrame = {
+    val have = df.columns.toSet
+    LazyFrame(df.select(target.fields.map { f =>
+      if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*))
+  }
+
   /** polars DataFrame.equals — same schema, same rows. Polars compares in
     * row order; Spark frames carry no order (§7.1 discipline), so this is
     * the multiset comparison: equal iff neither side has rows the other

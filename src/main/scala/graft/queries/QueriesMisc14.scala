@@ -73,6 +73,47 @@ object QueriesMisc14 {
         .orderBy(col("vec_id"))
     }),
 
+    // polars frame-level aggregation shortcuts (LazyFrame.max/min/mean/
+    // median/std/var/null_count): one row per stat over the numeric
+    // columns, all partial-aggregated. Sum is spec-covered but excluded
+    // here: a raw float sum's cross-engine order jitter at 1e8 magnitude
+    // can flip a rounded digit (the q5 lesson); the other stats are
+    // magnitude-stable at 1e-4 (the agg_stats discipline).
+    "misc_frame_aggs" -> ((s, d) => {
+      val lf = graft.dsl.LazyFrame(
+        t(s, d, "lineitem").filter(col("l_orderkey") <= 2000)
+          .select(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount")))
+      val r4 = (c: String) => (round(col(c) * 1e4) / 1e4).as(c)
+      def tag(stat: String, df0: org.apache.spark.sql.DataFrame) =
+        df0.select(lit(stat).as("stat") +:
+          Seq("l_quantity", "l_extendedprice", "l_discount")
+            .map(c => r4(c.toString)): _*)
+      Seq(
+        tag("max", lf.maxAll()), tag("mean", lf.meanAll()),
+        tag("median", lf.medianAll()), tag("min", lf.minAll()),
+        tag("nullcnt", lf.nullCount()
+          .select(Seq("l_quantity", "l_extendedprice", "l_discount")
+            .map(c => col(c).cast("double").as(c)): _*)),
+        tag("std", lf.stdAll()), tag("var", lf.varAll()))
+        .reduce(_.unionAll(_)).orderBy(col("stat"))
+    }),
+
+    // polars frame-level order ops composed: gather_every(3, offset 1)
+    // then shift(1) of EVERY column along the key order (the LazyFrame
+    // .shift semantics — vacated row nulls). Emitted values encode the
+    // order, so the hash compare pins it.
+    "misc_frame_order_ops" -> ((s, d) => {
+      val base = graft.dsl.LazyFrame(
+        t(s, d, "orders").filter(col("o_orderkey") <= 100)
+          .select(col("o_orderkey"), col("o_totalprice")))
+      base.gatherEvery(3, 1, Seq(col("o_orderkey")))
+        .shiftAll(1, col("o_orderkey"))
+        .df.select(col("o_orderkey").as("prev_key"),
+          col("o_totalprice").as("prev_price"))
+        .orderBy(col("prev_key"))
+    }),
+
     // Static mixture sampling (ops/Mixing — the Pile/DoReMi "domain
     // weights" application step): per-language character budgets, docs
     // kept in md5-rank order until each group's running total hits its
@@ -190,6 +231,40 @@ object QueriesMisc14 {
         |FROM f0 JOIN f1 USING (vec_id) JOIN f2 USING (vec_id)
         |  JOIN f3 USING (vec_id)
         |ORDER BY f0.vec_id""".stripMargin,
+
+    "misc_frame_aggs" ->
+      """WITH t AS (
+        |  SELECT l_quantity AS q, l_extendedprice AS e, l_discount AS d
+        |  FROM lineitem WHERE l_orderkey <= 2000)
+        |SELECT 'max' AS stat, round(max(q)*1e4)/1e4 AS l_quantity,
+        |  round(max(e)*1e4)/1e4 AS l_extendedprice,
+        |  round(max(d)*1e4)/1e4 AS l_discount FROM t
+        |UNION ALL SELECT 'mean', round(avg(q)*1e4)/1e4,
+        |  round(avg(e)*1e4)/1e4, round(avg(d)*1e4)/1e4 FROM t
+        |UNION ALL SELECT 'median', round(median(q)*1e4)/1e4,
+        |  round(median(e)*1e4)/1e4, round(median(d)*1e4)/1e4 FROM t
+        |UNION ALL SELECT 'min', round(min(q)*1e4)/1e4,
+        |  round(min(e)*1e4)/1e4, round(min(d)*1e4)/1e4 FROM t
+        |UNION ALL SELECT 'nullcnt',
+        |  sum((q IS NULL)::INT)::DOUBLE, sum((e IS NULL)::INT)::DOUBLE,
+        |  sum((d IS NULL)::INT)::DOUBLE FROM t
+        |UNION ALL SELECT 'std', round(stddev_samp(q)*1e4)/1e4,
+        |  round(stddev_samp(e)*1e4)/1e4, round(stddev_samp(d)*1e4)/1e4 FROM t
+        |UNION ALL SELECT 'var', round(var_samp(q)*1e4)/1e4,
+        |  round(var_samp(e)*1e4)/1e4, round(var_samp(d)*1e4)/1e4 FROM t
+        |ORDER BY stat""".stripMargin,
+
+    "misc_frame_order_ops" ->
+      """WITH g AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    row_number() OVER (ORDER BY o_orderkey) - 1 AS idx
+        |  FROM orders WHERE o_orderkey <= 100),
+        |s AS (
+        |  SELECT o_orderkey, o_totalprice FROM g
+        |  WHERE idx >= 1 AND (idx - 1) % 3 = 0)
+        |SELECT lag(o_orderkey) OVER (ORDER BY o_orderkey) AS prev_key,
+        |  lag(o_totalprice) OVER (ORDER BY o_orderkey) AS prev_price
+        |FROM s ORDER BY prev_key""".stripMargin,
 
     "text_mixture_sample" ->
       """WITH c AS (

@@ -32,7 +32,8 @@ class ContractSpec extends SparkSpec {
       graft.queries.QueriesMisc8.queries, graft.queries.QueriesMisc9.queries,
       graft.queries.QueriesSql2.queries, graft.queries.QueriesMisc10.queries,
       graft.queries.QueriesMisc11.queries, graft.queries.QueriesMisc12.queries,
-      graft.queries.QueriesMisc13.queries)
+      graft.queries.QueriesMisc13.queries, graft.queries.QueriesStream.queries,
+      graft.queries.QueriesMisc14.queries)
     val all = batches.flatMap(_.keys)
     val dups = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query keys: ${dups.toSeq.sorted}")

@@ -186,6 +186,28 @@ class CurationSpec extends SparkSpec {
     assert(lf.showGraph().nonEmpty)
   }
 
+  test("frame-level order/agg/schema conveniences") {
+    val lf = graft.dsl.LazyFrame(
+      Seq((1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)).toDF("k", "v"))
+    assert(lf.reverse(col("k")).collectRows().head.getInt(0) == 4)
+    assert(lf.firstRow(col("k")).collectRows().head.getInt(0) == 1)
+    assert(lf.lastRow(col("k")).collectRows().head.getInt(0) == 4)
+    assert(lf.clear().count() == 0 && lf.clear().schema == lf.schema)
+    assert(lf.cloneFrame() eq lf)
+    assert(lf.maxAll().head().getDouble(1) == 40.0)
+    assert(lf.nullCount().head().getLong(0) == 0L)
+    val tgt = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("z",
+        org.apache.spark.sql.types.StringType)))
+    val m = lf.matchToSchema(tgt)
+    assert(m.columns == Seq("v", "z") && m.collectRows().forall(_.isNullAt(1)))
+    val merged = lf.mergeSorted(
+      graft.dsl.LazyFrame(Seq((5, 50.0)).toDF("k", "v")), col("k"))
+    assert(merged.count() == 5)
+  }
+
   test("dsir plan: the only exchange carries the bucket table, not documents") {
     val df = (1 to 50).map(i => (i.toLong, s"tok$i word common", i % 2 == 0))
       .toDF("id", "text", "t")
