@@ -73,6 +73,38 @@ object QueriesMisc14 {
         .orderBy(col("vec_id"))
     }),
 
+    // polars quantile interpolation strategies (Expr.quantile's five
+    // modes: linear/lower/higher/midpoint/nearest — the reference's
+    // QuantileMethod enum). All five derive from the shared
+    // pos = q·(n−1) index arithmetic over the group's sorted multiset:
+    // rank every row once (one window), pick v[floor]/v[ceil] as
+    // conditional aggregates, and combine — no per-group array is ever
+    // materialized (collect_list of a 2M-row group is the anti-pattern;
+    // this shape is one window + one agg at any scale). Ties in the sort
+    // are broken by keys so both engines rank the same multiset.
+    "agg_quantile_strategies" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      val q = 0.37
+      val base = t(s, d, "lineitem").filter(col("l_orderkey") <= 5000)
+        .select(col("l_returnflag"), col("l_quantity"),
+          (row_number().over(w) - 1).cast("double").as("i"),
+          count(lit(1)).over(Window.partitionBy(col("l_returnflag")))
+            .cast("double").as("n"))
+        .withColumn("pos", lit(q) * (col("n") - 1))
+      val vf = max(when(col("i") === floor(col("pos")), col("l_quantity")))
+      val vc = max(when(col("i") === ceil(col("pos")), col("l_quantity")))
+      val vn = max(when(col("i") === round(col("pos")), col("l_quantity")))
+      base.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          (round((vf + (max(col("pos")) - floor(max(col("pos")))) * (vc - vf))
+            * 1e4) / 1e4).as("q_linear"),
+          vf.as("q_lower"), vc.as("q_higher"),
+          ((vf + vc) / 2).as("q_midpoint"), vn.as("q_nearest"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // polars frame-level aggregation shortcuts (LazyFrame.max/min/mean/
     // median/std/var/null_count): one row per stat over the numeric
     // columns, all partial-aggregated. Sum is spec-covered but excluded
@@ -231,6 +263,28 @@ object QueriesMisc14 {
         |FROM f0 JOIN f1 USING (vec_id) JOIN f2 USING (vec_id)
         |  JOIN f3 USING (vec_id)
         |ORDER BY f0.vec_id""".stripMargin,
+
+    "agg_quantile_strategies" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity, l_orderkey, l_linenumber) - 1 AS i,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem WHERE l_orderkey <= 5000),
+        |p AS (SELECT *, 0.37 * (n - 1)::DOUBLE AS pos FROM r)
+        |SELECT l_returnflag, count(*) AS n,
+        | round((max(CASE WHEN i = floor(pos) THEN l_quantity END)
+        |   + (max(pos) - floor(max(pos)))
+        |     * (max(CASE WHEN i = ceil(pos) THEN l_quantity END)
+        |        - max(CASE WHEN i = floor(pos) THEN l_quantity END)))
+        |   * 1e4) / 1e4 AS q_linear,
+        | max(CASE WHEN i = floor(pos) THEN l_quantity END) AS q_lower,
+        | max(CASE WHEN i = ceil(pos) THEN l_quantity END) AS q_higher,
+        | (max(CASE WHEN i = floor(pos) THEN l_quantity END)
+        |  + max(CASE WHEN i = ceil(pos) THEN l_quantity END)) / 2
+        |   AS q_midpoint,
+        | max(CASE WHEN i = round(pos) THEN l_quantity END) AS q_nearest
+        |FROM p GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "misc_frame_aggs" ->
       """WITH t AS (
