@@ -298,4 +298,58 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"per-stratum cutoffs should broadcast:\n$p")
   }
+
+  test("mixture sampling: one range exchange, group offsets broadcast, no group-keyed window") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val cut = graft.ops.Mixing.sampleToBudgets(docs, "doc_id", "lang",
+      "n_chars", Map("en" -> 10000L, "de" -> 3000L))
+    val p = planOf(cut)
+    // the range exchange is localCheckpoint-pinned (the withScanned
+    // discipline — independent branch re-evaluations of RangePartitioner
+    // draw different bounds), so the plan reads the materialized scan;
+    // what must NOT appear is a hash exchange on the group key (the
+    // skew-hostile group-keyed-window shape), and the per-group carries
+    // must ride a broadcast.
+    assert(p.contains("ExistingRDD"),
+      s"mixture sampling should read the checkpoint-pinned ranged frame:\n$p")
+    // the DATA window must be keyed by (__dp, group) — per-reducer load is
+    // then bounded by the range-partition size, never by group size. (The
+    // offsets branch may hash on the group alone: it carries only the
+    // per-(partition, group) TOTALS, ≤ partitions × groups rows.)
+    assert("windowspecdefinition\\(__dp#\\d+, lang#".r.findFirstIn(p).isDefined,
+      s"data window should be (__dp, group)-keyed:\n$p")
+    assert(!("Window .*windowspecdefinition\\(lang#\\d+, _w".r.findFirstIn(p).isDefined),
+      s"a group-only window over document rows is the skew-hostile shape:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"group offsets should broadcast:\n$p")
+  }
+
+  test("quality-classifier gradient is one corpus scan reduced to one row") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val f = graft.text.QualityClassifier.featurize(docs, "text", 8)
+      .withColumn("__y", (col("lang") === "en").cast("int").cast("double"))
+    val w = org.apache.spark.sql.functions.array((0 to 8).map(_ => lit(0.1)): _*)
+    val p0 = lit(1.0) / (lit(1.0) + exp(-graft.functions.dotProduct(col("__x"), w)))
+    val g = f.agg(avg((p0 - col("__y")) * element_at(col("__x"), 1)).as("g0"))
+    val p = planOf(g)
+    // partial HashAggregate per partition, one SinglePartition exchange of
+    // partial rows — document rows themselves never shuffle
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"gradient aggregate hash-shuffled the documents:\n$p")
+    assert(p.contains("Exchange SinglePartition"),
+      s"expected the one-row final aggregate exchange:\n$p")
+  }
+
+  test("PQ encoding is a pure projection: no exchange, no join") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"),
+        x => x.cast("double")).as("e"))
+    val (_, enc) = graft.ml.Quantize.productQuantize(emb, "vec_id", "e",
+      m = 4, k = 2, iters = 0,
+      seed = sub => sub.filter(col("vec_id") < 2).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray)).toSeq)
+    val p = planOf(enc)
+    assert(!p.contains("Exchange"), s"PQ encode should not shuffle:\n$p")
+    assert(!p.contains("Join"), s"PQ encode should not join:\n$p")
+  }
 }
