@@ -612,11 +612,13 @@ final class LazyFrame(val df: DataFrame) {
   def quantileAll(q: Double): DataFrame =
     aggAll(c => percentile_approx(c, lit(q), lit(10000)))
 
-  /** polars null_count: per-column null counts, ALL columns, one row. */
-  def nullCount(): DataFrame =
-    df.agg(
-      sum(col(df.columns.head).isNull.cast("long")).as(df.columns.head),
-      df.columns.tail.map(c => sum(col(c).isNull.cast("long")).as(c)): _*)
+  /** polars null_count: per-column null counts, ALL columns, one row.
+    * coalesce keeps the polars empty-frame law: zero rows → 0, not the
+    * SQL sum-over-nothing NULL. */
+  def nullCount(): DataFrame = {
+    def cnt(c: String) = coalesce(sum(col(c).isNull.cast("long")), lit(0L)).as(c)
+    df.agg(cnt(df.columns.head), df.columns.tail.map(cnt): _*)
+  }
 
   /** polars first/last along `ord` — one-row frames via TopK (no full
     * sort; Catalyst plans TakeOrderedAndProject). */

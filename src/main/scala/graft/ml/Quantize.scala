@@ -115,6 +115,15 @@ object Quantize {
               queries: Seq[(Long, Array[Double])], k: Int): DataFrame = {
     require(books.nonEmpty && queries.nonEmpty, "adc: empty books/queries")
     val m = books.size
+    // positional table lookup (element_at(tab, code+1)) is only valid for
+    // dense 0-based codebook ids — a seed convention that starts ids
+    // elsewhere would silently null every score
+    books.zipWithIndex.foreach { case (b, j) =>
+      require(b.map(_._1).sorted == (0 until b.size),
+        s"adc: codebook $j ids must be dense 0-based, got ${b.map(_._1).sorted}")
+    }
+    require(queries.head._2.length % m == 0,
+      s"adc: query dim ${queries.head._2.length} not divisible by m=$m")
     val d = queries.head._2.length / m
     val qStructs = queries.map { case (qid, qv) =>
       val tabs = (0 until m).map { j =>

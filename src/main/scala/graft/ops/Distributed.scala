@@ -68,14 +68,21 @@ object Distributed {
       .agg(sum(value).as("__t"), count(value).as("__c"))
     val wOff = Window.partitionBy(gCols: _*).orderBy(col("__dp"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = totals.select(col("__dp") +: gCols :+
+    val offsets = totals.select(col("__dp").as("__odp") +:
+      group.map(g => col(g).as(s"__og_$g")) :+
       coalesce(sum(col("__t")).over(wOff), lit(0L)).as("__off") :+
       coalesce(sum(col("__c")).over(wOff), lit(0L)).as("__pc"): _*)
-    localized.join(broadcast(offsets), "__dp" +: group)
+    // NULL is a group (the keyed-window semantics): the carry join must
+    // be null-SAFE on the group columns — a plain equality would drop
+    // every null-group row from the inner join
+    val joinCond = (col("__dp") === col("__odp")) +:
+      group.map(g => col(g) <=> col(s"__og_$g"))
+    localized.join(broadcast(offsets), joinCond.reduce(_ && _))
       .withColumn(name,
         when(col("__val").isNotNull, col("__off") + col("__val"))
           .when(col("__pc") > 0, col("__off")))
-      .drop("__dp", "__val", "__off", "__pc")
+      .drop(Seq("__dp", "__odp", "__val", "__off", "__pc") ++
+        group.map(g => s"__og_$g"): _*)
   }
 
   /** Shared skeleton: range-repartition on `ord`, compute a per-partition

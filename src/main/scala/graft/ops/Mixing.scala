@@ -36,6 +36,9 @@ object Mixing {
       map(budgets.toSeq.sortBy(_._1).flatMap { case (g, b) =>
         Seq(lit(g), lit(b)) }: _*),
       col(groupCol))
-    cum.filter(col("cum_tok") <= coalesce(budget, lit(0L)))
+    // budgetless groups drop ENTIRELY (isNotNull, not a 0 budget): a
+    // coalesce-to-0 would still admit zero-token rows whose running
+    // total is 0
+    cum.filter(budget.isNotNull && col("cum_tok") <= budget)
   }
 }

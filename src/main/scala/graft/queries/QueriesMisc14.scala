@@ -330,9 +330,10 @@ object QueriesMisc14 {
         |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tok
         |  FROM c)
         |SELECT doc_id, lang, n_chars, cum_tok FROM cum
-        |WHERE cum_tok <= CASE lang
+        |WHERE lang IN ('en', 'de', 'es', 'fr')
+        |  AND cum_tok <= CASE lang
         |  WHEN 'en' THEN 30000 WHEN 'de' THEN 8000
-        |  WHEN 'es' THEN 8000 WHEN 'fr' THEN 8000 ELSE 0 END
+        |  WHEN 'es' THEN 8000 WHEN 'fr' THEN 8000 END
         |ORDER BY doc_id""".stripMargin,
 
     // ADC replayed on the shared PQ CTEs: distance = Σ_j (qq − 2qc + cc)

@@ -29,9 +29,18 @@ object QueriesStream {
 
   private val nameSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** The driver events table as a file-source stream, ts normalized to
-    * tz-aware µs TIMESTAMP exactly like `util.t` (both physical
-    * generations: TIMESTAMP(NANOS)-as-long and plain timestamp[us]). */
+  /** The driver events table as a file-source stream, ts normalized
+    * through `util.normalizeEventsTs` — the SAME normalizer as the batch
+    * loader, so the two paths cannot drift across testdata generations.
+    *
+    * maxFilesPerTrigger is unbounded: the oracle is the BATCH answer, and
+    * the watermark-sensitive keys (dedup, interval join) are only
+    * batch-equal when the replay is one trigger — a multi-trigger replay
+    * would advance the watermark between triggers and (correctly, by
+    * streaming semantics) drop rows arriving later than the horizon,
+    * which the batch oracle still counts. Single-trigger replay pins the
+    * operator math; late-data admission is watermark policy, spec-covered
+    * in StreamingSpec. */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
@@ -41,12 +50,8 @@ object QueriesStream {
     // the glob keeps our directory basePath in force (and matches both the
     // driver's single file and ScaleData's part-file directory)
     val stream = Streams.readParquetStream(s, s"$path*", raw.schema,
-      basePath = Some(dir))
-    raw.schema("ts").dataType match {
-      case LongType      => stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case TimestampType => stream
-      case _             => stream.withColumn("ts", col("ts").cast(TimestampType))
-    }
+      maxFilesPerTrigger = Int.MaxValue, basePath = Some(dir))
+    util.normalizeEventsTs(stream, raw.schema("ts").dataType)
   }
 
   private def replay(df: DataFrame, key: String, mode: String): DataFrame =

@@ -17,18 +17,28 @@ object util {
     if (name == "events") {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = s.read.parquet(s"$dir/$name.parquet")
-      import org.apache.spark.sql.types.{LongType, TimestampType}
-      raw.schema("ts").dataType match {
-        case LongType =>
-          // integral `div`, NOT `/`: ns longs exceed double's 2^53 mantissa
-          raw.withColumn("ts",
-            org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-        case TimestampType => raw
-        case _ => // TIMESTAMP_NTZ (µs testdata) — UTC session, identity cast
-          raw.withColumn("ts",
-            org.apache.spark.sql.functions.col("ts").cast(TimestampType))
-      }
+      normalizeEventsTs(raw, raw.schema("ts").dataType)
     } else s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** The one events-ts normalizer, shared by the batch loader above and
+    * the streaming source (QueriesStream.eventsStream) so the two paths
+    * cannot drift across driver testdata generations. `raw` is the
+    * PHYSICAL ts dtype of the frame being normalized. */
+  def normalizeEventsTs(df: DataFrame,
+                        raw: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    raw match {
+      case LongType =>
+        // integral `div`, NOT `/`: ns longs exceed double's 2^53 mantissa
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => df
+      case _ => // TIMESTAMP_NTZ (µs testdata) — UTC session, identity cast
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(TimestampType))
+    }
   }
 
   def lf(s: SparkSession, dir: String, name: String): LazyFrame =

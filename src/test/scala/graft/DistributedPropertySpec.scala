@@ -57,7 +57,10 @@ class DistributedPropertySpec extends SparkSpec {
         val v: java.lang.Long =
           if (rnd.nextInt(10) == 0) null
           else java.lang.Long.valueOf(rnd.nextInt(200) - 100L)
-        (k.toLong, s"g${rnd.nextInt(nGroups)}", v)
+        // NULL is a group too (the keyed-window semantics) — the carry
+        // join must be null-safe or these rows vanish
+        val g = if (rnd.nextInt(8) == 0) null else s"g${rnd.nextInt(nGroups)}"
+        (k.toLong, g, v)
       }
       val df = spark.createDataFrame(data).toDF("k", "g", "v")
         .repartition(parts)
