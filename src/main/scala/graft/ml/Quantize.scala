@@ -155,6 +155,82 @@ object Quantize {
         (round(col("adc") * 1e4) / 1e4).as("adc"))
   }
 
+  /** IVF-PQ (the full FAISS IndexIVFPQ composition): coarse-quantize
+    * every vector to its nearest [[KMeans]] cell, PQ-encode the RESIDUAL
+    * (x − cell centroid) with one shared codebook set, and search by
+    * probing the query's `nprobe` nearest cells with a per-(query, cell)
+    * ADC table over the query's residual in that cell. Encoded storage is
+    * (cell id + m codes) per vector; search touches only the probed
+    * cells' codes — the shape that serves billion-vector ANN from RAM.
+    *
+    * All driver-side math (probe selection, residual tables) follows the
+    * snapped-grid discipline (round(d²·1e6), ties to smaller id), so the
+    * whole build+search replays in SQL. Returns (residual codebooks,
+    * encoded frame, top-k results). */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+                coarse: Seq[(Int, Array[Double])], m: Int, k: Int,
+                queries: Seq[(Long, Array[Double])], topK: Int, nprobe: Int,
+                seed: DataFrame => Seq[(Int, Array[Double])])
+      : (Seq[Seq[(Int, Array[Double])]], DataFrame, DataFrame) = {
+    require(coarse.map(_._1).sorted == (0 until coarse.size),
+      "ivfpq: coarse cell ids must be dense 0-based")
+    val centArr = array(coarse.sortBy(_._1).map { case (_, v) =>
+      array(v.map(lit): _*) }: _*)
+    val assigned = KMeans.assign(df, idCol, vecCol, coarse)
+      .withColumn("__res", zip_with(col(vecCol),
+        element_at(centArr, col("cluster") + 1), (a, b) => a - b))
+    val resFrame = assigned.select(col(idCol), col("__res").as(vecCol))
+    val (books, _) = productQuantize(resFrame, idCol, vecCol, m, k,
+      iters = 1, seed)
+    val d = coarse.head._2.length / m
+    // encode residuals against the trained books in one projection,
+    // keeping the cell id alongside the codes
+    val encoded = books.zipWithIndex.foldLeft(
+      assigned.select(col(idCol), col("cluster"), col("__res"))) {
+      case (acc, (cents, j)) =>
+        val sv = slice(col("__res"), lit(j * d + 1), lit(d))
+        val best = array_min(KMeans.scoredL2(sv,
+          graft.functions.dotProduct(sv, sv), cents))
+        acc.withColumn(s"code_$j", best.getField("cid"))
+    }
+    val probes: Seq[Column] = queries.flatMap { case (qid, qv) =>
+      val cells = coarse.sortBy(_._1).map { case (cid, c) =>
+        val d2 = qv.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+        (math.round(d2 * 1e6), cid, c)
+      }.sortBy(t => (t._1, t._2)).take(nprobe)
+      cells.map { case (_, cid, cvec) =>
+        val qr = qv.zip(cvec).map { case (a, b) => a - b }
+        val tabs = (0 until m).map { j =>
+          val qs = qr.slice(j * d, (j + 1) * d)
+          val qq = qs.map(x => x * x).sum
+          books(j).sortBy(_._1).map { case (_, c) =>
+            val qc = qs.zip(c).map { case (a, b) => a * b }.sum
+            qq - 2 * qc + c.map(x => x * x).sum
+          }.toArray
+        }
+        struct(lit(qid).as("qid") +: lit(cid).as("cell") +:
+          tabs.zipWithIndex.map { case (tab, j) =>
+            array(tab.map(lit): _*).as(s"tab_$j") }: _*)
+      }
+    }
+    val q = explode(array(probes: _*)).as("__q")
+    val adc = (0 until m).map(j =>
+      element_at(col(s"__q.tab_$j"), col(s"code_$j") + 1)).reduce(_ + _)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__q.qid"))
+      .orderBy(round(col("adc") * 1e6).cast("long").asc, col(idCol).asc)
+    val results = encoded
+      .select(col(idCol) +: col("cluster") +:
+        (0 until m).map(j => col(s"code_$j")) :+ q: _*)
+      .filter(col("cluster") === col("__q.cell"))
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("__q.qid").as("query_id"), col(idCol), col("rank"),
+        (round(col("adc") * 1e4) / 1e4).as("adc"))
+    (books, encoded.drop("__res"), results)
+  }
+
   /** Subspace width — requires the (static) dim to divide evenly; probed
     * from the first row once at plan-build time. */
   private def subDim(df: DataFrame, vecCol: String, m: Int): Int = {

@@ -146,6 +146,28 @@ object QueriesMisc14 {
         .orderBy(col("prev_key"))
     }),
 
+    // The full FAISS IndexIVFPQ composition (ml/Quantize.ivfPqTopK):
+    // trained coarse cells (the sim_kmeans_train KMeans, replayed by the
+    // shared CTEs) → residual PQ codebooks (4×4, one Lloyd round) →
+    // queries probe their 2 nearest cells with per-(query, cell) ADC
+    // tables over the query's residual. Storage per vector is cell id +
+    // 4 codes; search touches only probed cells' codes. Build AND search
+    // replay end to end in the oracle under the shared snap discipline.
+    "sim_ivfpq_adc" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("e"))
+      val (coarse, _) = graft.ml.KMeans.train(emb, "vec_id", "e",
+        QueriesMisc12.seedCentroids(emb, 4), iters = 1)
+      val qs = emb.filter(col("vec_id") <= 1).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).toSeq
+      val (_, _, results) = graft.ml.Quantize.ivfPqTopK(emb, "vec_id", "e",
+        coarse, m = 4, k = 4, queries = qs, topK = 10, nprobe = 2,
+        seed = sub => QueriesMisc12.seedCentroids(sub, 4))
+      results.orderBy(col("query_id"), col("rank"))
+    }),
+
     // Static mixture sampling (ops/Mixing — the Pile/DoReMi "domain
     // weights" application step): per-language character budgets, docs
     // kept in md5-rank order until each group's running total hits its
@@ -335,6 +357,108 @@ object QueriesMisc14 {
         |  WHEN 'en' THEN 30000 WHEN 'de' THEN 8000
         |  WHEN 'es' THEN 8000 WHEN 'fr' THEN 8000 END
         |ORDER BY doc_id""".stripMargin,
+
+    // IVF-PQ replayed: the shared kmeans CTEs give the trained coarse
+    // cells (c1); asg/res re-derive assignments + residuals; the
+    // residual-PQ blocks (rs/rc0/ra1/rm1/rc1/rf per subspace) mirror
+    // pqReplayCtes on residuals; probes rank cells per query on the
+    // snapped grid; ADC joins probed-cell codes to codebook entries
+    // against the query's per-cell residual.
+    "sim_ivfpq_adc" -> {
+      def rsub(j: Int): String = {
+        val lo = j * 16 + 1; val hi = (j + 1) * 16
+        s"""rs$j AS MATERIALIZED (SELECT vec_id, r[$lo:$hi] AS sv FROM res),
+          |rc0$j AS (SELECT vec_id::INT AS cid, sv AS cvec FROM rs$j WHERE vec_id < 4),
+          |ra1$j AS (
+          |  SELECT vec_id, sv, cid FROM (
+          |    SELECT s.vec_id, s.sv, c.cid,
+          |      row_number() OVER (PARTITION BY s.vec_id ORDER BY
+          |        round((list_dot_product(s.sv, s.sv)
+          |               - 2 * list_dot_product(s.sv, c.cvec)
+          |               + list_dot_product(c.cvec, c.cvec)) * 1e6) ASC,
+          |        c.cid ASC) AS rn
+          |    FROM rs$j s CROSS JOIN rc0$j c) WHERE rn = 1),
+          |rm1$j AS (
+          |  SELECT cid, pos, round(avg(sv[pos]) * 1e6) / 1e6 AS m
+          |  FROM ra1$j CROSS JOIN range(1, 17) AS r(pos)
+          |  GROUP BY cid, pos),
+          |rc1$j AS MATERIALIZED (
+          |  SELECT c0.cid, coalesce(mm.mvec, c0.cvec) AS cvec
+          |  FROM rc0$j c0 LEFT JOIN
+          |    (SELECT cid, list(m ORDER BY pos) AS mvec FROM rm1$j GROUP BY cid) mm
+          |    ON mm.cid = c0.cid),
+          |rf$j AS MATERIALIZED (
+          |  SELECT vec_id, cid AS code_$j FROM (
+          |    SELECT s.vec_id, c.cid,
+          |      row_number() OVER (PARTITION BY s.vec_id ORDER BY
+          |        round((list_dot_product(s.sv, s.sv)
+          |               - 2 * list_dot_product(s.sv, c.cvec)
+          |               + list_dot_product(c.cvec, c.cvec)) * 1e6) ASC,
+          |        c.cid ASC) AS rn
+          |    FROM rs$j s CROSS JOIN rc1$j c) WHERE rn = 1)""".stripMargin
+      }
+      def qr(j: Int): String = {
+        val lo = j * 16 + 1; val hi = (j + 1) * 16
+        s"[q.e[i] - p.cvec[i] FOR i IN generate_series($lo, $hi)] AS qr$j"
+      }
+      def term(j: Int): String =
+        s"""(list_dot_product(w.qr$j, w.qr$j)
+          |   - 2 * list_dot_product(w.qr$j, b$j.cvec)
+          |   + list_dot_product(b$j.cvec, b$j.cvec))""".stripMargin
+      s"""WITH ${QueriesMisc12.kmeansReplayCtes},
+        |asg AS MATERIALIZED (
+        |  SELECT vec_id, e, cid FROM (
+        |    SELECT v.vec_id, v.e, c.cid,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        round((list_dot_product(v.e, v.e)
+        |               - 2 * list_dot_product(v.e, c.cvec)
+        |               + list_dot_product(c.cvec, c.cvec)) * 1e6) ASC,
+        |        c.cid ASC) AS rn
+        |    FROM v CROSS JOIN c1 c) WHERE rn = 1),
+        |res AS MATERIALIZED (
+        |  SELECT a.vec_id, a.cid,
+        |    [a.e[i] - c.cvec[i] FOR i IN generate_series(1, 64)] AS r
+        |  FROM asg a JOIN c1 c ON c.cid = a.cid),
+        |${rsub(0)},
+        |${rsub(1)},
+        |${rsub(2)},
+        |${rsub(3)},
+        |q AS (SELECT vec_id AS qid, e FROM v WHERE vec_id <= 1),
+        |probe AS (
+        |  SELECT qid, cid, cvec FROM (
+        |    SELECT q.qid, c.cid, c.cvec,
+        |      row_number() OVER (PARTITION BY q.qid ORDER BY
+        |        round((list_dot_product(q.e, q.e)
+        |               - 2 * list_dot_product(q.e, c.cvec)
+        |               + list_dot_product(c.cvec, c.cvec)) * 1e6) ASC,
+        |        c.cid ASC) AS rn
+        |    FROM q CROSS JOIN c1 c) WHERE rn <= 2),
+        |qrs AS (
+        |  SELECT p.qid, p.cid AS cell,
+        |    ${qr(0)}, ${qr(1)}, ${qr(2)}, ${qr(3)}
+        |  FROM probe p JOIN q ON q.qid = p.qid),
+        |scored AS (
+        |  SELECT w.qid, r.vec_id,
+        |    ${term(0)} + ${term(1)} + ${term(2)} + ${term(3)} AS adc
+        |  FROM res r
+        |  JOIN qrs w ON r.cid = w.cell
+        |  JOIN rf0 f0 ON f0.vec_id = r.vec_id
+        |  JOIN rf1 f1 ON f1.vec_id = r.vec_id
+        |  JOIN rf2 f2 ON f2.vec_id = r.vec_id
+        |  JOIN rf3 f3 ON f3.vec_id = r.vec_id
+        |  JOIN rc10 b0 ON b0.cid = f0.code_0
+        |  JOIN rc11 b1 ON b1.cid = f1.code_1
+        |  JOIN rc12 b2 ON b2.cid = f2.code_2
+        |  JOIN rc13 b3 ON b3.cid = f3.code_3)
+        |SELECT qid AS query_id, vec_id, rank,
+        | round(adc * 1e4) / 1e4 + 0.0 AS adc
+        |FROM (
+        |  SELECT qid, vec_id, adc,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY round(adc * 1e6) ASC, vec_id ASC) AS INTEGER) AS rank
+        |  FROM scored)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
 
     // ADC replayed on the shared PQ CTEs: distance = Σ_j (qq − 2qc + cc)
     // over the codebook entries selected by each vector's codes, ranked
