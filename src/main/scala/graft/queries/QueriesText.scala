@@ -69,6 +69,17 @@ object QueriesText {
         parallelism = s.sparkContext.defaultParallelism)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // The fuzzy (edit-distance) verify over the SAME LSH candidates:
+    // 1 − lev/maxlen on a 400-char prefix — the reorder-sensitive
+    // near-dup check (boilerplate/template spam), O(len²) only ever on
+    // candidate pairs, never all-pairs. threshold 0.5 provably filters
+    // (one candidate pair sits at ~0.30 and is dropped).
+    "text_fuzzy_pairs" -> ((s, d) =>
+      Dedup.fuzzyNearDuplicates(t(s, d, "documents"), "doc_id", "text",
+        w = 3, k = 4, b = 2, threshold = 0.5, capChars = 400,
+        parallelism = s.sparkContext.defaultParallelism)
+        .orderBy(col("id_a"), col("id_b"))),
+
     "dedup_simhash" -> ((s, d) =>
       t(s, d, "documents").filter(col("doc_id") < 200).select(
         col("doc_id"),
@@ -346,6 +357,20 @@ object QueriesText {
     "dedup_near_pairs" ->
       s"""WITH $nearPairsCte
          |SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "text_fuzzy_pairs" ->
+      s"""WITH $nearPairsCte,
+         |tx AS (SELECT doc_id, substr(text, 1, 400) AS t FROM documents),
+         |fuzzy AS (
+         | SELECT id_a, id_b,
+         |  CASE WHEN greatest(len(ta.t), len(tb.t)) > 0 THEN
+         |   round((1.0 - levenshtein(ta.t, tb.t)::DOUBLE
+         |     / greatest(len(ta.t), len(tb.t))) * 1e4) / 1e4 END AS edit_sim
+         | FROM cand
+         | JOIN tx ta ON ta.doc_id = id_a
+         | JOIN tx tb ON tb.doc_id = id_b)
+         |SELECT id_a, id_b, edit_sim FROM fuzzy WHERE edit_sim >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_clusters" ->

@@ -201,6 +201,34 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Fuzzy near-duplicates: the SAME banded-MinHash candidate generation
+    * as [[nearDuplicates]], but verified by EDIT-distance similarity
+    * (1 − lev/maxlen) on a length-capped text prefix instead of shingle
+    * Jaccard — the verify used when token reordering should NOT count as
+    * similar (boilerplate detection, template spam). Scale shape: edit
+    * distance is O(len²) per pair, so it only ever runs on LSH candidate
+    * pairs (never all-pairs) and on a `capChars` prefix that bounds the
+    * worst case; Spark's `levenshtein` is codegen'd. Pairs where both
+    * prefixes are empty have no defined similarity and are dropped. */
+  def fuzzyNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                          w: Int = 3, k: Int = 16, b: Int = 4,
+                          threshold: Double = 0.8, capChars: Int = 400,
+                          maxBucket: Int = 0, parallelism: Int = 0): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, w, k, b, maxBucket,
+      parallelism)
+    val txt = df.select(col(idCol),
+      substring(col(textCol), 1, capChars).as("__t"))
+    val denom = greatest(length(col("__ta")), length(col("__tb")))
+    cands
+      .join(txt.select(col(idCol).as("id_a"), col("__t").as("__ta")), Seq("id_a"))
+      .join(txt.select(col(idCol).as("id_b"), col("__t").as("__tb")), Seq("id_b"))
+      .withColumn("edit_sim", when(denom > 0,
+        round((lit(1.0) -
+          levenshtein(col("__ta"), col("__tb")).cast("double") / denom) * 1e4) / 1e4))
+      .filter(col("edit_sim") >= threshold)
+      .select("id_a", "id_b", "edit_sim")
+  }
+
   /** Repeated token-span detection (substring-level dedup, the public
     * "Deduplicating Training Data Makes Language Models Better" recipe
     * restricted to fixed-width spans): lowercase-whitespace tokenize, slide
