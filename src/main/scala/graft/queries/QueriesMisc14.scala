@@ -105,6 +105,25 @@ object QueriesMisc14 {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Approximate quantiles (Spark's Greenwald-Khanna percentile_approx
+    // — the sketch polars users reach for via describe on big frames).
+    // Sketch values are engine-specific, so the key follows the
+    // agg_approx_ndv invariant discipline: emit the exact median (DuckDB
+    // computes the same number) plus a boolean pinning the sketch inside
+    // the exact [p45, p55] band — accuracy 1000 bounds rank error to
+    // 0.1%, so the 5%-rank band is a wide margin and a drifting sketch
+    // hashes red.
+    "agg_approx_quantile" -> ((s, d) => {
+      val ap = expr("percentile_approx(l_extendedprice, 0.5, 1000)")
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          (round(expr("percentile(l_extendedprice, 0.5)") * 1e4) / 1e4)
+            .as("exact_med"),
+          (ap >= expr("percentile(l_extendedprice, 0.45)") &&
+            ap <= expr("percentile(l_extendedprice, 0.55)")).as("in_band"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // polars frame-level aggregation shortcuts (LazyFrame.max/min/mean/
     // median/std/var/null_count): one row per stat over the numeric
     // columns, all partial-aggregated. Sum is spec-covered but excluded
@@ -307,6 +326,12 @@ object QueriesMisc14 {
         |   AS q_midpoint,
         | max(CASE WHEN i = round(pos) THEN l_quantity END) AS q_nearest
         |FROM p GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_approx_quantile" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5) * 1e4) / 1e4 AS exact_med,
+        | TRUE AS in_band
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "misc_frame_aggs" ->
       """WITH t AS (

@@ -174,6 +174,25 @@ object QueriesStream {
         .select(col("user_id"), col("n"),
           col("total").cast("long").as("cents"))
         .orderBy(col("user_id"))
+    }),
+
+    // The curation pipeline re-pointed at a STREAM — the Streams module's
+    // core promise, oracle-pinned: the same quality-score expression the
+    // batch text_quality key uses runs as a stateless streaming filter
+    // (no watermark/state needed; at scale this is the shape of a
+    // continuously-ingesting corpus filter). Append-mode replay == the
+    // batch filter's row set.
+    "stream_curation_filter" -> ((s, d) => {
+      val path = s"$d/documents.parquet"
+      val raw = s.read.parquet(path)
+      val stream = Streams.readParquetStream(s, s"$path*", raw.schema,
+        maxFilesPerTrigger = Int.MaxValue, basePath = Some(d))
+      val curated = stream
+        .withColumn("quality", graft.text.TextAnalysis.qualityScore(col("text")))
+        .filter(col("quality") >= 0.5 && col("n_chars") >= 50)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("quality"))
+      replay(curated, "stream_curation", "append")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -232,6 +251,15 @@ object QueriesStream {
       """SELECT user_id, count(*) AS n,
         | sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
         |FROM events WHERE user_id <= 50
-        |GROUP BY user_id ORDER BY user_id""".stripMargin
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "stream_curation_filter" ->
+      s"""WITH scored AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    ${QueriesText.qualityScoreSql} AS quality
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars, quality FROM scored
+        |WHERE quality >= 0.5 AND n_chars >= 50
+        |ORDER BY doc_id""".stripMargin
   )
 }

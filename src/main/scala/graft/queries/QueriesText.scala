@@ -251,6 +251,18 @@ object QueriesText {
        | JOIN sig sb ON sb.doc_id = id_b)""".stripMargin
   }
 
+  /** The quality-score formula as oracle SQL — shared by text_quality
+    * and the streaming curation-filter key so the two cannot drift. */
+  private[queries] lazy val qualityScoreSql: String =
+    """round((
+      | (CASE WHEN length(text) < 10 THEN 0.0 WHEN length(text) > 20000 THEN 0.3 ELSE 1.0 END) * 0.3
+      | + (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(length(text), 1.0)) * 0.3
+      | + (CASE WHEN length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / greatest(length(text), 1.0) > 0.2
+      |    THEN 0.0 ELSE 1.0 - length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / greatest(length(text), 1.0) END) * 0.2
+      | + (CASE WHEN length(text) / greatest(CASE WHEN trim(text) = '' THEN 0
+      |      ELSE len(string_split_regex(trim(text), '\s+')) END, 1)
+      |     BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.2 END) * 0.2) * 10000) / 10000""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_ngram_spans" ->
       """WITH t AS (SELECT doc_id,
@@ -310,14 +322,7 @@ object QueriesText {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->
-      """SELECT doc_id, round((
-        | (CASE WHEN length(text) < 10 THEN 0.0 WHEN length(text) > 20000 THEN 0.3 ELSE 1.0 END) * 0.3
-        | + (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(length(text), 1.0)) * 0.3
-        | + (CASE WHEN length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / greatest(length(text), 1.0) > 0.2
-        |    THEN 0.0 ELSE 1.0 - length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / greatest(length(text), 1.0) END) * 0.2
-        | + (CASE WHEN length(text) / greatest(CASE WHEN trim(text) = '' THEN 0
-        |      ELSE len(string_split_regex(trim(text), '\s+')) END, 1)
-        |     BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.2 END) * 0.2) * 10000) / 10000 AS quality
+      s"""SELECT doc_id, $qualityScoreSql AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_langid" -> {
