@@ -105,6 +105,35 @@ object QueriesMisc14 {
         .orderBy(col("l_returnflag"))
     }),
 
+    // polars group_by().map_groups / apply — the fully-general typed
+    // per-group escape hatch (GroupBy.flatMapGroups on Spark's
+    // KeyValueGroupedDataset), previously spec-only. The group fn here
+    // streams each group once, computing count / exact cent-sum / min
+    // imperatively, and ALSO emits a per-group 'spread' row — a 1-in-
+    // 2-out shape no agg() can express — so the oracle pins the typed
+    // path itself, not an aggregate rewrite of it. Groups stream through
+    // the fn (Spark never materializes them), so memory is bounded by
+    // what the fn retains — here O(1).
+    "agg_map_groups" -> ((s, d) => {
+      import s.implicits._
+      val rows = graft.dsl.LazyFrame(
+        t(s, d, "orders").filter(col("o_orderkey") <= 5000)
+          .select(col("o_orderpriority"), col("o_totalprice")))
+        .groupBy(col("o_orderpriority"))
+        .flatMapGroups(r => r.getString(0)) { (k, it) =>
+          var n = 0L; var cents = 0L
+          var mn = Double.MaxValue; var mx = Double.MinValue
+          it.foreach { r =>
+            val p = r.getDouble(1)
+            n += 1; cents += math.round(p * 100)
+            if (p < mn) mn = p; if (p > mx) mx = p
+          }
+          Seq((k, "stats", n, cents), (k, "spread", n, math.round(mx * 100) - math.round(mn * 100)))
+        }
+      rows.toDF("o_orderpriority", "kind", "n", "cents")
+        .orderBy(col("o_orderpriority"), col("kind"))
+    }),
+
     // Approximate quantiles (Spark's Greenwald-Khanna percentile_approx
     // — the sketch polars users reach for via describe on big frames).
     // Sketch values are engine-specific, so the key follows the
@@ -326,6 +355,18 @@ object QueriesMisc14 {
         |   AS q_midpoint,
         | max(CASE WHEN i = round(pos) THEN l_quantity END) AS q_nearest
         |FROM p GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_map_groups" ->
+      """WITH g AS (
+        |  SELECT o_orderpriority, count(*) AS n,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS sum_c,
+        |    CAST(round(max(o_totalprice) * 100) AS BIGINT)
+        |      - CAST(round(min(o_totalprice) * 100) AS BIGINT) AS spread_c
+        |  FROM orders WHERE o_orderkey <= 5000 GROUP BY 1)
+        |SELECT o_orderpriority, 'spread' AS kind, n, spread_c AS cents FROM g
+        |UNION ALL
+        |SELECT o_orderpriority, 'stats', n, sum_c FROM g
+        |ORDER BY o_orderpriority, kind""".stripMargin,
 
     "agg_approx_quantile" ->
       """SELECT l_returnflag,
