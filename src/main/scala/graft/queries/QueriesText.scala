@@ -96,6 +96,29 @@ object QueriesText {
       Dedup.duplicateClusters(pairs, "id_a", "id_b").orderBy(col("doc_id"))
     }),
 
+    // Canonical-document selection — the decision near-dup clustering
+    // exists to feed: within every duplicate cluster, KEEP the highest-
+    // quality copy (ties to the smaller id) and drop the rest. Composes
+    // the LSH pipeline + star-schedule clustering + the quality scorer;
+    // one keyed window over cluster-sized groups (bounded by near-dup
+    // cluster size, not corpus size).
+    "dedup_keep_best" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
+        w = 3, k = 4, b = 2, threshold = 0.5,
+        parallelism = s.sparkContext.defaultParallelism)
+      val clusters = Dedup.duplicateClusters(pairs, "id_a", "id_b")
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("q").desc, col("doc_id").asc)
+      clusters
+        .join(docs.select(col("doc_id"),
+          TA.qualityScore(col("text")).as("q")), Seq("doc_id"))
+        .withColumn("keep", row_number().over(w) === 1)
+        .select(col("doc_id"), col("cluster_id"), col("q"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     "sim_bruteforce_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val queriesDf = emb.filter(col("vec_id") < 3)
@@ -363,6 +386,25 @@ object QueriesText {
       s"""WITH $nearPairsCte
          |SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $nearPairsCte,
+         |fp AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM fp
+         |          UNION ALL SELECT id_b, id_a FROM fp),
+         |reach AS (
+         | SELECT a, b FROM edges
+         | UNION
+         | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |       FROM reach GROUP BY a),
+         |scored AS (
+         | SELECT cl.doc_id, cl.cluster_id, $qualityScoreSql AS q
+         | FROM cl JOIN documents USING (doc_id))
+         |SELECT doc_id, cluster_id, q,
+         | row_number() OVER (PARTITION BY cluster_id
+         |   ORDER BY q DESC, doc_id ASC) = 1 AS keep
+         |FROM scored ORDER BY doc_id""".stripMargin,
 
     "text_fuzzy_pairs" ->
       s"""WITH $nearPairsCte,
