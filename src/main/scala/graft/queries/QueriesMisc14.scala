@@ -105,6 +105,21 @@ object QueriesMisc14 {
         .orderBy(col("l_returnflag"))
     }),
 
+    // CUBE grouping sets (beyond-reference alongside the agg_rollup row:
+    // polars users emulate multi-level totals with concat of group-bys;
+    // Spark plans one Expand + one aggregate). NULL group markers are
+    // disambiguated with grouping() — a real 'N/A' value and the
+    // all-group total would otherwise collide.
+    "agg_cube" -> ((s, d) =>
+      t(s, d, "orders").filter(col("o_orderkey") <= 5000)
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"),
+          grouping(col("o_orderpriority")).as("g_pri"),
+          grouping(col("o_orderstatus")).as("g_st"))
+        .orderBy(col("g_pri"), col("g_st"),
+          col("o_orderpriority"), col("o_orderstatus"))),
+
     // polars group_by().map_groups / apply — the fully-general typed
     // per-group escape hatch (GroupBy.flatMapGroups on Spark's
     // KeyValueGroupedDataset), previously spec-only. The group fn here
@@ -355,6 +370,15 @@ object QueriesMisc14 {
         |   AS q_midpoint,
         | max(CASE WHEN i = round(pos) THEN l_quantity END) AS q_nearest
         |FROM p GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        | sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents,
+        | CAST(grouping(o_orderpriority) AS TINYINT) AS g_pri,
+        | CAST(grouping(o_orderstatus) AS TINYINT) AS g_st
+        |FROM orders WHERE o_orderkey <= 5000
+        |GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        |ORDER BY g_pri, g_st, o_orderpriority, o_orderstatus""".stripMargin,
 
     "agg_map_groups" ->
       """WITH g AS (

@@ -176,6 +176,23 @@ object QueriesStream {
         .orderBy(col("user_id"))
     }),
 
+    // HOPPING windows on the stream (Streams.windowedAgg with slide <
+    // window): 1-hour windows every 20 minutes — each event lands in
+    // exactly 3 overlapping windows. The oracle replays the hop by
+    // flooring each event to its 20-min grid cell and fanning out the 3
+    // candidate window starts.
+    "stream_hopping_agg" -> ((s, d) => {
+      val agg = Streams.windowedAgg(
+        eventsStream(s, d).filter(col("user_id") <= 40),
+        "ts", "1 hour", watermark = "1 hour",
+        aggs = Seq(count(lit(1)).as("n"), sum(cents).as("sum_cents")),
+        slide = Some("20 minutes"))
+      replay(agg, "stream_hop", "complete")
+        .select(date_format(col("_window_start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+          col("n"), col("sum_cents"))
+        .orderBy(col("ws"))
+    }),
+
     // The curation pipeline re-pointed at a STREAM — the Streams module's
     // core promise, oracle-pinned: the same quality-score expression the
     // batch text_quality key uses runs as a stateless streaming filter
@@ -252,6 +269,19 @@ object QueriesStream {
         | sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
         |FROM events WHERE user_id <= 50
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "stream_hopping_agg" ->
+      """WITH g AS (
+        |  SELECT make_timestamp((floor(epoch(ts) / 1200))::BIGINT
+        |      * 1200000000) AS cell,
+        |    CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE user_id <= 40),
+        |fan AS (
+        |  SELECT cell - to_minutes(20 * k) AS ws, c
+        |  FROM g CROSS JOIN generate_series(0, 2) AS s(k))
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS ws,
+        | count(*) AS n, sum(c)::BIGINT AS sum_cents
+        |FROM fan GROUP BY 1 ORDER BY ws""".stripMargin,
 
     "stream_curation_filter" ->
       s"""WITH scored AS (

@@ -34,14 +34,22 @@ object Streams {
     * streaming version of LazyFrame.groupByDynamic. */
   def windowedAgg(events: DataFrame, ts: String, every: String,
                   watermark: String, aggs: Seq[org.apache.spark.sql.Column],
-                  extraKeys: Seq[org.apache.spark.sql.Column] = Nil): DataFrame =
+                  extraKeys: Seq[org.apache.spark.sql.Column] = Nil,
+                  slide: Option[String] = None): DataFrame = {
+    // slide < every → hopping windows (each event lands in every/slide
+    // overlapping windows); None → tumbling
+    val win = slide match {
+      case Some(sl) if sl != every => window(col(ts), every, sl)
+      case _                       => window(col(ts), every)
+    }
     events
       .withWatermark(ts, watermark)
-      .groupBy(window(col(ts), every) +: extraKeys: _*)
+      .groupBy(win +: extraKeys: _*)
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("_window_start", col("window.start"))
       .withColumn("_window_end", col("window.end"))
       .drop("window")
+  }
 
   /** Streaming exact dedup on a key expression: drops duplicates across
     * triggers; watermark bounds the dedup state. */
