@@ -324,20 +324,28 @@ class PlanSpec extends SparkSpec {
       s"group offsets should broadcast:\n$p")
   }
 
-  test("quality-classifier gradient is one corpus scan reduced to one row") {
+  test("quality-classifier gradient: docs never shuffle, only bucket partials") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val f = graft.text.QualityClassifier.featurize(docs, "text", 8)
       .withColumn("__y", (col("lang") === "en").cast("int").cast("double"))
-    val w = org.apache.spark.sql.functions.array((0 to 8).map(_ => lit(0.1)): _*)
-    val p0 = lit(1.0) / (lit(1.0) + exp(-graft.functions.dotProduct(col("__x"), w)))
-    val g = f.agg(avg((p0 - col("__y")) * element_at(col("__x"), 1)).as("g0"))
+    // the per-iteration gradient shape: residual → explode sparse entries
+    // → groupBy(bucket). The only exchange must be keyed by the bucket id
+    // and carry map-side-combined partials (≤ dim rows per partition) —
+    // document text never rides a shuffle.
+    val g = f.select(lit(0.5).as("__r"), col("__xs"))
+      .select(col("__r"), explode(col("__xs")).as("__e"))
+      .groupBy(col("__e")("b").as("b"))
+      .agg(sum(col("__r") * col("__e")("v")).as("s"), count(lit(1)).as("c"))
     val p = planOf(g)
-    // partial HashAggregate per partition, one SinglePartition exchange of
-    // partial rows — document rows themselves never shuffle
-    assert(!p.contains("Exchange hashpartitioning"),
-      s"gradient aggregate hash-shuffled the documents:\n$p")
-    assert(p.contains("Exchange SinglePartition"),
-      s"expected the one-row final aggregate exchange:\n$p")
+    assert(
+      "Exchange hashpartitioning\\((b|_groupingexpression)#".r
+        .findFirstIn(p).isDefined,
+      s"gradient shuffle should be keyed by the bucket id:\n$p")
+    assert("HashAggregate.*partial".r.findFirstIn(p).isDefined ||
+      p.split("Exchange hashpartitioning").head.contains("HashAggregate"),
+      s"expected a map-side partial aggregate below the exchange:\n$p")
+    assert(!"Exchange.*text#".r.findFirstIn(p).isDefined,
+      s"document text must not ride the gradient shuffle:\n$p")
   }
 
   test("PQ encoding is a pure projection: no exchange, no join") {

