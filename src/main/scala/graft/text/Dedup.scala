@@ -2,7 +2,6 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Deduplication operators for training-data pipelines, designed around
   * Spark's shuffle model:
@@ -100,36 +99,45 @@ object Dedup {
       .select(col("__id"), col("__band.band_id"), col("__band.band_hash"))
   }
 
-  /** id<id candidate pairs from banded signatures — grouped per
-    * (band_id, band_hash) bucket with local pair generation instead of an
-    * exploded self-join. One shuffle of (16-byte hash, id); the signature
-    * column is computed exactly once (the join formulation computed it for
-    * BOTH sides). Bucket blow-up (a bucket of n ids emits n(n-1)/2 pairs) is
-    * inherent to LSH, not to this formulation; tune b/r for the corpus.
+  /** id<id candidate pairs from banded signatures — a streaming bucket
+    * self-join on (band_id, band_hash): both join sides are projections of
+    * ONE repartitioned frame (a single exchange, reused), and Spark's join
+    * streams each bucket's cross pairs through spillable match buffers, so
+    * memory stays O(bucket), never O(bucket²). The pre-r12 formulation
+    * (collect_set → nested transform → explode) materialized a bucket's
+    * entire pair array inside one row — safe only while banded buckets stay
+    * small, and the embedding twin OOM'd the sf1 sweep on exactly that
+    * shape ([[graft.ml.Similarity.embeddingNearDups]] r9); this mirrors its
+    * fix. A pair colliding in several bands is emitted once per band; the
+    * final distinct dedups (the old shape needed it too). Pair-count
+    * blow-up (a bucket of n ids emits n(n-1)/2 pairs) is inherent to LSH,
+    * not to the formulation; tune b/r for the corpus.
     *
     * `maxBucket` > 0 drops buckets larger than the cap BEFORE any of a
-    * bucket's ids are materialized into one row: a windowed count (spills,
-    * never collects) filters degenerate buckets (e.g. near-empty documents
-    * sharing a band hash), which at 100 TB would otherwise pin the job on
-    * one n²/2 pair-expansion task. Oversized buckets carry almost no dedup
-    * signal — dropping them is the standard MinHash-LSH practice. The
-    * window's hash partitioning on the bucket keys is reused by the
-    * downstream groupBy (no extra shuffle). */
+    * bucket's rows reach the join exchange: bucket counts are a map-side-
+    * combined aggregate, the OVER-cap keys (rare by construction — a
+    * degenerate bucket is near-empty documents sharing a band hash) are
+    * broadcast, and a left-anti join removes their rows pre-shuffle. The
+    * drop list, not the keep list, is broadcast: at corpus scale almost
+    * every bucket survives the cap, so the survivors would never fit a
+    * broadcast while the degenerates always do. Oversized buckets carry
+    * almost no dedup signal — dropping them is standard MinHash-LSH
+    * practice. */
   private def pairsFromBuckets(banded: DataFrame, maxBucket: Int = 0): DataFrame = {
-    val ids = col("ids")
     val pruned =
-      if (maxBucket > 0)
-        banded.withColumn("__bn",
-          count(lit(1)).over(Window.partitionBy(col("band_id"), col("band_hash"))))
-          .filter(col("__bn") <= maxBucket).drop("__bn")
-      else banded
-    pruned.groupBy(col("band_id"), col("band_hash"))
-      .agg(sort_array(collect_set(col("__id"))).as("ids"))
-      .filter(size(ids) > 1)
-      .select(explode(flatten(transform(ids, (x, i) =>
-        transform(slice(ids, i + 2, size(ids)),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b")).distinct()
+      if (maxBucket > 0) {
+        val over = banded.groupBy(col("band_id"), col("band_hash"))
+          .agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") > maxBucket)
+          .select(col("band_id"), col("band_hash"))
+        banded.join(broadcast(over), Seq("band_id", "band_hash"), "left_anti")
+      } else banded
+    val part = pruned.repartition(col("band_id"), col("band_hash"))
+    val l = part.select(col("band_id"), col("band_hash"), col("__id").as("id_a"))
+    val r = part.select(col("band_id"), col("band_hash"), col("__id").as("id_b"))
+    l.join(r, Seq("band_id", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
   }
 
   /** Candidate near-duplicate pairs via MinHash LSH. Returns (id_a, id_b)

@@ -201,6 +201,37 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("text-LSH pair-gen streams a bucket self-join; capped pre-shuffle via anti-join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // at sf0.001 the optimizer would broadcast the tiny side; pin the
+    // shuffle-join shape real corpus sizes force
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val uncapped = graft.text.Dedup.minhashCandidates(
+        docs, "doc_id", "text", w = 3, k = 16, b = 4)
+      // AQE applies exchange reuse as stages materialize — execute first
+      uncapped.queryExecution.toRdd.foreach(_ => ())
+      val p = planOf(uncapped).split("== Initial Plan ==")(0)
+      // no single-row bucket materialization anywhere in the pipeline —
+      // pairs come from a join whose match buffers spill, not from an
+      // exploded collect_set array
+      assert(!p.contains("collect_set"),
+        s"bucket ids materialized into one row:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a bucket-keyed self-join:\n$p")
+      // both sides are projections of ONE repartition — the exchange is reused
+      assert(p.contains("ReusedExchange"),
+        s"self-join should reuse the single bucket exchange:\n$p")
+    }
+    // the degenerate-bucket valve: over-cap keys broadcast (the drop list
+    // is tiny by construction), rows removed by an anti-join BEFORE the
+    // join exchange — broadcast left intentionally enabled here
+    val capped = graft.text.Dedup.minhashCandidates(
+      docs, "doc_id", "text", w = 3, k = 16, b = 4, maxBucket = 100)
+    val pc = planOf(capped)
+    assert(pc.contains("LeftAnti"),
+      s"cap should be an anti-join on the over-cap keys:\n$pc")
+  }
+
   test("bottomK plans as TakeOrderedAndProject, same as topK") {
     val cust = graft.dsl.LazyFrame(spark.read.parquet(s"$sf/customer.parquet"))
     val p = planOf(cust.bottomK(10, col("c_acctbal"), col("c_custkey")).df)

@@ -110,6 +110,50 @@ class TextSpec extends SparkSpec {
     assert(highCap == uncapped)
   }
 
+  test("planted degenerate bucket: streaming self-join matches the grouped pair-gen") {
+    // 5% of docs share one text (→ one band hash across all bands); the
+    // rest are unique-ish with a couple of genuine near-dup pairs.
+    val degenerate = (1000L until 1050L)
+      .map(i => (i, "identical degenerate filler text shared by five percent"))
+    val unique = (1L to 950L).map(i =>
+      (i, s"document $i talks about topic${i % 97} and subject${i % 89} " +
+        s"with words w${i}a w${i}b w${i}c w${i}d"))
+    val dups = Seq(
+      (2001L, "the quick brown fox jumps over the lazy dog again today"),
+      (2002L, "the quick brown fox jumps over the lazy dog again today extra"))
+    val df = (unique ++ degenerate ++ dups).toDF("doc_id", "text")
+    val banded = Dedup.minhashCandidates(df, "doc_id", "text", w = 2, k = 8, b = 4)
+      .as[(Long, Long)].collect().toSet
+    // reference: the pre-r12 grouped local pair generation, restated
+    val oldShape = {
+      val sh = df.select(col("doc_id").as("__id"),
+        array_distinct(graft.text.Dedup.shingles(col("text"), 2)).as("__sh"))
+      val sig = sh.select(col("__id"),
+        graft.text.Dedup.signatureFromShingles(col("__sh"), 8).as("__sig"))
+      val bandRows = sig.select(col("__id"),
+        explode(graft.text.Dedup.bands(col("__sig"), 4, 2)).as("__band"))
+        .select(col("__id"), col("__band.band_id"), col("__band.band_hash"))
+      bandRows.groupBy(col("band_id"), col("band_hash"))
+        .agg(sort_array(collect_set(col("__id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(flatten(transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + 2, size(col("ids"))),
+            y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+        .select(col("p.id_a"), col("p.id_b")).distinct()
+        .as[(Long, Long)].collect().toSet
+    }
+    assert(banded == oldShape,
+      s"pair sets diverge: only-new=${(banded -- oldShape).take(5)} " +
+        s"only-old=${(oldShape -- banded).take(5)}")
+    // the degenerate cluster emits its n(n-1)/2 pairs when uncapped...
+    assert(banded.count(p => p._1 >= 1000L && p._2 < 2000L) == 50 * 49 / 2)
+    // ...and a cap below 50 drops exactly those, keeping the true pair
+    val capped = Dedup.minhashCandidates(df, "doc_id", "text",
+      w = 2, k = 8, b = 4, maxBucket = 40).as[(Long, Long)].collect().toSet
+    assert(capped.contains((2001L, 2002L)))
+    assert(!capped.exists(p => p._1 >= 1000L && p._2 < 2000L))
+  }
+
   test("decontaminate drops docs overlapping the benchmark, keeps clean ones") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
       .toDF("doc_id", "text")
