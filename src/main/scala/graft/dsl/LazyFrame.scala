@@ -196,6 +196,40 @@ final class LazyFrame(val df: DataFrame) {
     join(other, on, how)
   }
 
+  /** polars JoinArgs.maintain_order ("left" | "right" | "left_right" |
+    * "right_left" — crates/polars-ops/src/frame/join/args.rs:49,
+    * MaintainOrderJoin in crates/polars-plan/src/dsl/options/mod.rs):
+    * preserve one/both sides' row order through the join. Spark frames
+    * carry no implicit row order (SURVEY §7.1), so the maintained order
+    * must be NAMED: pass the post-join column names that define each
+    * side's order (right-side names that collided with the left carry
+    * `suffix`). The join itself is the ordinary shuffled/broadcast
+    * equi-join; the order is restored after with one range-partitioned
+    * sort — primary keys from the side named first, then the other
+    * side's for the two-sided variants, nulls last so outer-join
+    * unmatched rows (null order keys) trail, matching polars' placement
+    * of unmatched rows after the maintained block. */
+  def joinMaintainOrder(other: LazyFrame, on: Seq[String],
+                        how: String = "inner",
+                        maintainOrder: String = "left",
+                        leftOrder: Seq[String] = Nil,
+                        rightOrder: Seq[String] = Nil,
+                        suffix: String = "_right"): LazyFrame = {
+    val keys: Seq[String] = maintainOrder match {
+      case "left"       => leftOrder
+      case "right"      => rightOrder
+      case "left_right" => leftOrder ++ rightOrder
+      case "right_left" => rightOrder ++ leftOrder
+      case v => throw new IllegalArgumentException(
+        s"maintain_order must be left|right|left_right|right_left, got '$v'")
+    }
+    require(keys.nonEmpty,
+      "joinMaintainOrder: the maintained side(s) need explicit order " +
+        "columns — Spark frames carry no implicit row order (SURVEY §7.1)")
+    val joined = join(other, on, how, suffix)
+    LazyFrame(joined.df.orderBy(keys.map(col(_).asc_nulls_last): _*))
+  }
+
   /** polars join_where (arbitrary predicates). Planner-upgraded: when the
     * predicate conjunction contains a simple inequality between one column
     * of each side, the join routes through the grid-partitioned

@@ -56,6 +56,59 @@ object Categorical {
       .select(df.columns.map(col) :+ col(as): _*)
   }
 
+  /** polars global-string-cache analogue (StringCache,
+    * crates/polars-core/src/chunked_array/logical/categorical.rs): ONE
+    * dictionary over the union of both frames' category values, so frames
+    * encoded against it carry directly comparable codes. Build it once,
+    * pass it to [[toPhysicalWith]] for each frame. */
+  def sharedDictionary(a: DataFrame, ca: String,
+                       b: DataFrame, cb: String): DataFrame =
+    dictionary(
+      a.select(col(ca).as("category"))
+        .unionAll(b.select(col(cb).as("category"))), "category")
+
+  /** Encode `c` against an EXISTING dictionary frame (shared or frozen)
+    * instead of building one from the data — unseen values code to null
+    * (the non-strict cast contract). */
+  def toPhysicalWith(df: DataFrame, c: String, dict: DataFrame,
+                     as: String = "physical"): DataFrame = {
+    val d = dict.select(col("category").as(c), col("physical").as(as))
+    df.join(broadcast(d), Seq(c), "left")
+      .select(df.columns.map(col) :+ col(as): _*)
+  }
+
+  /** Join two categorically-ENCODED frames on their code columns WITHOUT
+    * re-encoding either side — the cross-frame join polars' global string
+    * cache enables. The two dictionaries (small by the categorical
+    * contract) join on the category STRING to form a code-remap table
+    * (rightPhysical → leftPhysical); the right frame's codes translate
+    * through that broadcast table, and the data join itself runs on int
+    * codes only. Category strings never touch a data-frame row: at 100 TB
+    * the only string comparison is dictionary × dictionary.
+    *
+    * Result: left columns + right's non-code columns, joined where the
+    * two sides' CATEGORIES (not raw codes — each side numbers its own
+    * dictionary) match. Left-preserving joins only: the translate step is
+    * an inner join on the remap table, so right rows with right-only
+    * categories are dropped before a right/full outer could preserve
+    * them — use [[sharedDictionary]] + [[toPhysicalWith]] for those. */
+  def joinOnCodes(left: DataFrame, leftCode: String, leftDict: DataFrame,
+                  right: DataFrame, rightCode: String, rightDict: DataFrame,
+                  how: String = "inner"): DataFrame = {
+    val normalized = how.toLowerCase.replace("_", "").replace("-", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "semi",
+      "leftanti", "anti")(normalized),
+      s"joinOnCodes supports left-preserving joins only, got '$how'")
+    val remap = leftDict.select(col("category").as("__cat"),
+        col("physical").as(leftCode))
+      .join(rightDict.select(col("category").as("__cat"),
+        col("physical").as(rightCode)), Seq("__cat"))
+      .select(col(rightCode), col(leftCode))
+    val translated = right.join(broadcast(remap), Seq(rightCode), "inner")
+      .drop(rightCode)
+    left.join(translated, Seq(leftCode), how)
+  }
+
   /** polars cat.get_categories(): the category list in physical order. */
   def getCategories(df: DataFrame, c: String): DataFrame =
     dictionary(df, c).orderBy(col("physical"))

@@ -35,8 +35,9 @@ object QueriesMisc14 {
     // A fastText-style quality classifier TRAINED on the cluster
     // (text/QualityClassifier): logistic regression over 8 md5-hashed
     // unigram-frequency buckets + bias, 3 full-batch GD steps at η=1,
-    // labels = "looks English". Each step is ONE corpus scan reduced to a
-    // single 9-column gradient row (documents never shuffle); weights
+    // labels = "looks English". Each step is ONE scan of the persisted
+    // sparse features reduced to ≤9 bucket-partial rows (documents never
+    // shuffle; r12 made featurize one-pass sparse RLE); weights
     // live on the driver and snap to the 1e-6 grid per step so the
     // DuckDB oracle replays training EXACTLY (3 unrolled gradient CTEs).
     // Emitted margins pin w·x per doc; pred pins the decision boundary.

@@ -247,6 +247,37 @@ class LazyFrameSpec extends SparkSpec {
     assert(lf.joinValidate(dupDim, Seq("k"), validate = "m:m").count() == 4)
   }
 
+  test("joinMaintainOrder restores the named side's order; unmatched rows trail") {
+    val l = LazyFrame(Seq((3, "c", 30), (1, "a", 10), (2, "b", 20), (4, "d", 40))
+      .toDF("k", "lv", "lpos"))
+    val r = LazyFrame(Seq((2, "R2", 1), (1, "R1", 2), (9, "R9", 3))
+      .toDF("k", "rv", "rpos"))
+    // left order restored on a left join (unmatched left rows keep position)
+    val left = l.joinMaintainOrder(r, Seq("k"), how = "left",
+      maintainOrder = "left", leftOrder = Seq("lpos"))
+      .collect().collect().map(_.getInt(0)).toSeq
+    assert(left == Seq(1, 2, 3, 4))
+    // right order restored on a right join; the left-unmatched row (k=9)
+    // carries its own rpos so it lands in the right side's order
+    val right = l.joinMaintainOrder(r, Seq("k"), how = "right",
+      maintainOrder = "right", rightOrder = Seq("rpos"))
+      .collect().collect().map(_.getInt(0)).toSeq
+    assert(right == Seq(2, 1, 9))
+    // full join, left_right: left block in left order first, then rows
+    // that exist only on the right (null left order keys) trail
+    val full = l.joinMaintainOrder(r, Seq("k"), how = "full",
+      maintainOrder = "left_right",
+      leftOrder = Seq("lpos"), rightOrder = Seq("rpos"))
+      .collect().collect().map(_.getInt(0)).toSeq
+    assert(full == Seq(1, 2, 3, 4, 9))
+    intercept[IllegalArgumentException] {
+      l.joinMaintainOrder(r, Seq("k"), maintainOrder = "both")
+    }
+    intercept[IllegalArgumentException] {
+      l.joinMaintainOrder(r, Seq("k"), maintainOrder = "left") // no order cols
+    }
+  }
+
   test("joinSalted equals the plain join on a skewed key") {
     // 90% of rows share one key — the shape that hot-spots one reducer
     val big = LazyFrame((1 to 1000).map(i => (if (i <= 900) "hot" else s"k$i", i))

@@ -22,6 +22,39 @@ class OpsSpec extends SparkSpec {
     assert(Categorical.getCategories(df, "lang").count() == 3)
   }
 
+  test("joinOnCodes: two private dictionaries join by category, data sees only ints") {
+    // left numbers {a,b,c,d} → a=0,b=1,c=2,d=3; right numbers {b,d} → b=0,d=1
+    val lRaw = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "cat")
+    val rRaw = Seq(("d", 40.0), ("b", 20.0)).toDF("cat", "w")
+    val lDict = Categorical.dictionary(lRaw, "cat")
+    val rDict = Categorical.dictionary(rRaw, "cat")
+    val left = Categorical.toPhysical(lRaw, "cat", "lc").drop("cat")
+    val right = Categorical.toPhysical(rRaw, "cat", "rc").drop("cat")
+    // raw code equality would wrongly match left b(1) to right d(1);
+    // the remap joins by CATEGORY: b↔b, d↔d
+    val out = Categorical.joinOnCodes(left, "lc", lDict, right, "rc", rDict)
+      .select("id", "lc", "w").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sorted.toSeq
+    assert(out == Seq((2L, 1, 20.0), (4L, 3, 40.0)))
+    // left join keeps unmatched left rows with null right columns
+    val lj = Categorical.joinOnCodes(left, "lc", lDict, right, "rc", rDict,
+      how = "left")
+    assert(lj.count() == 4 && lj.filter(col("w").isNull).count() == 2)
+    intercept[IllegalArgumentException] {
+      Categorical.joinOnCodes(left, "lc", lDict, right, "rc", rDict, "full")
+    }
+    // the shared-dictionary route (global string cache): one dictionary,
+    // directly comparable codes, unseen values code to null
+    val shared = Categorical.sharedDictionary(lRaw, "cat", rRaw, "cat")
+    val le = Categorical.toPhysicalWith(lRaw, "cat", shared, "code")
+    val re = Categorical.toPhysicalWith(rRaw, "cat", shared, "code")
+    val joined = le.join(re.select(col("code"), col("w")), Seq("code"))
+    assert(joined.count() == 2)
+    val unseen = Categorical.toPhysicalWith(
+      Seq("zz").toDF("cat"), "cat", shared, "code")
+    assert(unseen.filter(col("code").isNull).count() == 1)
+  }
+
   test("enum: frozen codes by declaration order; strict encode RAISES on out-of-set") {
     val cats = Seq("de", "en", "fr")
     val good = Seq(Some("fr"), Some("de"), None, Some("en")).toDF("lang")
