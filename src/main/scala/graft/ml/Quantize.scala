@@ -182,6 +182,14 @@ object Quantize {
     val resFrame = assigned.select(col(idCol), col("__res").as(vecCol))
     val (books, _) = productQuantize(resFrame, idCol, vecCol, m, k,
       iters = 1, seed)
+    // same dense-0-based contract adcTopK enforces: the positional
+    // element_at(tab, code+1) lookups below silently misalign if the
+    // residual-book seed yields non-contiguous centroid ids
+    books.zipWithIndex.foreach { case (b, j) =>
+      require(b.map(_._1).sorted == (0 until b.size),
+        s"ivfpq: residual codebook $j ids must be dense 0-based, " +
+          s"got ${b.map(_._1).sorted}")
+    }
     val d = coarse.head._2.length / m
     // encode residuals against the trained books in one projection,
     // keeping the cell id alongside the codes
@@ -231,12 +239,22 @@ object Quantize {
     (books, encoded.drop("__res"), results)
   }
 
-  /** Subspace width — requires the (static) dim to divide evenly; probed
-    * from the first row once at plan-build time. */
+  /** Subspace width — probed once at plan-build time. Fails LOUDLY on an
+    * empty frame (a bare head() would throw NoSuchElementException) and on
+    * ragged vector lengths (slice() would otherwise silently truncate and
+    * encode garbage). The ragged check is one size-only aggregate — column-
+    * pruned, and marginal next to the m KMeans training passes that
+    * follow. */
   private def subDim(df: DataFrame, vecCol: String, m: Int): Int = {
-    val dim = df.select(org.apache.spark.sql.functions.size(col(vecCol)))
-      .head().getInt(0)
-    require(dim % m == 0, s"pq: dim $dim not divisible by m=$m")
-    dim / m
+    val probe = df.agg(
+      min(org.apache.spark.sql.functions.size(col(vecCol))).as("mn"),
+      max(org.apache.spark.sql.functions.size(col(vecCol))).as("mx")).head()
+    require(!probe.isNullAt(0), "pq: empty input frame — nothing to quantize")
+    val (mn, mx) = (probe.getInt(0), probe.getInt(1))
+    require(mn == mx,
+      s"pq: ragged vector lengths ($mn..$mx) — slice() would silently " +
+        "truncate; fix the embedding column first")
+    require(mx % m == 0, s"pq: dim $mx not divisible by m=$m")
+    mx / m
   }
 }

@@ -207,7 +207,10 @@ object QueriesMisc14 {
         .shiftAll(1, col("o_orderkey"))
         .df.select(col("o_orderkey").as("prev_key"),
           col("o_totalprice").as("prev_price"))
-        .orderBy(col("prev_key"))
+        // the first shifted row is NULL: pin nulls-last explicitly (and
+        // NULLS LAST in the oracle) — Spark defaults nulls first, DuckDB
+        // nulls last, and the key must not lean on the gate's row sort
+        .orderBy(col("prev_key").asc_nulls_last)
     }),
 
     // The full FAISS IndexIVFPQ composition (ml/Quantize.ivfPqTopK):
@@ -431,7 +434,7 @@ object QueriesMisc14 {
         |  WHERE idx >= 1 AND (idx - 1) % 3 = 0)
         |SELECT lag(o_orderkey) OVER (ORDER BY o_orderkey) AS prev_key,
         |  lag(o_totalprice) OVER (ORDER BY o_orderkey) AS prev_price
-        |FROM s ORDER BY prev_key""".stripMargin,
+        |FROM s ORDER BY prev_key NULLS LAST""".stripMargin,
 
     "text_mixture_sample" ->
       """WITH c AS (

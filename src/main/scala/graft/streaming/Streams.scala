@@ -117,7 +117,13 @@ object Streams {
 
   /** Run a streaming query to completion over the files already in the
     * source dir (batch-replay harness for tests/backfills): memory sink,
-    * processAllAvailable, return the materialized result. */
+    * processAllAvailable, COPY the result out, drop the sink's temp view.
+    * The copy is the retention fix: a memory sink holds its full
+    * materialized result for the session lifetime, so a long-lived session
+    * replaying many backfills would otherwise accumulate every result —
+    * here the sink's blocks are released with the view and the caller gets
+    * a frame sized to the result (driver-local rows; the harness is for
+    * test/backfill-scale outputs, not corpus-scale ones). */
   def replayToTable(df: DataFrame, queryName: String,
                     outputMode: String = "append"): DataFrame = {
     val q = df.writeStream
@@ -127,7 +133,7 @@ object Streams {
       .start()
     q.processAllAvailable()
     q.stop()
-    df.sparkSession.table(queryName)
+    detach(df.sparkSession, queryName)
   }
 
   /** replayToTable for typed Datasets (mapGroupsWithState output). */
@@ -140,7 +146,17 @@ object Streams {
       .start()
     q.processAllAvailable()
     q.stop()
-    ds.sparkSession.table(queryName)
+    detach(ds.sparkSession, queryName)
+  }
+
+  /** Copy a memory-sink table into a standalone local frame and drop the
+    * sink's temp view so its blocks don't outlive the replay. */
+  private def detach(spark: SparkSession, queryName: String): DataFrame = {
+    val sunk = spark.table(queryName)
+    val out = spark.createDataFrame(
+      java.util.Arrays.asList(sunk.collect(): _*), sunk.schema)
+    spark.catalog.dropTempView(queryName)
+    out
   }
 }
 
