@@ -13,27 +13,45 @@ object QueriesAgg {
 
   val queries: Map[String, Q] = Map(
     // TPC-H Q1 — the M0 flagship slice: scan → filter → groupBy/agg → sort.
-    "agg_tpch_q1" -> ((s, d) =>
+    // The money sums are EXACT integer summation (the sql_tpch_q5 r11
+    // recipe, hit again by the r12 sf100 sweep at lineitem=600M): a float
+    // SUM over that many rows carries last-ulp order jitter that crosses
+    // cent-rounding boundaries. price/discount/tax are fixed-decimal data,
+    // so each term is an exact cent-scaled long (scale 1e2/1e4/1e6), the
+    // sum is order-independent (decimal(38,0) for the wide ones — the
+    // 1e6-scaled charge total passes 2^63 at sf1000), and both engines
+    // cast the IDENTICAL integer to double, so no final round is needed.
+    "agg_tpch_q1" -> ((s, d) => {
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      val discF = round((lit(1) - col("l_discount")) * 100).cast("long")
+      val taxF  = round((lit(1) + col("l_tax")) * 100).cast("long")
       lf(s, d, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          (sum(cents.cast("decimal(38,0)")).cast("double") / 100)
+            .as("sum_base_price"),
+          (sum((cents * discF).cast("decimal(38,0)")).cast("double") / 1e4)
+            .as("sum_disc_price"),
+          (sum((cents * discF * taxF).cast("decimal(38,0)")).cast("double") / 1e6)
+            .as("sum_charge"),
           round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_extendedprice")), 4).as("avg_price"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          ((round((sum(cents.cast("decimal(38,0)")).cast("double") / 100 /
+            count(lit(1))) * 1e4)) / 1e4).as("avg_price"),
+          ((round((sum(round(col("l_discount") * 100).cast("long"))
+            .cast("double") / 100 / count(lit(1))) * 1e4)) / 1e4).as("avg_disc"),
           count(lit(1)).as("count_order"))
-        .sort(col("l_returnflag"), col("l_linestatus")).collect()),
+        .sort(col("l_returnflag"), col("l_linestatus")).collect()
+    }),
 
-    // h2oai q2 shape: sum by two keys.
+    // h2oai q2 shape: sum by two keys (same exact-cents discipline).
     "agg_sum_two_keys" -> ((s, d) =>
       lf(s, d, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+          (sum(round(col("l_extendedprice") * 100).cast("long")
+            .cast("decimal(38,0)")).cast("double") / 100).as("sum_price"))
         .sort(col("l_returnflag"), col("l_linestatus")).collect()),
 
     "agg_stats" -> ((s, d) =>
@@ -151,19 +169,28 @@ object QueriesAgg {
     "agg_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,
-        | round(sum(l_extendedprice),2) AS sum_base_price,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+        | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100
+        |   AS sum_base_price,
+        | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |   * CAST(round((1-l_discount)*100) AS BIGINT)) AS DOUBLE)/10000
+        |   AS sum_disc_price,
+        | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |   * CAST(round((1-l_discount)*100) AS BIGINT)
+        |   * CAST(round((1+l_tax)*100) AS BIGINT)) AS DOUBLE)/1000000
+        |   AS sum_charge,
         | round(avg(l_quantity),4) AS avg_qty,
-        | round(avg(l_extendedprice),4) AS avg_price,
-        | round(avg(l_discount),4) AS avg_disc,
+        | round(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT))
+        |   AS DOUBLE)/100/count(*) * 1e4)/1e4 AS avg_price,
+        | round(CAST(sum(CAST(round(l_discount*100) AS BIGINT))
+        |   AS DOUBLE)/100/count(*) * 1e4)/1e4 AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus ORDER BY 1, 2""".stripMargin,
 
     "agg_sum_two_keys" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
-        | round(sum(l_extendedprice),2) AS sum_price
+        | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100
+        |   AS sum_price
         |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
 
     "agg_stats" ->
