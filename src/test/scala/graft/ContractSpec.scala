@@ -33,7 +33,7 @@ class ContractSpec extends SparkSpec {
       graft.queries.QueriesSql2.queries, graft.queries.QueriesMisc10.queries,
       graft.queries.QueriesMisc11.queries, graft.queries.QueriesMisc12.queries,
       graft.queries.QueriesMisc13.queries, graft.queries.QueriesStream.queries,
-      graft.queries.QueriesMisc14.queries)
+      graft.queries.QueriesMisc14.queries, graft.queries.QueriesMisc15.queries)
     val all = batches.flatMap(_.keys)
     val dups = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query keys: ${dups.toSeq.sorted}")
