@@ -18,9 +18,12 @@ object QueriesAgg {
     // SUM over that many rows carries last-ulp order jitter that crosses
     // cent-rounding boundaries. price/discount/tax are fixed-decimal data,
     // so each term is an exact cent-scaled long (scale 1e2/1e4/1e6), the
-    // sum is order-independent (decimal(38,0) for the wide ones — the
-    // 1e6-scaled charge total passes 2^63 at sf1000), and both engines
-    // cast the IDENTICAL integer to double, so no final round is needed.
+    // sum is order-independent, and both engines cast the IDENTICAL
+    // integer to double — no final round needed. The 1e2/1e4-scaled
+    // totals stay in codegen-fast long sums (headroom past sf300; ANSI
+    // throws loudly on overflow, never wraps); only the 1e6-scaled charge
+    // takes the decimal(38,0) accumulator, whose total passes 2^63 at
+    // ~sf300.
     "agg_tpch_q1" -> ((s, d) => {
       val cents = round(col("l_extendedprice") * 100).cast("long")
       val discF = round((lit(1) - col("l_discount")) * 100).cast("long")
@@ -30,14 +33,12 @@ object QueriesAgg {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           round(sum(col("l_quantity")), 2).as("sum_qty"),
-          (sum(cents.cast("decimal(38,0)")).cast("double") / 100)
-            .as("sum_base_price"),
-          (sum((cents * discF).cast("decimal(38,0)")).cast("double") / 1e4)
-            .as("sum_disc_price"),
+          (sum(cents).cast("double") / 100).as("sum_base_price"),
+          (sum(cents * discF).cast("double") / 1e4).as("sum_disc_price"),
           (sum((cents * discF * taxF).cast("decimal(38,0)")).cast("double") / 1e6)
             .as("sum_charge"),
           round(avg(col("l_quantity")), 4).as("avg_qty"),
-          ((round((sum(cents.cast("decimal(38,0)")).cast("double") / 100 /
+          ((round((sum(cents).cast("double") / 100 /
             count(lit(1))) * 1e4)) / 1e4).as("avg_price"),
           ((round((sum(round(col("l_discount") * 100).cast("long"))
             .cast("double") / 100 / count(lit(1))) * 1e4)) / 1e4).as("avg_disc"),
@@ -50,8 +51,8 @@ object QueriesAgg {
       lf(s, d, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
-          (sum(round(col("l_extendedprice") * 100).cast("long")
-            .cast("decimal(38,0)")).cast("double") / 100).as("sum_price"))
+          (sum(round(col("l_extendedprice") * 100).cast("long"))
+            .cast("double") / 100).as("sum_price"))
         .sort(col("l_returnflag"), col("l_linestatus")).collect()),
 
     "agg_stats" -> ((s, d) =>
