@@ -99,6 +99,13 @@ object Categorical {
     require(Set("inner", "left", "leftouter", "leftsemi", "semi",
       "leftanti", "anti")(normalized),
       s"joinOnCodes supports left-preserving joins only, got '$how'")
+    // The translate step appends a column named `leftCode` to the right
+    // frame; a pre-existing right column of that name (other than the
+    // rightCode being dropped) would duplicate and make the final join key
+    // ambiguous (r12 ADVICE). Raise with a contract message instead.
+    require(!right.columns.filterNot(_ == rightCode).contains(leftCode),
+      s"joinOnCodes: right frame already has a column '$leftCode' " +
+        "(the left code name) — rename it before joining on codes")
     val remap = leftDict.select(col("category").as("__cat"),
         col("physical").as(leftCode))
       .join(rightDict.select(col("category").as("__cat"),

@@ -21,7 +21,10 @@ import org.json4s.jackson.Serialization
   *
   * Contract: `build(spark, fromJson(toJson(plan)))` executes the same
   * logical plan as `build(spark, plan)` — pinned by PlanSerdeSpec over
-  * scan/filter/select/agg/join/window/sort/limit shapes. */
+  * scan/filter/select/agg/join/window/sort/limit shapes plus the graft
+  * operators a remote executor needs beyond the relational core
+  * (as-of join, inequality join, unique-keep, explode, unnest, unpivot)
+  * and a composed curation pipeline. */
 object PlanSerde {
 
   /** One JSON-serializable logical operator. Expressions are Spark SQL
@@ -42,6 +45,39 @@ object PlanSerde {
   case class Sort(child: Node, keys: Seq[SortKey]) extends Node
   case class Limit(child: Node, n: Int) extends Node
 
+  // ---- graft operators (the ops a remote executor actually needs beyond
+  // ---- the relational core; r12 verdict task 5) --------------------------
+
+  /** polars join_asof → [[graft.ops.AsOf.join]]. `tolerance` is a SQL
+    * expression string in the key's natural comparison units (epoch
+    * seconds for timestamp keys — the AsOf contract, e.g. "7200.0");
+    * `rangedBy` selects the skew-proof range-partitioned carry. */
+  case class AsOfJoin(left: Node, right: Node, leftOn: String,
+                      rightOn: String, by: Seq[String] = Nil,
+                      strategy: String = "backward",
+                      tolerance: Option[String] = None,
+                      rangedBy: Boolean = false) extends Node
+  /** Inequality-led join → grid-partitioned [[graft.ops.IEJoin.join]].
+    * `op` ∈ <, <=, >, >=; `residual` is an extra predicate conjunct. */
+  case class IneqJoin(left: Node, right: Node, leftExpr: String, op: String,
+                      rightExpr: String,
+                      residual: Option[String] = None) extends Node
+  /** polars unique(). keep ∈ any|first|last|none; first/last/none need
+    * `orderBy` (a SQL expression) — Spark has no implicit row order. */
+  case class Unique(child: Node, subset: Seq[String] = Nil,
+                    keep: String = "any",
+                    orderBy: Option[String] = None) extends Node
+  /** polars explode: one column explodes alone; several explode in
+    * LOCKSTEP (position-aligned), matching LazyFrame.explodeMany. */
+  case class Explode(child: Node, cols: Seq[String],
+                     outer: Boolean = false) extends Node
+  /** polars unnest: struct column → top-level columns. */
+  case class Unnest(child: Node, col: String) extends Node
+  /** polars unpivot/melt → Spark 4 native unpivot. */
+  case class Unpivot(child: Node, ids: Seq[String], values: Seq[String],
+                     variableName: String = "variable",
+                     valueName: String = "value") extends Node
+
   /** A sort key: SQL expression + direction + null placement. */
   case class SortKey(sql: String, desc: Boolean = false,
                      nullsLast: Boolean = false)
@@ -49,7 +85,9 @@ object PlanSerde {
   private implicit val formats: Formats = new DefaultFormats {
     override val typeHints = ShortTypeHints(List(
       classOf[Scan], classOf[Filter], classOf[Select], classOf[Agg],
-      classOf[Join], classOf[Sort], classOf[Limit]))
+      classOf[Join], classOf[Sort], classOf[Limit], classOf[AsOfJoin],
+      classOf[IneqJoin], classOf[Unique], classOf[Explode],
+      classOf[Unnest], classOf[Unpivot]))
   }
 
   def toJson(plan: Node): String = Serialization.write(plan)
@@ -73,12 +111,44 @@ object PlanSerde {
     case Filter(c, p)     => build(spark, c).filter(expr(p))
     case Select(c, es)    => build(spark, c).selectExpr(es: _*)
     case Agg(c, ks, as) =>
+      // A deserialized plan is untrusted input — contract message, not a
+      // bare NoSuchElementException from aggs.head (r12 ADVICE).
+      require(as.nonEmpty, "Agg needs at least one aggregate expression")
       val aggs = as.map(expr)
       build(spark, c).groupBy(ks.map(col): _*).agg(aggs.head, aggs.tail: _*)
     case Join(l, r, on, how) =>
       build(spark, l).join(build(spark, r), on, how)
     case Sort(c, ks) => build(spark, c).orderBy(ks.map(sortCol): _*)
-    case Limit(c, n) => build(spark, c).limit(n)
+    case Limit(c, n) =>
+      require(n >= 0, s"Limit needs n >= 0, got $n")
+      build(spark, c).limit(n)
+    case AsOfJoin(l, r, lOn, rOn, by, strategy, tol, ranged) =>
+      graft.ops.AsOf.join(build(spark, l), build(spark, r), lOn, rOn, by,
+        strategy, tol.map(expr), ranged)
+    case IneqJoin(l, r, lx, op, rx, residual) =>
+      graft.ops.IEJoin.join(build(spark, l), build(spark, r), expr(lx), op,
+        expr(rx), residual.map(expr).getOrElse(org.apache.spark.sql.functions.lit(true)))
+    case Unique(c, subset, keep, orderBy) =>
+      val df = build(spark, c)
+      keep match {
+        case "any" =>
+          if (subset.isEmpty) df.dropDuplicates() else df.dropDuplicates(subset)
+        case k @ ("first" | "last" | "none") =>
+          require(orderBy.nonEmpty,
+            s"Unique(keep=$k) needs an orderBy expression — Spark frames " +
+              "have no implicit row order")
+          graft.ops.Unique.keep(df, subset, k, expr(orderBy.get))
+        case other =>
+          throw new IllegalArgumentException(s"unknown Unique keep: $other")
+      }
+    case Explode(c, cols, outer) =>
+      require(cols.nonEmpty, "Explode needs at least one column")
+      val frame = graft.dsl.LazyFrame(build(spark, c))
+      (if (cols.size == 1) frame.explodeCol(cols.head, outer)
+       else frame.explodeMany(cols, outer)).df
+    case Unnest(c, name)  => graft.dsl.LazyFrame(build(spark, c)).unnest(name).df
+    case Unpivot(c, ids, values, vn, valn) =>
+      graft.dsl.LazyFrame(build(spark, c)).unpivot(ids, values, vn, valn).df
   }
 
   /** Convenience: serialize, deserialize, build — the full round-trip. */

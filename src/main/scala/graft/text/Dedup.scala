@@ -113,28 +113,34 @@ object Dedup {
     * blow-up (a bucket of n ids emits n(n-1)/2 pairs) is inherent to LSH,
     * not to the formulation; tune b/r for the corpus.
     *
-    * `maxBucket` > 0 drops buckets larger than the cap BEFORE any of a
-    * bucket's rows reach the join exchange: bucket counts are a map-side-
-    * combined aggregate, the OVER-cap keys (rare by construction — a
-    * degenerate bucket is near-empty documents sharing a band hash) are
-    * broadcast, and a left-anti join removes their rows pre-shuffle. The
-    * drop list, not the keep list, is broadcast: at corpus scale almost
-    * every bucket survives the cap, so the survivors would never fit a
-    * broadcast while the degenerates always do. Oversized buckets carry
-    * almost no dedup signal — dropping them is standard MinHash-LSH
-    * practice. */
+    * `maxBucket` > 0 drops buckets larger than the cap before any pair
+    * materializes. The counts, the drop list, and both join sides all
+    * derive from the ONE repartitioned frame: the shingle/MinHash/band
+    * pipeline computes once, its exchange is written once, and every
+    * consumer (the count aggregate, the anti-join, both self-join inputs)
+    * is a ReusedExchange read — the r12 formulation counted over `banded`
+    * directly, which planned a second independent subtree and re-ran the
+    * whole signature pipeline per run (r12 ADVICE). The drop list, not the
+    * keep list, is broadcast: at corpus scale almost every bucket survives
+    * the cap, so the survivors would never fit a broadcast while the
+    * degenerates (rare by construction — near-empty documents sharing a
+    * band hash) always do. A degenerate bucket's rows now ride the single
+    * exchange before the anti-join drops them — rows, not pairs, and only
+    * once; the n²/2 pair blow-up they'd cause still never happens.
+    * Oversized buckets carry almost no dedup signal — dropping them is
+    * standard MinHash-LSH practice. */
   private def pairsFromBuckets(banded: DataFrame, maxBucket: Int = 0): DataFrame = {
+    val part = banded.repartition(col("band_id"), col("band_hash"))
     val pruned =
       if (maxBucket > 0) {
-        val over = banded.groupBy(col("band_id"), col("band_hash"))
+        val over = part.groupBy(col("band_id"), col("band_hash"))
           .agg(count(lit(1)).as("__bn"))
           .filter(col("__bn") > maxBucket)
           .select(col("band_id"), col("band_hash"))
-        banded.join(broadcast(over), Seq("band_id", "band_hash"), "left_anti")
-      } else banded
-    val part = pruned.repartition(col("band_id"), col("band_hash"))
-    val l = part.select(col("band_id"), col("band_hash"), col("__id").as("id_a"))
-    val r = part.select(col("band_id"), col("band_hash"), col("__id").as("id_b"))
+        part.join(broadcast(over), Seq("band_id", "band_hash"), "left_anti")
+      } else part
+    val l = pruned.select(col("band_id"), col("band_hash"), col("__id").as("id_a"))
+    val r = pruned.select(col("band_id"), col("band_hash"), col("__id").as("id_b"))
     l.join(r, Seq("band_id", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()

@@ -132,8 +132,16 @@ object QualityClassifier {
       w = Array.tabulate(dim)(i => snap(w(i) - lr * sums(i) / n))
     }
     val margin = sparseDot(col("__xs"), w)
-    (w, f.withColumn("margin", margin)
+    val scored = f.withColumn("margin", margin)
       .withColumn("score", lit(1.0) / (lit(1.0) + exp(-margin)))
-      .drop("__xs", "__y"))
+      .drop("__xs", "__y")
+    // Release the iteration cache now that the weights are final: disk-backed
+    // persisted blocks are NOT LRU-evicted, so leaving this pinned would leak
+    // cached blocks for the session lifetime (one leak per train() call).
+    // Non-blocking: the scored frame recomputes the sparse one-pass featurize
+    // once when the caller materializes it — a single cheap scan, vs the
+    // iteration loop which is the path that genuinely needed the cache.
+    f.unpersist(blocking = false)
+    (w, scored)
   }
 }

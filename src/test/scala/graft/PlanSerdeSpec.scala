@@ -75,4 +75,104 @@ class PlanSerdeSpec extends SparkSpec {
     assert(json.contains("\"jsonClass\""), json)
     assert(json.contains("Filter") && json.contains("Scan"), json)
   }
+
+  // ---- graft operators (r12 verdict task 5) ------------------------------
+
+  test("as-of join round-trips (backward, by-keyed, with tolerance)") {
+    val events = Select(Scan("parquet", s"$sf/events.parquet"),
+      Seq("event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id % 3 AS grp"))
+    val marks = Select(Scan("parquet", s"$sf/events.parquet"),
+      Seq("CAST(ts AS TIMESTAMP) AS mark_ts", "user_id % 3 AS grp",
+        "value AS mark_value"))
+    roundTrips(
+      AsOfJoin(events, marks, "ts", "mark_ts", by = Seq("grp"),
+        strategy = "backward"))
+    roundTrips(
+      AsOfJoin(events, marks, "ts", "mark_ts", by = Seq("grp"),
+        // tolerance rides in the key's natural comparison units (the
+        // graft.ops.AsOf contract) — epoch seconds for timestamps
+        strategy = "nearest", tolerance = Some("7200.0"),
+        rangedBy = true))
+  }
+
+  test("inequality join round-trips through the grid-partitioned IEJoin") {
+    val l = Select(Scan("parquet", s"$sf/orders.parquet"),
+      Seq("o_orderkey", "o_totalprice"))
+    val r = Select(Scan("parquet", s"$sf/customer.parquet"),
+      Seq("c_custkey", "c_acctbal"))
+    roundTrips(
+      IneqJoin(l, r, "o_totalprice", "<", "c_acctbal",
+        residual = Some("o_orderkey % 100 = c_custkey % 100")))
+  }
+
+  test("unique keep=any/first/last/none round-trips") {
+    val scan = Scan("parquet", s"$sf/orders.parquet")
+    roundTrips(Unique(Select(scan, Seq("o_custkey", "o_orderpriority")),
+      subset = Seq("o_custkey")))
+    for (k <- Seq("first", "last", "none"))
+      roundTrips(Unique(scan, subset = Seq("o_custkey"), keep = k,
+        orderBy = Some("o_orderkey")))
+  }
+
+  test("unique keep=first without orderBy raises the contract error") {
+    val err = intercept[IllegalArgumentException] {
+      PlanSerde.build(spark,
+        Unique(Scan("parquet", s"$sf/orders.parquet"),
+          subset = Seq("o_custkey"), keep = "first"))
+    }
+    assert(err.getMessage.contains("orderBy"), err.getMessage)
+  }
+
+  test("explode (single and lockstep) + unnest + unpivot round-trip") {
+    val lists = Select(Scan("parquet", s"$sf/orders.parquet"),
+      Seq("o_orderkey", "array(o_custkey, o_custkey + 1) AS ks",
+        "array(o_totalprice) AS ps"))
+    roundTrips(Explode(lists, Seq("ks")))
+    roundTrips(Explode(lists, Seq("ks", "ps"), outer = true))
+    roundTrips(Unnest(
+      Select(Scan("parquet", s"$sf/orders.parquet"),
+        Seq("o_orderkey",
+          "named_struct('pri', o_orderpriority, 'bal', o_totalprice) AS s")),
+      "s"))
+    roundTrips(Unpivot(
+      Select(Scan("parquet", s"$sf/orders.parquet"),
+        Seq("o_orderkey", "o_totalprice", "o_custkey * 1.0 AS bal")),
+      ids = Seq("o_orderkey"), values = Seq("o_totalprice", "bal"),
+      variableName = "metric", valueName = "v"))
+  }
+
+  test("a composed curation pipeline round-trips end-to-end") {
+    // dedupe documents per language, keep the longest, join quality stats,
+    // rank and slice — the shape a remote curation executor would receive.
+    val docs = Select(Scan("parquet", s"$sf/documents.parquet"),
+      Seq("doc_id", "lang", "length(text) AS n_chars",
+        "split(text, ' ') AS words"))
+    val plan =
+      Limit(
+        Sort(
+          Join(
+            Unique(docs, subset = Seq("lang"), keep = "first",
+              orderBy = Some("-n_chars * 1000000 + doc_id")),
+            Agg(docs, Seq("lang"),
+              Seq("count(*) AS n_docs", "avg(n_chars) AS avg_chars")),
+            Seq("lang"), "inner"),
+          Seq(SortKey("n_docs", desc = true), SortKey("lang"))),
+        10)
+    roundTrips(plan)
+    assert(PlanSerde.rebuild(spark, plan).count() > 0)
+  }
+
+  test("malformed plans fail with contract messages, not bare NPEs") {
+    val aggErr = intercept[IllegalArgumentException] {
+      PlanSerde.build(spark,
+        Agg(Scan("parquet", s"$sf/orders.parquet"), Seq("o_custkey"), Nil))
+    }
+    assert(aggErr.getMessage.contains("at least one aggregate"),
+      aggErr.getMessage)
+    val limErr = intercept[IllegalArgumentException] {
+      PlanSerde.build(spark,
+        Limit(Scan("parquet", s"$sf/orders.parquet"), -1))
+    }
+    assert(limErr.getMessage.contains("n >= 0"), limErr.getMessage)
+  }
 }

@@ -223,8 +223,11 @@ class PlanSpec extends SparkSpec {
         s"self-join should reuse the single bucket exchange:\n$p")
     }
     // the degenerate-bucket valve: over-cap keys broadcast (the drop list
-    // is tiny by construction), rows removed by an anti-join BEFORE the
-    // join exchange — broadcast left intentionally enabled here
+    // is tiny by construction), rows removed by an anti-join over the ONE
+    // repartitioned frame — counts, drop list, and both join sides all
+    // read the same exchange, so the signature pipeline computes once
+    // (r12 ADVICE: counting over the pre-shuffle frame planned a second
+    // independent subtree) — broadcast left intentionally enabled here
     val capped = graft.text.Dedup.minhashCandidates(
       docs, "doc_id", "text", w = 3, k = 16, b = 4, maxBucket = 100)
     val pc = planOf(capped)
