@@ -31,7 +31,7 @@ object SparkEntry {
       QueriesMisc8.queries ++ QueriesMisc9.queries ++ QueriesSql2.queries ++
       QueriesMisc10.queries ++ QueriesMisc11.queries ++ QueriesMisc12.queries ++
       QueriesMisc13.queries ++ QueriesStream.queries ++
-      QueriesMisc14.queries ++ QueriesMisc15.queries
+      QueriesMisc14.queries ++ QueriesMisc15.queries ++ QueriesMisc16.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Complete by contract — no key may omit its oracle. */
@@ -45,5 +45,5 @@ object SparkEntry {
       QueriesMisc8.oracle ++ QueriesMisc9.oracle ++ QueriesSql2.oracle ++
       QueriesMisc10.oracle ++ QueriesMisc11.oracle ++ QueriesMisc12.oracle ++
       QueriesMisc13.oracle ++ QueriesStream.oracle ++
-      QueriesMisc14.oracle ++ QueriesMisc15.oracle
+      QueriesMisc14.oracle ++ QueriesMisc15.oracle ++ QueriesMisc16.oracle
 }

@@ -151,6 +151,14 @@ object GraftFunctions {
           new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(args.head)),
           Literal(bits / 16), Literal(bits))
       }),
+    // one-pass exact NDV (multi-column-safe: no Expand, unlike 2+
+    // count(DISTINCT) in one GROUP BY) — see functions/NdvAgg.scala
+    (FunctionIdentifier("graft_ndv"),
+      new ExpressionInfo(classOf[NdvAgg].getName, "graft_ndv"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_ndv(x bigint)")
+        NdvAgg(args.head)
+      }),
     (FunctionIdentifier("graft_bloom_might_contain"),
       new ExpressionInfo("graft.functions", "graft_bloom_might_contain"),
       (args: Seq[Expression]) => {

@@ -466,6 +466,17 @@ package object functions {
     Bridge.column(TopKAgg(Bridge.expression(c), k, descending).toAggregateExpression())
   }
 
+  /** One-pass exact NDV over a long key (native [[NdvAgg]], a
+    * TypedImperativeAggregate): `df.groupBy(g).agg(ndvAgg(col(k1)),
+    * ndvAgg(col(k2)))` computes ANY number of exact distinct counts in a
+    * single scan — `countDistinct` ×2+ in one groupBy triples the input
+    * through Catalyst's Expand before the first shuffle. Long input only
+    * (cast upstream); nulls ignored like countDistinct. */
+  def ndvAgg(c: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(NdvAgg(Bridge.expression(c)).toAggregateExpression())
+  }
+
   /** Unicode normalization (native [[NormalizeExpr]]); form is one of
     * NFC/NFD/NFKC/NFKD. polars str.normalize — no Spark builtin exists. */
   def normalize(text: Column, form: String = "NFC"): Column = {
