@@ -118,12 +118,20 @@ final class LongSet(initialCapacity: Int = 1 << 4) {
       if (data(i) == 0L) {
         data(i) = v
         n += 1
-        if (n * 5 > cap * 3) grow()
+        // long arithmetic: at cap=2^30 the int product cap*3 overflows and
+        // the load check would misfire into a cap<<=1 → Int.MinValue array
+        if (n.toLong * 5 > cap.toLong * 3) grow()
       }
     }
   }
 
   private def grow(): Unit = {
+    // 2^30 is the largest power-of-two Int capacity; at 60% load that is
+    // ~644M distinct longs PER AGGREGATION BUFFER (5+ GB of state) — far
+    // past the point the documented recipe says to switch to graft_approx_ndv
+    require(cap < (1 << 30),
+      "graft_ndv buffer exceeded 2^30 slots (~644M distinct values in one " +
+        "group on one task) — use graft_approx_ndv (HLL) at this cardinality")
     val old = data
     cap <<= 1
     data = new Array[Long](cap)
@@ -153,7 +161,13 @@ final class LongSet(initialCapacity: Int = 1 << 4) {
   def size: Int = n + (if (hasZero) 1 else 0)
 
   def toBytes: Array[Byte] = {
-    val bb = ByteBuffer.allocate(5 + 8 * n)
+    // long math: 8*n as Int overflows past ~268M entries; a JVM byte array
+    // caps near 2 GB regardless, so fail with the remediation, not an OOM
+    val bytes = 5L + 8L * n
+    require(bytes <= Int.MaxValue - 16,
+      s"graft_ndv partial state ($n distinct longs) exceeds the 2 GB " +
+        "serialization limit — use graft_approx_ndv (HLL) at this cardinality")
+    val bb = ByteBuffer.allocate(bytes.toInt)
     bb.put(if (hasZero) 1.toByte else 0.toByte)
     bb.putInt(n)
     var i = 0

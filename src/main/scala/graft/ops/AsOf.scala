@@ -71,17 +71,36 @@ object AsOf {
 
   /** One directional match over a prepared union: appends `__mk<suffix>`
     * and `__m_<c><suffix>`, preserving the input's columns (internals of
-    * whichever matcher ran are projected away — callers can chain passes). */
+    * whichever matcher ran are projected away — callers can chain passes).
+    *
+    * DETERMINISM CONTRACT for duplicate right keys (r13 verdict item 2):
+    * polars breaks ties by frame order (asof/mod.rs:262-270 keeps the
+    * scan-last row) — a distributed engine has no global frame order, so
+    * the contract here is a total VALUE order instead: among right rows
+    * sharing (by, key), the carried row is the one greatest (backward) /
+    * least (forward) by its payload columns, compared left-to-right in
+    * right-frame column order (orderable types only; nulls smallest).
+    * Without the tie-break, `last(_, ignoreNulls)` over a (__k, __tag)-only
+    * ordering picked whichever tied row a partition delivered last — two
+    * runs of the same plan could carry different values (the r13
+    * PlanSerdeSpec flake). The tie direction FOLLOWS the key direction so
+    * the window's pick and the boundary-carry paths' min_by/max_by-over-
+    * struct pick are the same row. */
   private def matchOnce(unioned: DataFrame, by: Seq[String], rightCols: Seq[String],
                         forward: Boolean, rangedBy: Boolean,
                         suffix: String = ""): DataFrame = {
     // backward: right rows at the same key match (right sorts before left via
     // tag); forward: mirror by negating the sort.
+    val tieCols = rightCols.filter { c =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(unioned.schema(s"__r_$c").dataType)
+    }
     val ord =
-      if (forward) Seq(col("__k").desc, col("__tag").asc)
-      else Seq(col("__k").asc, col("__tag").asc)
+      (if (forward) Seq(col("__k").desc, col("__tag").asc)
+       else Seq(col("__k").asc, col("__tag").asc)) ++
+      tieCols.map(c => if (forward) col(s"__r_$c").desc else col(s"__r_$c").asc)
     val m =
-      if (by.nonEmpty && rangedBy) rangedByMatched(unioned, by, rightCols, ord, forward)
+      if (by.nonEmpty && rangedBy) rangedByMatched(unioned, by, rightCols, tieCols, ord, forward)
       else if (by.nonEmpty) {
         val w = Window.partitionBy(by.map(col): _*)
           .orderBy(ord: _*)
@@ -89,7 +108,7 @@ object AsOf {
         rightCols.foldLeft(
           unioned.withColumn("__mk", last(col("__rk"), ignoreNulls = true).over(w))
         ) { (d, c) => d.withColumn(s"__m_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w)) }
-      } else keylessMatched(unioned, rightCols, ord, forward)
+      } else keylessMatched(unioned, rightCols, tieCols, ord, forward)
     m.select((unioned.columns.map(col) :+ col("__mk").as(s"__mk$suffix")) ++
       rightCols.map(c => col(s"__m_$c").as(s"__m_$c$suffix")): _*)
   }
@@ -139,11 +158,14 @@ object AsOf {
     *      global window is fine) — and broadcast-join the carry-in back.
     */
   private def keylessMatched(unioned: DataFrame, rightCols: Seq[String],
+                             tieCols: Seq[String],
                              ord: Seq[Column], forward: Boolean): DataFrame = {
-    val rangeOrd =
-      if (forward) Seq(col("__k").desc, col("__tag").asc)
-      else Seq(col("__k").asc, col("__tag").asc)
-    val ranged = unioned.repartitionByRange(rangeOrd: _*)
+    // Range-partition on the FULL window order (key, tag, ties): tied right
+    // rows then split only at a tie-order boundary, so every partition's
+    // local window sees a contiguous SUFFIX of any tied run — its local pick
+    // (or the carry-in when the suffix is empty) equals the global tie-break
+    // winner regardless of where the sampled boundaries landed.
+    val ranged = unioned.repartitionByRange(ord: _*)
       .withColumn("__pid", spark_partition_id())
 
     val w = Window.partitionBy(col("__pid")).orderBy(ord: _*)
@@ -153,11 +175,14 @@ object AsOf {
     ) { (d, c) => d.withColumn(s"__m_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w)) }
 
     // Last non-null right value per column per partition ("last" in scan
-    // order = max key backward / min key forward; the ordering argument is
-    // null unless this row is a right row with a non-null value, which
-    // min_by/max_by skip).
+    // order = max (key, ties) backward / min (key, ties) forward; the
+    // ordering argument is null unless this row is a right row with a
+    // non-null value, which min_by/max_by skip). The struct ordering —
+    // lexicographic, nulls smallest — matches the window sort exactly, so
+    // the carry-in picks the same tied row the window would.
+    val tieStruct = struct((col("__k") +: tieCols.map(c => col(s"__r_$c"))): _*)
     def lastIn(value: Column, isRight: Column): Column = {
-      val o = when(isRight && value.isNotNull, col("__k"))
+      val o = when(isRight && value.isNotNull, tieStruct)
       if (forward) min_by(value, o) else max_by(value, o)
     }
     val isR = col("__tag") === 0
@@ -192,11 +217,12 @@ object AsOf {
     * null-safe join back on (partition, by…). AQE broadcasts the carry frame
     * when small; with millions of by-groups it shuffles — still skew-free. */
   private def rangedByMatched(unioned: DataFrame, by: Seq[String],
-                              rightCols: Seq[String], ord: Seq[Column],
-                              forward: Boolean): DataFrame = {
-    val rangeOrd = by.map(col) ++
-      (if (forward) Seq(col("__k").desc, col("__tag").asc)
-       else Seq(col("__k").asc, col("__tag").asc))
+                              rightCols: Seq[String], tieCols: Seq[String],
+                              ord: Seq[Column], forward: Boolean): DataFrame = {
+    // by-prefix + the FULL window order (key, tag, ties) — see
+    // keylessMatched: tied runs split only at tie boundaries, so the local
+    // pick / carry-in composition is boundary-placement-independent
+    val rangeOrd = by.map(col) ++ ord
     // localCheckpoint PINS the partition ids: RangePartitioner samples its
     // bounds with an rdd.id-derived seed, so two independent evaluations of
     // the same range exchange can draw DIFFERENT boundaries — and this plan
@@ -216,8 +242,9 @@ object AsOf {
       ranged.withColumn("__mk", last(col("__rk"), ignoreNulls = true).over(w))
     ) { (d, c) => d.withColumn(s"__m_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w)) }
 
+    val tieStruct = struct((col("__k") +: tieCols.map(c => col(s"__r_$c"))): _*)
     def lastIn(value: Column, isRight: Column): Column = {
-      val o = when(isRight && value.isNotNull, col("__k"))
+      val o = when(isRight && value.isNotNull, tieStruct)
       if (forward) min_by(value, o) else max_by(value, o)
     }
     val isR = col("__tag") === 0

@@ -26,10 +26,17 @@ object QueriesAgg {
     // the decimal(38,0) sum_charge accumulator (2.45× DuckDB at sf100) is
     // replaced by a hi/lo split at bit 25: per-row charge ≤ ~1.2e11 fits a
     // long trivially; sum(charge >> 25) and sum(charge & (2^25-1)) each
-    // stay far under 2^63 (lo ≤ rows·2^25 → overflows past ~sf300,000;
-    // hi·2^25 stays under 2^53 to ~sf5,000,000, so the double reconstruct
-    // hi*2^25 + lo is EXACT-then-correctly-rounded identically in both
-    // engines — 2^25 is a power of two, so the multiply never rounds).
+    // stay far under 2^63 (lo ≤ rows·2^25 → long overflow only past
+    // ~sf300,000). Exactness contract: the reconstruct hi*2^25 + lo is the
+    // SAME scalar double expression on both engines over IDENTICAL long
+    // inputs, so the emitted value is bit-identical cross-engine and
+    // order-independent at ANY sf. It equals the true sum correctly
+    // rounded while both long sums stay ≤ 2^53 (to ~sf300 per group);
+    // past that the lo-cast rounds first, so the result can sit an ulp or
+    // two from the true sum — still deterministic, still cross-engine
+    // identical (the r13 claim of exact-to-sf5,000,000 overstated this;
+    // 2^25 being a power of two makes hi*2^25 exact to ~sf5e6, but lo
+    // crosses 2^53 much earlier).
     // The disc_price sum gets the same split (a single long sum overflows
     // at ~sf16,000 — fine for 100 GB, not for 100 TB). ANSI throws loudly
     // on any overflow, never wraps. The scaled terms are pre-projected

@@ -41,9 +41,19 @@ object QueriesJoin {
         .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
         .sort(col("o_orderkey")).collect()),
 
+    // r14 re-pin (r13 verdict item 4): the old form anti-joined against ALL
+    // orders — at the driver fixture every customer has orders, so both
+    // engines returned ZERO rows and the key could not catch a wrong-but-
+    // also-empty anti-join. Now: customers with no URGENT order (survivors
+    // exist at every sf), with every 97th key nulled on the left to pin
+    // NOT-EXISTS null semantics (a null key never matches → always kept).
     "join_anti" -> ((s, d) =>
       lf(s, d, "customer")
-        .antiJoin(lf(s, d, "orders").rename("o_custkey" -> "c_custkey"), Seq("c_custkey"))
+        .withColumns("k" -> when(col("c_custkey") % 97 === 0, lit(null))
+          .otherwise(col("c_custkey")))
+        .antiJoin(lf(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .rename("o_custkey" -> "k"), Seq("k"))
         .select(col("c_custkey"), col("c_name"))
         .sort(col("c_custkey")).collect()),
 
@@ -152,8 +162,12 @@ object QueriesJoin {
         |ORDER BY o_orderkey""".stripMargin,
 
     "join_anti" ->
-      """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      """WITH c AS (
+        | SELECT CASE WHEN c_custkey % 97 = 0 THEN NULL ELSE c_custkey END AS k,
+        |  c_custkey, c_name FROM customer)
+        |SELECT c_custkey, c_name FROM c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_custkey = c.k)
         |ORDER BY c_custkey""".stripMargin,
 
     "join_cross" ->

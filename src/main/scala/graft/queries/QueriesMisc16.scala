@@ -14,21 +14,24 @@ object QueriesMisc16 {
   val queries: Map[String, Q] = Map(
 
     // rolling_rank_by: the rank (method="min") of the current row's value
-    // among all values in [v − 50000.00, v] of its group. A RANGE frame
-    // gives the value window; min-rank = frame count − peer (tie) count
-    // + 1 — two window counts over the SAME partitioning+ordering, so
-    // Spark plans ONE Window operator (one shuffle, one sort), nothing
-    // per-row quadratic. Integer-cent keys make the frame bounds exact
-    // cross-engine. The bottom_k_by tail rides the same key: ascending
-    // TakeOrderedAndProject on an expression key (per-partition heap +
-    // driver k-merge, never a global sort — same plan family PlanSpec
-    // pins for bottomK/topK).
+    // among all values in (v − 50000.00, v] of its group — the reference's
+    // default closed="right" window (rolling_rank_by in expr.py: the frame
+    // is (t − window_size, t], EXCLUSIVE lower bound), expressed on
+    // integer-cent keys as RANGE BETWEEN (window−1) PRECEDING AND CURRENT
+    // ROW. A RANGE frame gives the value window; min-rank = frame count −
+    // peer (tie) count + 1 — two window counts over the SAME
+    // partitioning+ordering, so Spark plans ONE Window operator (one
+    // shuffle, one sort), nothing per-row quadratic. Integer-cent keys make
+    // the frame bounds exact cross-engine. The bottom_k_by tail rides the
+    // same key: ascending TakeOrderedAndProject on an expression key
+    // (per-partition heap + driver k-merge, never a global sort — same
+    // plan family PlanSpec pins for bottomK/topK).
     "win_rolling_rank_by" -> ((s, d) => {
       val cents = round(col("o_totalprice") * 100, 0).cast("long")
       val base = t(s, d, "orders").filter(col("o_custkey") <= 500)
         .select(col("o_orderkey"), col("o_custkey"), cents.as("cents"))
       val w = Window.partitionBy(col("o_custkey")).orderBy(col("cents"))
-        .rangeBetween(-5000000L, 0L)
+        .rangeBetween(-(5000000L - 1), 0L)
       val peers = Window.partitionBy(col("o_custkey")).orderBy(col("cents"))
         .rangeBetween(0L, 0L)
       val ranked = base.select(lit("rank").as("tag"),
@@ -53,7 +56,7 @@ object QueriesMisc16 {
         |r AS (
         | SELECT 'rank' AS tag, o_orderkey AS k, o_custkey AS grp,
         |  count(*) OVER (PARTITION BY o_custkey ORDER BY cents
-        |    RANGE BETWEEN 5000000 PRECEDING AND CURRENT ROW)
+        |    RANGE BETWEEN 4999999 PRECEDING AND CURRENT ROW)
         |  - count(*) OVER (PARTITION BY o_custkey ORDER BY cents
         |    RANGE BETWEEN CURRENT ROW AND CURRENT ROW) + 1 AS v
         | FROM t),

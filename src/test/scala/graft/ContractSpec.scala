@@ -19,24 +19,27 @@ class ContractSpec extends SparkSpec {
   }
 
   test("no duplicate keys across query batch objects") {
-    val batches = Seq(
-      graft.queries.QueriesAgg.queries, graft.queries.QueriesJoin.queries,
-      graft.queries.QueriesWindow.queries, graft.queries.QueriesScalar.queries,
-      graft.queries.QueriesReshape.queries, graft.queries.QueriesText.queries,
-      graft.queries.QueriesExtra.queries, graft.queries.QueriesScalar2.queries,
-      graft.queries.QueriesExtra2.queries, graft.queries.QueriesWindow2.queries,
-      graft.queries.QueriesMisc3.queries, graft.queries.QueriesMisc4.queries,
-      graft.queries.QueriesMisc5.queries, graft.queries.QueriesCat.queries,
-      graft.queries.QueriesDialect.queries, graft.queries.QueriesMisc6.queries,
-      graft.queries.QueriesSql.queries, graft.queries.QueriesMisc7.queries,
-      graft.queries.QueriesMisc8.queries, graft.queries.QueriesMisc9.queries,
-      graft.queries.QueriesSql2.queries, graft.queries.QueriesMisc10.queries,
-      graft.queries.QueriesMisc11.queries, graft.queries.QueriesMisc12.queries,
-      graft.queries.QueriesMisc13.queries, graft.queries.QueriesStream.queries,
-      graft.queries.QueriesMisc14.queries, graft.queries.QueriesMisc15.queries)
-    val all = batches.flatMap(_.keys)
-    val dups = all.groupBy(identity).filter(_._2.size > 1).keys
-    assert(dups.isEmpty, s"duplicate query keys: ${dups.toSeq.sorted}")
-    assert(all.size == SparkEntry.queries.size)
+    // derived from SparkEntry.batches — the SAME list `queries`/`oracleSql`
+    // concatenate — so a newly registered batch is swept automatically
+    // (hand-maintained copies of the list drifted in r12 and r13)
+    val allQ = SparkEntry.batches.flatMap(_._1.keys)
+    val dupsQ = allQ.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dupsQ.isEmpty, s"duplicate query keys: ${dupsQ.toSeq.sorted}")
+    assert(allQ.size == SparkEntry.queries.size)
+    val allO = SparkEntry.batches.flatMap(_._2.keys)
+    val dupsO = allO.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dupsO.isEmpty, s"duplicate oracle keys: ${dupsO.toSeq.sorted}")
+    assert(allO.size == SparkEntry.oracleSql.size)
+  }
+
+  test("every batch pairs its queries and oracles 1:1") {
+    // a batch whose oracle map misses (or adds) a key would previously only
+    // surface via the global q/o set compare; pin it per batch for locality
+    SparkEntry.batches.zipWithIndex.foreach { case ((q, o), i) =>
+      assert(q.keySet == o.keySet,
+        s"batch $i query/oracle key mismatch: only-queries=" +
+          s"${(q.keySet -- o.keySet).toSeq.sorted} only-oracles=" +
+          s"${(o.keySet -- q.keySet).toSeq.sorted}")
+    }
   }
 }

@@ -235,16 +235,19 @@ class PlanSpec extends SparkSpec {
       s"cap should be an anti-join on the over-cap keys:\n$pc")
   }
 
-  test("agg_count_distinct plans Expand-free: per-column partial-distinct aggregates") {
+  test("agg_count_distinct plans Expand-free: one-pass graft_ndv typed aggregate") {
     // two countDistinct in ONE groupBy would plan Catalyst's Expand — the
-    // input triples before the first shuffle (3.3× DuckDB at sf100, r12
-    // verdict task 1). The split shape must keep Expand out of the plan
-    // and join the tiny per-flag results.
+    // input triples before the first shuffle (19.5 s at sf100, r12 verdict
+    // task 1). The r13 one-pass shape computes both exact NDVs with
+    // graft_ndv (a TypedImperativeAggregate → ObjectHashAggregate operator,
+    // partial + final around one exchange) in a single scan.
     val df = graft.SparkEntry.queries("agg_count_distinct")(spark, sf)
     val p = planOf(df)
     assert(!p.contains("Expand"),
       s"agg_count_distinct regressed to the Expand plan:\n$p")
-    assert(p.contains("HashAggregate"), s"expected hash aggregates:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"expected the graft_ndv typed-aggregate operator:\n$p")
+    assert(p.contains("graft_ndv"), s"expected the graft_ndv aggregate:\n$p")
   }
 
   test("joinSalted plans the salt: hashed left, exploded right replication, salt in keys") {
