@@ -10,7 +10,10 @@ import org.apache.spark.sql.functions._
   * strings with K / K / N/K groups, id4-id6 ints, v1 1-5, v2 1-15, v3
   * double 0-100) — via spark.range + hash mixing, no driver-side data.
   *
-  * Usage: runMain graft.GroupByBench [N] [K]  (defaults 1e7, 100)
+  * Usage: runMain graft.GroupByBench [N] [K] [query...]  (defaults 1e7, 100,
+  * all ten). Naming queries runs just those — at N=1e9 the driver script
+  * runs ONE query per JVM so no run ever holds two queries' shuffle files
+  * on disk at once (q10's alone is tens of GB; see the codec note below).
   * Prints one JSON line {"metric":"groupby_total",...} like graft.Bench.
   */
 object GroupByBench {
@@ -57,23 +60,50 @@ object GroupByBench {
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toDouble.toLong else 10000000L
     val k = if (args.length > 1) args(1).toInt else 100
+    val wanted = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_SHUFFLE_CODEC=zstd for the N=1e9 regime: q10's group keys
+    // are near-unique so partial aggregation cannot shrink its shuffle —
+    // ~110 B/row × 1e9 rows ≈ 50-60 GB at lz4, which outruns this host's
+    // scratch disk; zstd roughly halves it. Defaults to lz4 (Spark's
+    // default) so smaller-N records stay comparable across rounds.
+    val codec = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_CODEC", "lz4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.io.compression.codec", codec)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val df = gen(spark, n, k).cache()
+    // MEMORY_ONLY, not the default MEMORY_AND_DISK: the reference holds the
+    // frame in RAM, and at N=1e9 the disk copy (~60 GB raw) plus the run's
+    // accumulated shuffle files filled the disk outright. Evicted partitions
+    // recompute through the pure-codegen generator instead — cheaper than a
+    // disk round-trip here and zero disk footprint.
+    val df = gen(spark, n, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     df.count() // materialize once, like the benchmark's in-memory frame
+    // Nudge the ContextCleaner between queries: shuffle files are deleted
+    // only when their ShuffleDependency is GC'd, and a 100 GB heap can run
+    // 20 query executions (warm-up + timed) without a single full GC —
+    // at N=1e9 the accumulated temp_shuffle files are tens of GB and
+    // filled the disk before the cleaner ever fired.
+    def reclaim(): Unit = { System.gc(); Thread.sleep(200) }
+    def selected = {
+      val qs = queries(df)
+      if (wanted.isEmpty) qs else qs.filter { case (name, _) => wanted(name) }
+    }
     // warm-up pass then timed pass, min not needed: data is cached
-    queries(df).foreach(_._2.write.format("noop").mode("overwrite").save())
-    val results = queries(df).map { case (name, q) =>
+    selected.foreach { case (_, q) =>
+      q.write.format("noop").mode("overwrite").save(); reclaim() }
+    val results = selected.map { case (name, q) =>
       val t0 = System.nanoTime()
       q.write.format("noop").mode("overwrite").save()
-      name -> (System.nanoTime() - t0) / 1e9
+      val s = (System.nanoTime() - t0) / 1e9
+      reclaim()
+      name -> s
     }
     val qs = results.map { case (q, s) => "\"" + q + f"""\":$s%.3f""" }
       .mkString("{", ",", "}")

@@ -101,10 +101,12 @@ object QueriesAgg {
     // column (14.8 s). The one-pass shape: [[graft.functions.ndvAgg]]
     // (TypedImperativeAggregate over an open-addressing long set) computes
     // both exact NDVs in ONE scan, shuffling each task's distinct values
-    // once — measured ~10 s on the same data, 2.9× same-host DuckDB
-    // (SCALE.md records the full variant table and the HLL recipe for
-    // when a few-percent error is acceptable), plan pinned Expand-free
-    // in PlanSpec.
+    // once — measured 8.46 s min on the same data, 2.8× same-host DuckDB,
+    // and TIED by Spark's own HLL plan (8.41 s), so the residual is the
+    // scan+shuffle floor, not the aggregate (SCALE.md §Aggregations
+    // records the full variant table, the final-merge concentration
+    // caveat, and the HLL recipe for when a few-percent error is
+    // acceptable), plan pinned Expand-free in PlanSpec.
     "agg_count_distinct" -> ((s, d) =>
       lf(s, d, "lineitem")
         .groupBy(col("l_returnflag"))

@@ -18,7 +18,7 @@ import graft.dsl.LazyFrame
 object JoinSkewProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sf10")
-    def session(aqe: Boolean): SparkSession = {
+    def session(aqe: Boolean, force: Boolean = false): SparkSession = {
       // fresh session per variant: AQE flags are read at planning time
       org.apache.spark.sql.SparkSession.getActiveSession
         .foreach(_.stop())
@@ -26,14 +26,21 @@ object JoinSkewProbe {
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", aqe.toString)
         .config("spark.sql.adaptive.skewJoin.enabled", aqe.toString)
+        // the probe aggregates AFTER the join, so splitting the skewed
+        // partition breaks the hash-partitioning the agg wants and AQE
+        // declines the skew rewrite by default — force opts in to the
+        // extra shuffle (measured: the r14 run without it showed AQE ≈
+        // naive because the rewrite never fired)
+        .config("spark.sql.adaptive.forceOptimizeSkewedJoin", force.toString)
         .config("spark.sql.autoBroadcastJoinThreshold", "-1")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     }
 
-    def run(tag: String, aqe: Boolean, salt: Int, passes: Int): Double = {
-      val spark = session(aqe)
+    def run(tag: String, aqe: Boolean, salt: Int, passes: Int,
+            force: Boolean = false): Double = {
+      val spark = session(aqe, force)
       spark.sparkContext.setLogLevel("ERROR")
       // 90% of lineitem rows collapse onto orderkey 1; the rest keep their
       // own key — a single hot reducer holds ~54M rows at sf10
@@ -63,8 +70,10 @@ object JoinSkewProbe {
     val passes = if (args.nonEmpty) args(0).toInt else 2
     val naive  = run("plain_noAQE", aqe = false, salt = 0, passes)
     val aqe    = run("plain_AQEskew", aqe = true, salt = 0, passes)
+    val forced = run("AQEskew_forced", aqe = true, salt = 0, passes, force = true)
     val salted = run("salted16_AQE", aqe = true, salt = 16, passes)
-    println(f"[joinskew] SUMMARY naive=$naive%.2f aqe=$aqe%.2f salted=$salted%.2f " +
-      f"(aqe ${naive / aqe}%.2fx, salted ${naive / salted}%.2fx vs naive)")
+    println(f"[joinskew] SUMMARY naive=$naive%.2f aqe=$aqe%.2f forced=$forced%.2f " +
+      f"salted=$salted%.2f (aqe ${naive / aqe}%.2fx, forced ${naive / forced}%.2fx, " +
+      f"salted ${naive / salted}%.2fx vs naive)")
   }
 }
