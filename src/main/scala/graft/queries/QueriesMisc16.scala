@@ -8,6 +8,8 @@ import util._
   * rolling_rank_by (py-polars/src/polars/expr/expr.py rolling rank over a
   * VALUE window, the rank sibling of win_rolling_median_by's RANGE-frame
   * median) and bottom_k_by (expr.py, the ascending dual of top_k_by).
+  * Round 14 adds the NATIVE Time dtype (Spark 4.1 TimeType), upgrading
+  * the r11 i64-carrier contract (`dtype_time_ns`) to a first-class type.
   */
 object QueriesMisc16 {
 
@@ -44,6 +46,39 @@ object QueriesMisc16 {
           round(length(col("c_name")) * col("c_acctbal") * 100).cast("long")
             .as("v"))
       ranked.unionAll(bottomBy.df).orderBy(col("tag"), col("k"))
+    }),
+
+    // The polars Time dtype as a NATIVE column type (Spark 4.1 TimeType,
+    // reference crates/polars-core/src/datatypes/dtype.rs:120-136 `Time`):
+    // construction (make_time from a timestamp's clock fields), extraction
+    // (hour/minute/second dispatch on TIME), ordering (min/max aggregate
+    // over TIME values), and comparison (count of pre-noon events) — the
+    // operations py-polars exercises on pl.Time — plus str.to_time
+    // (string.py `to_time`): every TIME is printed and re-parsed
+    // (cast(cast(tm as string) as time)) and the round-trip count must
+    // equal the group count on both engines. Times are whole-second
+    // here and the TIME values are emitted as strings because both engines
+    // print whole-second TIME identically ('HH:MM:SS') while the driver's
+    // hash canonicalization has no TIME lane. Supersedes the i64-ns-carrier
+    // contract of `dtype_time_ns` (kept: it pins the ns arithmetic).
+    "dtype_time_native" -> ((s, d) => {
+      // Spark 4.1 ships TimeType behind a dynamic flag; enable it here so
+      // the key is self-contained under any session (driver's Verify, Bench,
+      // specs) without a session-builder dependency.
+      s.conf.set("spark.sql.timeType.enabled", "true")
+      t(s, d, "events")
+        .select(col("event_type"),
+          expr("make_time(hour(ts), minute(ts), cast(second(ts) as decimal(16,6)))").as("tm"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(when(expr("tm < make_time(12, 0, 0)"), 1)).as("am_events"),
+          expr("cast(min(tm) as string)").as("first_tm"),
+          expr("cast(max(tm) as string)").as("last_tm"),
+          sum(expr("hour(tm) * 3600 + minute(tm) * 60 + second(tm)"))
+            .cast("long").as("sec_sum"),
+          count(when(expr("cast(cast(tm as string) as time)") === col("tm"), 1))
+            .as("str_roundtrip"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -64,6 +99,21 @@ object QueriesMisc16 {
         | SELECT 'bottom_by' AS tag, c_custkey AS k, CAST(NULL AS BIGINT) AS grp,
         |  CAST(round(length(c_name) * c_acctbal * 100) AS BIGINT) AS v
         | FROM customer ORDER BY length(c_name) * c_acctbal, c_custkey LIMIT 10)
-        |SELECT * FROM r UNION ALL SELECT * FROM b ORDER BY tag, k""".stripMargin
+        |SELECT * FROM r UNION ALL SELECT * FROM b ORDER BY tag, k""".stripMargin,
+
+    "dtype_time_native" ->
+      """WITH t AS (
+        | SELECT event_type,
+        |  make_time(extract(hour FROM ts)::INT, extract(minute FROM ts)::INT,
+        |            extract(second FROM ts)::DOUBLE) AS tm
+        | FROM events)
+        |SELECT event_type,
+        |  count(*) FILTER (WHERE tm < make_time(12, 0, 0)) AS am_events,
+        |  min(tm)::VARCHAR AS first_tm,
+        |  max(tm)::VARCHAR AS last_tm,
+        |  (sum(extract(hour FROM tm) * 3600 + extract(minute FROM tm) * 60
+        |       + extract(second FROM tm)))::BIGINT AS sec_sum,
+        |  count(*) FILTER (WHERE (tm::VARCHAR)::TIME = tm) AS str_roundtrip
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
