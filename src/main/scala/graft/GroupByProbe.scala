@@ -74,8 +74,12 @@ object GroupByProbe {
     // distinct values), so the partial pass gets ZERO combine reduction yet
     // still pays to build + spill a row-count-sized hash map per task
     // before the shuffle writes the same bytes again — the repart variant
-    // shuffles the raw rows once and aggregates once (measured at N=1e9:
-    // 622.5 s default in-suite vs the table in BASELINE.md).
+    // shuffles the raw rows once and aggregates once. Measured at N=1e9:
+    // q10_default 533.1 s; q10_repart DISK-DNF — the explicit exchange's
+    // ~36 GB raw shuffle stays pinned for the whole downstream stage while
+    // the aggregate's sort-spill grows beside it, filling a 61 GB scratch
+    // disk. The default's partial spill is per-task-temporary (released as
+    // tasks finish), so its peak disk is strictly lower: keep the default.
     val q10Family: Seq[(String, () => DataFrame)] = Seq(
       "q10_default" -> (() => df.groupBy("id1", "id2", "id3", "id4", "id5", "id6")
         .agg(sum("v3").as("v3"), count(lit(1)).as("count"))),
