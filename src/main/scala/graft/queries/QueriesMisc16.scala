@@ -79,6 +79,38 @@ object QueriesMisc16 {
           count(when(expr("cast(cast(tm as string) as time)") === col("tm"), 1))
             .as("str_roundtrip"))
         .orderBy(col("event_type"))
+    }),
+
+    // time_range / time_ranges (py-polars/src/polars/functions/range/
+    // time_range.py): a per-row list of TIME values from start to end by a
+    // row-dependent step, closed="both" (polars default; Spark `sequence`
+    // and DuckDB `generate_series` are both end-inclusive, so the bound
+    // semantics align). The list is built on the seconds-of-day carrier and
+    // mapped through make_time, then emitted as SCALAR projections (count,
+    // first/last as strings, an hour() fold) — list columns never leave a
+    // key (arrow child-name rule). Step varies per row to exercise ragged
+    // range lengths.
+    "range_time" -> ((s, d) => {
+      s.conf.set("spark.sql.timeType.enabled", "true")
+      t(s, d, "events")
+        .filter(col("user_id") % 17 === 0)
+        .select(col("user_id"), col("ts"),
+          expr("hour(ts) * 3600").as("start_sec"),
+          // clamp at 23:59:59 — a 22:xx start must not range past midnight
+          expr("least(hour(ts) * 3600 + 7200, 86399)").as("end_sec"),
+          expr("(user_id % 3 + 1) * 900").cast("int").as("step_sec"))
+        .select(col("user_id"), col("ts"),
+          expr("transform(sequence(start_sec, end_sec, step_sec), " +
+            "x -> make_time(x div 3600, (x % 3600) div 60, cast(x % 60 as decimal(16,6))))")
+            .as("times"))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(size(col("times"))).cast("long").as("n_times"),
+          min(expr("cast(times[0] as string)")).as("first_t"),
+          max(expr("cast(element_at(times, -1) as string)")).as("last_t"),
+          sum(expr("aggregate(times, 0L, (a, t) -> a + hour(t))"))
+            .cast("long").as("hour_fold"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -114,6 +146,24 @@ object QueriesMisc16 {
         |  (sum(extract(hour FROM tm) * 3600 + extract(minute FROM tm) * 60
         |       + extract(second FROM tm)))::BIGINT AS sec_sum,
         |  count(*) FILTER (WHERE (tm::VARCHAR)::TIME = tm) AS str_roundtrip
-        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "range_time" ->
+      """WITH e AS (
+        | SELECT user_id, extract(hour FROM ts)::BIGINT * 3600 AS start_sec,
+        |  least(extract(hour FROM ts)::BIGINT * 3600 + 7200, 86399) AS end_sec,
+        |  (user_id % 3 + 1) * 900 AS step_sec
+        | FROM events WHERE user_id % 17 = 0),
+        |r AS (
+        | SELECT user_id,
+        |  [make_time((x // 3600)::INT, ((x % 3600) // 60)::INT, (x % 60)::DOUBLE)
+        |   FOR x IN generate_series(start_sec, end_sec, step_sec)] AS times
+        | FROM e)
+        |SELECT user_id,
+        |  sum(len(times))::BIGINT AS n_times,
+        |  min(times[1]::VARCHAR) AS first_t,
+        |  max(times[-1]::VARCHAR) AS last_t,
+        |  sum(list_sum(list_transform(times, t -> extract(hour FROM t))))::BIGINT AS hour_fold
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }
