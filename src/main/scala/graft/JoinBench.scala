@@ -9,7 +9,15 @@ import org.apache.spark.sql.functions._
   * j1/j2/j4 exercise Spark's automatic broadcast of the small/medium side,
   * j5 is the genuine N:N shuffle join.
   *
-  * Usage: runMain graft.JoinBench [N]  (default 1e7)
+  * Usage: runMain graft.JoinBench [N] [query...]  (default 1e7, all five).
+  * At N=1e9 set SPARK_GRAFT_SHUFFLE_CODEC=zstd — j5's two-sided ~1.6e9-row
+  * shuffle is scratch-disk-bound on one host and zstd halves the on-disk
+  * bytes (the same lesson as tools/h2o_big.sh); between-query GC nudges
+  * let the ContextCleaner drop finished shuffle files before the next
+  * query stacks its own on top; tables cache MEMORY_ONLY so the default
+  * MEMORY_AND_DISK overflow cannot silently eat the scratch disk the
+  * shuffle needs (measured: j5 warm at 1e9 with MEMORY_AND_DISK dies
+  * SPILL_OUT_OF_MEMORY/no-space); and at 1e9 run j5 in its OWN JVM.
   */
 object JoinBench {
 
@@ -29,31 +37,46 @@ object JoinBench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_CODEC", "lz4"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def reclaim(): Unit = { System.gc(); Thread.sleep(200) }
 
-    val x = keyed(spark, n, 10).cache(); x.count()
+    val only = args.drop(1).toSet
+    def want(name: String): Boolean = only.isEmpty || only.exists(name.startsWith)
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
+
+    val x = keyed(spark, n, 10).persist(mem); x.count()
     val small = keyed(spark, n / 1000000L max 10L, 20)
-      .select(col("id1"), col("v").as("v2")).distinct().cache(); small.count()
+      .select(col("id1"), col("v").as("v2")).distinct().persist(mem); small.count()
     val medium = keyed(spark, n / 1000L max 100L, 30)
       .select(col("id2"), col("id5"), col("v").as("v2"))
-      .dropDuplicates("id2").cache(); medium.count()
-    val big = keyed(spark, n, 40)
-      .select(col("id3"), col("v").as("v2")).dropDuplicates("id3").cache(); big.count()
+      .dropDuplicates("id2").persist(mem); medium.count()
+    lazy val big = {
+      val b = keyed(spark, n, 40)
+        .select(col("id3"), col("v").as("v2")).dropDuplicates("id3").persist(mem)
+      b.count(); b
+    }
 
     val queries: Seq[(String, DataFrame)] = Seq(
-      "j1_small_inner_id1" -> x.join(small, "id1"),
-      "j2_medium_inner_id2" -> x.join(medium.select("id2", "v2"), "id2"),
-      "j3_medium_left_id2" -> x.join(medium.select("id2", "v2"), Seq("id2"), "left"),
-      "j4_medium_inner_id5" -> x.join(medium.select("id5", "v2"), "id5"),
-      "j5_big_inner_id3" -> x.join(big, "id3"))
+      "j1_small_inner_id1" -> (() => x.join(small, "id1")),
+      "j2_medium_inner_id2" -> (() => x.join(medium.select("id2", "v2"), "id2")),
+      "j3_medium_left_id2" -> (() => x.join(medium.select("id2", "v2"), Seq("id2"), "left")),
+      "j4_medium_inner_id5" -> (() => x.join(medium.select("id5", "v2"), "id5")),
+      "j5_big_inner_id3" -> (() => x.join(big, "id3")))
+      .collect { case (name, mk) if want(name) => name -> mk() }
 
-    queries.foreach(_._2.write.format("noop").mode("overwrite").save()) // warm
+    queries.foreach { q =>
+      q._2.write.format("noop").mode("overwrite").save(); reclaim()
+    } // warm
     val results = queries.map { case (name, q) =>
       val t0 = System.nanoTime()
       q.write.format("noop").mode("overwrite").save()
-      name -> (System.nanoTime() - t0) / 1e9
+      val s = (System.nanoTime() - t0) / 1e9
+      reclaim()
+      name -> s
     }
     val qs = results.map { case (q, s) => "\"" + q + f"""\":$s%.3f""" }
       .mkString("{", ",", "}")
