@@ -60,22 +60,9 @@ object GroupByBench {
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toDouble.toLong else 10000000L
     val k = if (args.length > 1) args(1).toInt else 100
-    val wanted = args.drop(2).toSet
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // SPARK_GRAFT_SHUFFLE_CODEC=zstd for the N=1e9 regime: q10's group keys
-    // are near-unique so partial aggregation cannot shrink its shuffle —
-    // ~110 B/row × 1e9 rows ≈ 50-60 GB at lz4, which outruns this host's
-    // scratch disk; zstd roughly halves it. Defaults to lz4 (Spark's
-    // default) so smaller-N records stay comparable across rounds.
-    val codec = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_CODEC", "lz4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.io.compression.codec", codec)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val wanted = args.drop(2).toSeq
+    // rig + zstd-vs-lz4 + GC-nudge rationale live in BenchSession
+    val spark = BenchSession.build()
 
     // MEMORY_ONLY, not the default MEMORY_AND_DISK: the reference holds the
     // frame in RAM, and at N=1e9 the disk copy (~60 GB raw) plus the run's
@@ -85,16 +72,8 @@ object GroupByBench {
     val df = gen(spark, n, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     df.count() // materialize once, like the benchmark's in-memory frame
-    // Nudge the ContextCleaner between queries: shuffle files are deleted
-    // only when their ShuffleDependency is GC'd, and a 100 GB heap can run
-    // 20 query executions (warm-up + timed) without a single full GC —
-    // at N=1e9 the accumulated temp_shuffle files are tens of GB and
-    // filled the disk before the cleaner ever fired.
-    def reclaim(): Unit = { System.gc(); Thread.sleep(200) }
-    def selected = {
-      val qs = queries(df)
-      if (wanted.isEmpty) qs else qs.filter { case (name, _) => wanted(name) }
-    }
+    import BenchSession.reclaim
+    def selected = BenchSession.select(queries(df), wanted)
     // warm-up pass then timed pass, min not needed: data is cached
     selected.foreach { case (_, q) =>
       q.write.format("noop").mode("overwrite").save(); reclaim() }

@@ -29,28 +29,23 @@ import org.apache.spark.sql.functions._
   * in the same JVM). The sort-based fallback is the right plan at high
   * NDV; results recorded in BASELINE.md's N=1e9 section.
   *
-  * Usage: SPARK_GRAFT_SHUFFLE_CODEC=zstd runMain graft.GroupByProbe [N] [K] [passes]
+  * Usage: SPARK_GRAFT_SHUFFLE_CODEC=zstd
+  *   runMain graft.GroupByProbe [N] [K] [passes] [family]
+  * where family selects the variant table: sum (default, q3/q5
+  * default-vs-repart), typed (q6/q8 fallback-threshold), q10
+  * (default-vs-repart at NDV≈rows), or all.
   */
 object GroupByProbe {
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toDouble.toLong else 100000000L
     val k = if (args.length > 1) args(1).toInt else 100
     val passes = if (args.length > 2) args(2).toInt else 1
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val codec = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_CODEC", "lz4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.io.compression.codec", codec)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = BenchSession.build()
+    import BenchSession.reclaim
 
     val df = GroupByBench.gen(spark, n, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     df.count()
-    def reclaim(): Unit = { System.gc(); Thread.sleep(200) }
 
     val family = if (args.length > 3) args(3) else "sum"
     val fallbackKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"

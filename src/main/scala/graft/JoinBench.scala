@@ -32,20 +32,10 @@ object JoinBench {
 
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toDouble.toLong else 10000000L
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.io.compression.codec",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_CODEC", "lz4"))
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    def reclaim(): Unit = { System.gc(); Thread.sleep(200) }
+    val spark = BenchSession.build()
+    import BenchSession.reclaim
 
-    val only = args.drop(1).toSet
-    def want(name: String): Boolean = only.isEmpty || only.exists(name.startsWith)
+    val only = args.drop(1).toSeq
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
 
     val x = keyed(spark, n, 10).persist(mem); x.count()
@@ -60,18 +50,19 @@ object JoinBench {
       b.count(); b
     }
 
-    val queries: Seq[(String, DataFrame)] = Seq(
+    val queries: Seq[(String, () => DataFrame)] = Seq(
       "j1_small_inner_id1" -> (() => x.join(small, "id1")),
       "j2_medium_inner_id2" -> (() => x.join(medium.select("id2", "v2"), "id2")),
       "j3_medium_left_id2" -> (() => x.join(medium.select("id2", "v2"), Seq("id2"), "left")),
       "j4_medium_inner_id5" -> (() => x.join(medium.select("id5", "v2"), "id5")),
       "j5_big_inner_id3" -> (() => x.join(big, "id3")))
-      .collect { case (name, mk) if want(name) => name -> mk() }
+    val selected = BenchSession.select(queries, only)
+      .map { case (name, mk) => name -> mk() }
 
-    queries.foreach { q =>
+    selected.foreach { q =>
       q._2.write.format("noop").mode("overwrite").save(); reclaim()
     } // warm
-    val results = queries.map { case (name, q) =>
+    val results = selected.map { case (name, q) =>
       val t0 = System.nanoTime()
       q.write.format("noop").mode("overwrite").save()
       val s = (System.nanoTime() - t0) / 1e9

@@ -23,13 +23,13 @@ object StreamThroughputProbe {
   def main(args: Array[String]): Unit = {
     val rowsPerBatch = if (args.length > 0) args(0).toDouble.toLong else 2000000L
     val batches = if (args.length > 1) args(1).toInt else 15
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // recentProgress retains only the last ~100 updates (the wait loop
+    // would spin forever past that), and the steady-state window drops 2
+    // warm-up batches (fewer than 3 total would measure nothing)
+    require(batches >= 3 && batches <= 95,
+      s"batches must be in [3, 95], got $batches")
+    val cpus = BenchSession.cpus
+    val spark = BenchSession.build()
 
     // rate-micro-batch emits exactly rowsPerBatch rows per trigger with a
     // monotonically increasing `value` and a synthetic `timestamp` — event

@@ -85,7 +85,16 @@ object AsOf {
     * runs of the same plan could carry different values (the r13
     * PlanSerdeSpec flake). The tie direction FOLLOWS the key direction so
     * the window's pick and the boundary-carry paths' min_by/max_by-over-
-    * struct pick are the same row. */
+    * struct pick are the same row.
+    *
+    * Caveat (documented limit, not a defect): the tie-break spans only
+    * ORDERABLE payload columns (RowOrdering.isOrderable). Tied right rows
+    * distinguishable solely by a non-orderable column (e.g. MapType) have
+    * no total value order to pin them, and the carried value for that
+    * column is unspecified among the tied rows — the same contract as any
+    * ordering over an unordered type. Orderable payloads (all driver
+    * fixtures, and anything polars itself can sort) are fully
+    * deterministic. */
   private def matchOnce(unioned: DataFrame, by: Seq[String], rightCols: Seq[String],
                         forward: Boolean, rangedBy: Boolean,
                         suffix: String = ""): DataFrame = {

@@ -137,9 +137,10 @@ class AsOfSpec extends SparkSpec {
           case n          => n.toLong
         }
         val ldata = (0 until 800).map(_ => (grp(), rnd.nextInt(1000).toLong, rnd.nextInt(100)))
-        // UNIQUE right key per group: duplicate (g, rk) rows make "the"
-        // matched value tie-arbitrary in BOTH paths (non-total order, same
-        // contract as row_number ties) — the equality check needs totality
+        // UNIQUE right key per group here: this test compares the ranged
+        // and unranged PATHS, so it isolates path equivalence from the
+        // duplicate-key tie-break (which has its own deterministic value
+        // order since r14 — see the dedicated tie-break test below)
         val rdata = rnd.shuffle((0 until 1000).toList).take(300)
           .map(k => (grp(), k.toLong, rnd.nextInt(100)))
         val l = ldata.toDF("g", "k", "lv").repartition(5)
@@ -157,6 +158,25 @@ class AsOfSpec extends SparkSpec {
     } finally saved match {
       case Some(v) => spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", v)
       case None    => spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    }
+  }
+
+  test("duplicate right keys carry a deterministic value (r14 tie-break contract)") {
+    // three right rows share (g, rk) and differ only in payload: the
+    // contract pins the carried value to the GREATEST payload (backward) /
+    // LEAST (forward), stable across partition layouts and repeated runs
+    val dupR = Seq(
+      ("a", 4L, "rA"), ("a", 4L, "rC"), ("a", 4L, "rB"),
+      ("a", 8L, "rX")
+    ).toDF("g", "rk", "rv")
+    for (parts <- Seq(1, 3, 7); pass <- 0 until 3) {
+      val r = dupR.repartition(parts)
+      val back = AsOf.join(left, r, "k", "rk", Seq("g"), "backward", None)
+        .filter(col("k") === 5L).select("rv").as[String].head()
+      assert(back == "rC", s"backward parts=$parts pass=$pass")
+      val fwd = AsOf.join(left, r, "k", "rk", Seq("g"), "forward", None)
+        .filter(col("k") === 1L).select("rv").as[String].head()
+      assert(fwd == "rA", s"forward parts=$parts pass=$pass")
     }
   }
 
