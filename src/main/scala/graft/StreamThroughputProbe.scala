@@ -30,6 +30,13 @@ object StreamThroughputProbe {
       s"batches must be in [3, 95], got $batches")
     val cpus = BenchSession.cpus
     val spark = BenchSession.build()
+    // SPARK_GRAFT_STATE_STORE=rocksdb measures the production state
+    // backend (what a real cluster runs) against the default in-memory
+    // HDFS-backed provider — the stateful shapes' cost is the state-store
+    // read-modify-write, so the backend choice IS the throughput knob.
+    if (sys.env.get("SPARK_GRAFT_STATE_STORE").contains("rocksdb"))
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
     // rate-micro-batch emits exactly rowsPerBatch rows per trigger with a
     // monotonically increasing `value` and a synthetic `timestamp` — event
