@@ -2,10 +2,14 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Shared rig for the benchmark/probe mains (GroupByBench, GroupByProbe,
+/** Shared rig for the H2O-family bench mains (GroupByBench, GroupByProbe,
   * JoinBench, StreamThroughputProbe): one SparkSession builder and the two
-  * operational lessons the N=1e9 runs taught, in ONE place instead of a
-  * copy per tool.
+  * operational lessons the N=1e9 runs taught. The one-off EVIDENCE probes
+  * (SpillProbe, NdvProbe, ScaleProbe, ...) deliberately keep their own
+  * builders — their recorded runs in BASELINE.md/SCALE.md cite the exact
+  * rig they ran under (constrained heaps, pinned thread counts), and
+  * retrofitting them onto a shared movable rig would detach those records
+  * from their reproduction recipe.
   *
   * - `SPARK_GRAFT_CPUS` sizes local parallelism AND shuffle partitions.
   * - `SPARK_GRAFT_SHUFFLE_CODEC=zstd` for data-sized shuffles: a

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Plan-shape probe for the H2O group-by suite's high-cardinality keys
@@ -100,10 +100,13 @@ object GroupByProbe {
           .agg(median(col("v3")).as("median_v3"), stddev("v3").as("sd_v3")) })
     )
     val variants = family match {
+      case "sum"   => sumFamily
       case "typed" => typedFamily
       case "q10"   => q10Family
       case "all"   => sumFamily ++ typedFamily ++ q10Family
-      case _       => sumFamily
+      // fail loudly: a typo'd family would otherwise silently run the sum
+      // variants for many minutes and record them under the wrong label
+      case other => sys.error(s"unknown family '$other' — one of: sum, typed, q10, all")
     }
     // one cheap warm pass (JIT + cache touch); per-variant warm-ups would
     // double multi-minute runs for no extra signal at this data size
