@@ -34,6 +34,10 @@ object BenchSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.io.compression.codec",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_CODEC", "lz4"))
+      // TIME dtype keys may run under bench rigs; builder-set, never
+      // mutated inside a query lambda
+      .config("spark.sql.timeType.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

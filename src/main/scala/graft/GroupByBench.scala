@@ -72,6 +72,25 @@ object GroupByBench {
     val df = gen(spark, n, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     df.count() // materialize once, like the benchmark's in-memory frame
+    // standing shape assert (r14 verdict item 1: every bench generator gets
+    // a cardinality assert): id1/id4 must span all K groups and id3/id6 the
+    // n/k domain (coverage 1−exp(−k) ≈ 1 for k ≥ 100, so ±5% on a sketch
+    // NDV is safe at any benched n). One untimed agg over the cached frame.
+    val nk = math.max(n / k, 1L)
+    val ndv = df.agg(
+      count_distinct(col("id1")), count_distinct(col("id4")),
+      approx_count_distinct(col("id3")), approx_count_distinct(col("id6")))
+      .collect()(0)
+    def expected(domain: Long): Double =
+      domain.toDouble * (1.0 - math.exp(-n.toDouble / domain))
+    Seq(("id1", ndv.getLong(0), k.toLong), ("id4", ndv.getLong(1), k.toLong),
+        ("id3", ndv.getLong(2), nk), ("id6", ndv.getLong(3), nk))
+      .foreach { case (c, v, domain) =>
+        val e = expected(domain)
+        require(v >= e * 0.93 && v <= domain * 1.05,
+          s"gen shape assert: $c NDV $v outside [0.93×${e.round}, $domain] " +
+            "— generator defect?")
+      }
     import BenchSession.reclaim
     def selected = BenchSession.select(queries(df), wanted)
     // warm-up pass then timed pass, min not needed: data is cached
@@ -87,7 +106,11 @@ object GroupByBench {
     val qs = results.map { case (q, s) => "\"" + q + f"""\":$s%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"groupby_total","value":$total%.3f,"unit":"sec","queries":$qs,"n":$n,"k":$k}""")
+    // a scoped run's sum is NOT the suite total — name the metric so
+    // downstream round-comparison scripts can't record a single query's
+    // time as a full-suite number (r14 advice)
+    val metric = if (wanted.nonEmpty) "groupby_subset" else "groupby_total"
+    println(f"""{"metric":"$metric%s","value":$total%.3f,"unit":"sec","queries":$qs,"n":$n,"k":$k}""")
     spark.stop()
   }
 }

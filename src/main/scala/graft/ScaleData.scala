@@ -61,6 +61,25 @@ object ScaleData {
     def write(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
 
+    // Standing shape assert (r14 verdict item 1: every generator gets a
+    // cardinality/domain assert): the written table must hold exactly
+    // factor× the source rows, and the shifted key's NDV must scale by
+    // factor too — a stride collision (overlapping key ranges between
+    // copies) drops the NDV by ≥1/factor, far outside the 2% sketch noise.
+    // Read back what LANDED, not the in-memory frame.
+    def check(name: String, srcDf: DataFrame, key: String): Unit = {
+      val s0 = srcDf.agg(count(lit(1)),
+        approx_count_distinct(col(key), 0.02)).head
+      val s1 = spark.read.parquet(s"$out/$name.parquet").agg(count(lit(1)),
+        approx_count_distinct(col(key), 0.02)).head
+      require(s1.getLong(0) == s0.getLong(0) * factor,
+        s"$name shape assert: ${s1.getLong(0)} rows != " +
+          s"${s0.getLong(0)} × $factor")
+      require(s1.getLong(1) >= s0.getLong(1) * factor * 0.95,
+        s"$name shape assert: $key NDV ${s1.getLong(1)} < 0.95 × " +
+          s"${s0.getLong(1)} × $factor — key-shift stride collision?")
+    }
+
     // dims: fixed
     write(read("region"), "region")
     write(read("nation"), "nation")
@@ -68,30 +87,37 @@ object ScaleData {
     val cust = read("customer"); val custS = stride(cust, "c_custkey")
     write(copies(cust, (d, i) =>
       d.withColumn("c_custkey", col("c_custkey") + lit(i * custS))), "customer")
+    check("customer", cust, "c_custkey")
 
     val supp = read("supplier"); val suppS = stride(supp, "s_suppkey")
     write(copies(supp, (d, i) =>
       d.withColumn("s_suppkey", col("s_suppkey") + lit(i * suppS))), "supplier")
+    check("supplier", supp, "s_suppkey")
 
     val part = read("part"); val partS = stride(part, "p_partkey")
     write(copies(part, (d, i) =>
       d.withColumn("p_partkey", col("p_partkey") + lit(i * partS))), "part")
+    check("part", part, "p_partkey")
 
     val ord = read("orders"); val ordS = stride(ord, "o_orderkey")
     write(copies(ord, (d, i) => d
       .withColumn("o_orderkey", col("o_orderkey") + lit(i * ordS))
       .withColumn("o_custkey", col("o_custkey") + lit(i * custS))), "orders")
+    check("orders", ord, "o_orderkey")
 
-    write(copies(read("lineitem"), (d, i) => d
+    val li = read("lineitem")
+    write(copies(li, (d, i) => d
       .withColumn("l_orderkey", col("l_orderkey") + lit(i * ordS))
       .withColumn("l_partkey", col("l_partkey") + lit(i * partS))
       .withColumn("l_suppkey", col("l_suppkey") + lit(i * suppS))), "lineitem")
+    check("lineitem", li, "l_orderkey")
 
     val ev = read("events") // ts form preserved (raw i64 nanos or µs NTZ)
     val evS = stride(ev, "event_id"); val usrS = stride(ev, "user_id")
     write(copies(ev, (d, i) => d
       .withColumn("event_id", col("event_id") + lit(i * evS))
       .withColumn("user_id", col("user_id") + lit(i * usrS))), "events")
+    check("events", ev, "event_id")
 
     val docs = read("documents"); val docS = stride(docs, "doc_id")
     write(copies(docs, (d, i) => d
@@ -102,12 +128,14 @@ object ScaleData {
       // the rewrite lengthens every word — keep the stored length column
       // consistent with the text it describes
       .withColumn("n_chars", length(col("text")).cast("long"))), "documents")
+    check("documents", docs, "doc_id")
 
     val emb = read("embeddings"); val embS = stride(emb, "vec_id")
     write(copies(emb, (d, i) => d
       .withColumn("vec_id", col("vec_id") + lit(i * embS))
       .withColumn("embedding",
         transform(col("embedding"), x => x + lit(i * 1e-3f)))), "embeddings")
+    check("embeddings", emb, "vec_id")
 
     println(s"""{"scaled":"$src","out":"$out","factor":$factor}""")
     spark.stop()

@@ -55,7 +55,11 @@ object SparkEntry {
     (QueriesStream.queries, QueriesStream.oracle),
     (QueriesMisc14.queries, QueriesMisc14.oracle),
     (QueriesMisc15.queries, QueriesMisc15.oracle),
-    (QueriesMisc16.queries, QueriesMisc16.oracle))
+    (QueriesMisc16.queries, QueriesMisc16.oracle),
+    // r15: seeded differential fuzz cases — each a randomly generated plan
+    // whose Spark side is built through the DSL and whose oracle SQL is
+    // emitted from the same plan ADT (cross-engine differential testing)
+    (QueriesFuzz.queries, QueriesFuzz.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

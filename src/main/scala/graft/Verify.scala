@@ -21,6 +21,13 @@ object Verify {
       // hash-failed win_rolling_by_value in r7 (tools/check.py now
       // gates on it)
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // TIME dtype keys (dtype_time_native, range_time) need Spark 4.1's
+      // TimeType flag; set at the builder so no query lambda mutates
+      // session state (r14 verdict hygiene item 2)
+      .config("spark.sql.timeType.enabled", "true")
+      // events.parquet may carry TIMESTAMP(NANOS) — read as long, normalized
+      // in queries/util.t (flag must be live at infer+scan time → builder)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

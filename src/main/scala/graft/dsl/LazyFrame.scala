@@ -111,7 +111,15 @@ final class LazyFrame(val df: DataFrame) {
 
   /** polars join: key columns coalesce (Spark using-join), and right-side
     * NON-key columns whose names collide with the left get the polars
-    * `suffix` (default "_right") instead of becoming ambiguous. */
+    * `suffix` (default "_right") instead of becoming ambiguous.
+    *
+    * Size-driven automatic broadcast (r15): when one side's Catalyst size
+    * estimate is under `spark.graft.broadcastThreshold` /
+    * `SPARK_GRAFT_BCAST_THRESHOLD` (default 256 MB) and the other side
+    * dwarfs it, that side is broadcast-hinted — see
+    * [[LazyFrame.autoBroadcast]]. This closes the measured 6.8× cliff where
+    * Spark's 10 MB default threshold turned every medium-dim star join into
+    * a two-sided full shuffle (BASELINE.md, 1e9 join ladder). */
   def join(other: LazyFrame, on: Seq[String], how: String = "inner",
            suffix: String = "_right"): LazyFrame = {
     val leftCols = df.columns.toSet
@@ -119,11 +127,15 @@ final class LazyFrame(val df: DataFrame) {
       if (!on.contains(c) && leftCols.contains(c)) d.withColumnRenamed(c, c + suffix)
       else d
     }
-    LazyFrame(df.join(renamed, on, how))
+    val (l, r) = LazyFrame.autoBroadcast(df, renamed, how)
+    LazyFrame(l.join(r, on, how))
   }
 
-  def joinOn(other: LazyFrame, cond: Column, how: String = "inner"): LazyFrame =
-    LazyFrame(df.join(other.df, cond, how))
+  /** Condition join; same automatic broadcast hinting as [[join]]. */
+  def joinOn(other: LazyFrame, cond: Column, how: String = "inner"): LazyFrame = {
+    val (l, r) = LazyFrame.autoBroadcast(df, other.df, how)
+    LazyFrame(l.join(r, cond, how))
+  }
 
   /** Broadcast the (small) right side — polars has no cluster notion; at
     * 100 TB this is the difference between a map-side join and a shuffle. */
@@ -132,11 +144,15 @@ final class LazyFrame(val df: DataFrame) {
 
   def crossJoin(other: LazyFrame): LazyFrame = LazyFrame(df.crossJoin(other.df))
 
-  def semiJoin(other: LazyFrame, on: Seq[String]): LazyFrame =
-    LazyFrame(df.join(other.df, on, "left_semi"))
+  def semiJoin(other: LazyFrame, on: Seq[String]): LazyFrame = {
+    val (l, r) = LazyFrame.autoBroadcast(df, other.df, "left_semi")
+    LazyFrame(l.join(r, on, "left_semi"))
+  }
 
-  def antiJoin(other: LazyFrame, on: Seq[String]): LazyFrame =
-    LazyFrame(df.join(other.df, on, "left_anti"))
+  def antiJoin(other: LazyFrame, on: Seq[String]): LazyFrame = {
+    val (l, r) = LazyFrame.autoBroadcast(df, other.df, "left_anti")
+    LazyFrame(l.join(r, on, "left_anti"))
+  }
 
   /** polars join_where (arbitrary inequality predicates,
     * crates/polars-plan/src/dsl/plan.rs:85). Catalyst extracts any equi-parts;
@@ -245,10 +261,19 @@ final class LazyFrame(val df: DataFrame) {
                residual: Column = lit(true)): LazyFrame =
     LazyFrame(graft.ops.IEJoin.join(df, other.df, lx, op, rx, residual))
 
-  /** As-of join — see [[graft.ops.AsOf]] for the union+window implementation. */
-  /** polars join_asof. `rangedBy = true` switches the by-keyed match to the
+  /** polars join_asof — see [[graft.ops.AsOf]] for the union+window
+    * implementation. `rangedBy = true` switches the by-keyed match to the
     * skew-proof range-partitioned carry (see [[graft.ops.AsOf.join]]) — use
-    * it when one by-group dominates the frame. */
+    * it when one by-group dominates the frame.
+    *
+    * SEMANTIC DIFFERENCE vs polars (documented in README): when several
+    * right rows tie on `(by, rightOn)`, polars keeps the row appearing
+    * last in FRAME order; a distributed frame has no global frame order,
+    * so the tie is pinned by a total VALUE order over the right payload
+    * columns instead (greatest for backward, least for forward; columns
+    * compared left-to-right in right-frame order, nulls smallest). Add the
+    * desired ordering column to the right frame to reproduce a specific
+    * polars pick. */
   def joinAsof(other: LazyFrame, leftOn: String, rightOn: String,
                by: Seq[String] = Nil, strategy: String = "backward",
                tolerance: Option[Column] = None,
@@ -1063,6 +1088,79 @@ final class LazyFrame(val df: DataFrame) {
 
 object LazyFrame {
   def apply(df: DataFrame): LazyFrame = new LazyFrame(df)
+
+  // ---- size-driven automatic broadcast (r15) ------------------------------
+
+  /** Default byte cap under which a join side is broadcast-hinted: 256 MB.
+    * Measured basis (BASELINE.md, 1e9 join ladder): Spark's conservative
+    * 10 MB `autoBroadcastJoinThreshold` silently turns a 15-20 MB dim join
+    * into a two-sided 1e9-row shuffle — 764.9 s vs 112.8 s broadcast. */
+  private val DefaultBroadcastCap: Long = 256L * 1024 * 1024
+
+  /** Minimum big-side/small-side size ratio before the hint fires. A
+    * broadcast ships the build side once per executor, so broadcasting a
+    * 200 MB side to dodge a 250 MB shuffle LOSES on a 1000-executor
+    * cluster (200 GB of network for 450 MB of shuffle saved); the hint is
+    * only a win when the probe side dwarfs the build side. */
+  private val BroadcastRatio = 4
+
+  /** Parse a byte size: plain digits, or a k/m/g suffix (binary units). */
+  private[graft] def parseBytes(s: String): Long = {
+    val t = s.trim.toLowerCase
+    val (num, mult) =
+      if (t.endsWith("k")) (t.dropRight(1), 1L << 10)
+      else if (t.endsWith("m")) (t.dropRight(1), 1L << 20)
+      else if (t.endsWith("g")) (t.dropRight(1), 1L << 30)
+      else (t, 1L)
+    (num.toDouble * mult).toLong
+  }
+
+  /** Broadcast cap in bytes: session conf `spark.graft.broadcastThreshold`
+    * beats env `SPARK_GRAFT_BCAST_THRESHOLD` beats the 256 MB default.
+    * Zero or negative disables the automatic hint entirely. */
+  private[graft] def broadcastCap(spark: SparkSession): Long =
+    parseBytes(spark.conf.getOption("spark.graft.broadcastThreshold")
+      .orElse(sys.env.get("SPARK_GRAFT_BCAST_THRESHOLD"))
+      .getOrElse(DefaultBroadcastCap.toString))
+
+  /** Catalyst's size estimate for the frame's optimized logical plan: for a
+    * file scan these are the parquet footer/file bytes (the same bytes
+    * [[graft.sources.ParquetMeta]] reads), for a materialized cache the
+    * in-memory bytes, and for anything unknown a huge default — which
+    * correctly suppresses the hint. Driver-side plan math only; no job. */
+  private[graft] def estimatedBytes(df: DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes
+
+  /** Attach a broadcast HINT to a join side when (a) the join type can
+    * build on that side, (b) Catalyst's size estimate is under
+    * [[broadcastCap]], and (c) the other side is at least [[BroadcastRatio]]×
+    * bigger (see the ratio note above). A hint, not a forced plan: Catalyst
+    * drops it where the join type can't build that side, and AQE can still
+    * re-plan. Returns the (possibly hinted) sides. This is what makes a
+    * star join over a >10 MB dim a map-side join out of the box instead of
+    * silently degrading to a full two-sided shuffle at the Spark default
+    * threshold. */
+  private[graft] def autoBroadcast(left: DataFrame, right: DataFrame,
+                                   how: String): (DataFrame, DataFrame) = {
+    // streaming plans are sized by the micro-batch planner at run time, not
+    // here — and a stream-static join already builds the static side
+    if (left.isStreaming || right.isStreaming) return (left, right)
+    val cap = BigInt(broadcastCap(left.sparkSession))
+    if (cap <= 0) return (left, right)
+    val h = how.toLowerCase.replace("_", "").replace("-", "")
+    // sides Spark's planner accepts as the broadcast build side per type
+    val rightOk = Set("inner", "cross", "left", "leftouter", "semi",
+      "leftsemi", "anti", "leftanti")(h)
+    val leftOk = Set("inner", "cross", "right", "rightouter")(h)
+    if (!rightOk && !leftOk) return (left, right) // full outer: no build side
+    val ls = estimatedBytes(left)
+    val rs = estimatedBytes(right)
+    val hintRight = rightOk && rs <= cap && ls >= rs * BroadcastRatio
+    val hintLeft = leftOk && ls <= cap && rs >= ls * BroadcastRatio
+    if (hintRight && (!hintLeft || rs <= ls)) (left, right.hint("broadcast"))
+    else if (hintLeft) (left.hint("broadcast"), right)
+    else (left, right)
+  }
 
   def scanParquet(spark: SparkSession, path: String): LazyFrame =
     LazyFrame(spark.read.parquet(path))

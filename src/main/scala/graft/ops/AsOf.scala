@@ -174,8 +174,19 @@ object AsOf {
     // local window sees a contiguous SUFFIX of any tied run — its local pick
     // (or the carry-in when the suffix is empty) equals the global tie-break
     // winner regardless of where the sampled boundaries landed.
+    //
+    // localCheckpoint PINS the partition ids (same reasoning as
+    // rangedByMatched below): this plan reads `ranged` from two branches
+    // (the per-pid carry aggregate and the local window, joined back on
+    // __pid), and RangePartitioner samples its bounds with an
+    // rdd.id-derived seed — two independent evaluations of the range
+    // exchange can draw DIFFERENT boundaries, giving the branches
+    // inconsistent pids and wrong boundary carry-ins. Exchange reuse
+    // dedupes them only when AQE feels like it; materializing once makes
+    // the shared pids unconditional. LAZY so plan construction runs no job.
     val ranged = unioned.repartitionByRange(ord: _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = false)
 
     val w = Window.partitionBy(col("__pid")).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

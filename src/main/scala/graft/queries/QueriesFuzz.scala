@@ -1,0 +1,323 @@
+package graft.queries
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dsl.LazyFrame
+
+/** Differential fuzzing against the DuckDB oracle (r15 verdict task 2,
+  * second prong — the in-JVM prong is graft.testing.PlanFuzz).
+  *
+  * A FIXED master seed deterministically generates `nCases` random plans
+  * over the real testdata tables (lineitem/orders/customer). Each case is
+  * registered as its own oracle key `fuzz_qNN`: the Spark side is built
+  * through the library DSL (LazyFrame joins, DataFrame ops), the oracle
+  * side is the equivalent SQL emitted from the SAME generated plan ADT —
+  * so the driver's DuckDB compare becomes a true cross-ENGINE differential
+  * check over shapes nobody hand-picked (the 316 curated keys are fixed
+  * shapes; these are not).
+  *
+  * The expression surface is deliberately the cross-engine-EXACT subset:
+  *   - integer arithmetic (+, *, %), CASE, IN, 3-valued AND/OR/NOT;
+  *   - `||` for concat (null-propagating in BOTH engines — CONCAT is not,
+  *     in DuckDB), UPPER/LOWER/SUBSTRING/LENGTH with CAST(.. AS BIGINT)
+  *     (DuckDB LENGTH returns BIGINT, Spark INT);
+  *   - timestamp comparisons against TIMESTAMP literals and
+  *     CAST(EXTRACT(YEAR ..) AS BIGINT);
+  *   - doubles in comparisons/min/max only (per-row exact); SUMs go
+  *     through CAST(x AS DECIMAL(18,2)) then CAST(.. AS DECIMAL(38,6))
+  *     so accumulation is exact and the result width identical (Spark
+  *     sums to DECIMAL(28,2), DuckDB to DECIMAL(38,2); integer SUM is
+  *     HUGEINT in DuckDB — hence CAST(SUM(..) AS BIGINT));
+  *   - GROUP BY / ORDER BY by ordinal (alias resolution differs);
+  *   - ORDER BY every output column ASC NULLS FIRST (DuckDB defaults
+  *     NULLS LAST; Spark NULLS FIRST — left-join nulls would diverge).
+  */
+object QueriesFuzz {
+
+  private val MasterSeed = 20260815L
+  private val nCases = 40
+
+  // ---- column metadata ------------------------------------------------------
+
+  private final case class C(name: String, kind: Char) // i/d/s/t
+  private final case class Tbl(name: String, cols: Seq[C])
+
+  private val lineitem = Tbl("lineitem", Seq(
+    C("l_orderkey", 'i'), C("l_partkey", 'i'), C("l_suppkey", 'i'),
+    C("l_quantity", 'd'), C("l_extendedprice", 'd'), C("l_discount", 'd'),
+    C("l_tax", 'd'), C("l_returnflag", 's'), C("l_linestatus", 's'),
+    C("l_shipdate", 't')))
+  private val orders = Tbl("orders", Seq(
+    C("o_orderkey", 'i'), C("o_custkey", 'i'), C("o_orderstatus", 's'),
+    C("o_totalprice", 'd'), C("o_orderdate", 't'), C("o_orderpriority", 's')))
+  private val customer = Tbl("customer", Seq(
+    C("c_custkey", 'i'), C("c_name", 's'), C("c_acctbal", 'd'),
+    C("c_mktsegment", 's')))
+
+  /** Measured value domains (sf0.01 probe) so filters hit interesting
+    * selectivities instead of none-or-all. */
+  private val strDomain: Map[String, Seq[String]] = Map(
+    "l_returnflag" -> Seq("A", "N", "R"),
+    "l_linestatus" -> Seq("F", "O"),
+    "o_orderstatus" -> Seq("P", "F", "O"),
+    "o_orderpriority" -> Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+      "4-NOT SPECIFIED", "5-LOW"),
+    "c_mktsegment" -> Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+      "MACHINERY", "HOUSEHOLD"),
+    "c_name" -> Seq("Customer#000000100"))
+  private val dblRange: Map[String, (Double, Double)] = Map(
+    "l_quantity" -> (1.0, 50.0), "l_extendedprice" -> (1000.0, 100000.0),
+    "l_discount" -> (0.0, 0.1), "l_tax" -> (0.0, 0.08),
+    "o_totalprice" -> (1000.0, 500000.0), "c_acctbal" -> (-1000.0, 10000.0))
+
+  // ---- typed expression pairs (SQL text + DSL column) -------------------------
+
+  private final case class FE(sql: String, col: Column)
+
+  private def pick[T](rnd: Random, xs: Seq[T]): T = xs(rnd.nextInt(xs.length))
+
+  private def intCols(cols: Seq[C]) = cols.filter(_.kind == 'i')
+  private def strCols(cols: Seq[C]) = cols.filter(_.kind == 's')
+  private def dblCols(cols: Seq[C]) = cols.filter(_.kind == 'd')
+  private def tsCols(cols: Seq[C]) = cols.filter(_.kind == 't')
+
+  private def genInt(rnd: Random, cols: Seq[C], depth: Int): FE = {
+    val leaves = intCols(cols)
+    val choice = if (depth <= 0) 0 else rnd.nextInt(7)
+    choice match {
+      case 0 | 1 => { val c = pick(rnd, leaves); FE(c.name, col(c.name)) }
+      case 2 =>
+        val (a, b) = (genInt(rnd, cols, depth - 1), genInt(rnd, cols, depth - 1))
+        FE(s"(${a.sql} + ${b.sql})", a.col + b.col)
+      case 3 =>
+        val a = genInt(rnd, cols, depth - 1)
+        val m = 2 + rnd.nextInt(12)
+        FE(s"(${a.sql} % $m)", a.col % m)
+      case 4 =>
+        val a = genInt(rnd, cols, depth - 1)
+        val m = 2 + rnd.nextInt(4)
+        FE(s"(${a.sql} * $m)", a.col * m)
+      case 5 if tsCols(cols).nonEmpty =>
+        val c = pick(rnd, tsCols(cols))
+        FE(s"CAST(EXTRACT(YEAR FROM ${c.name}) AS BIGINT)",
+          year(col(c.name)).cast("long"))
+      case 5 | 6 =>
+        val c = pick(rnd, strCols(cols))
+        FE(s"CAST(LENGTH(${c.name}) AS BIGINT)", length(col(c.name)).cast("long"))
+    }
+  }
+
+  private def genStr(rnd: Random, cols: Seq[C], depth: Int): FE = {
+    val leaves = strCols(cols)
+    val choice = if (depth <= 0) 0 else rnd.nextInt(5)
+    choice match {
+      case 0 | 1 => { val c = pick(rnd, leaves); FE(c.name, col(c.name)) }
+      case 2 =>
+        val (a, b) = (genStr(rnd, cols, 0), genStr(rnd, cols, 0))
+        FE(s"(${a.sql} || ${b.sql})", concat(a.col, b.col))
+      case 3 =>
+        val a = genStr(rnd, cols, depth - 1)
+        val f = if (rnd.nextBoolean()) "UPPER" else "LOWER"
+        FE(s"$f(${a.sql})", if (f == "UPPER") upper(a.col) else lower(a.col))
+      case _ =>
+        val a = genStr(rnd, cols, depth - 1)
+        val n = 1 + rnd.nextInt(4)
+        FE(s"SUBSTRING(${a.sql}, 1, $n)", substring(a.col, 1, n))
+    }
+  }
+
+  private def genBool(rnd: Random, cols: Seq[C], depth: Int): FE = {
+    def cmpOp(rnd: Random): (String, (Column, Column) => Column) =
+      pick(rnd, Seq[(String, (Column, Column) => Column)](
+        ("<", _ < _), ("<=", _ <= _), ("=", _ === _),
+        ("<>", _ =!= _), (">", _ > _), (">=", _ >= _)))
+    val choice = if (depth <= 0) rnd.nextInt(4) else rnd.nextInt(8)
+    choice match {
+      case 0 => // int comparison: expr vs expr or literal
+        val a = genInt(rnd, cols, 1)
+        val (os, of) = cmpOp(rnd)
+        if (rnd.nextBoolean() && intCols(cols).size > 1) {
+          val b = genInt(rnd, cols, 1)
+          FE(s"(${a.sql} $os ${b.sql})", of(a.col, b.col))
+        } else {
+          val v = rnd.nextInt(2000).toLong
+          FE(s"(${a.sql} $os $v)", of(a.col, lit(v)))
+        }
+      case 1 => // string equality vs a domain literal
+        val c = pick(rnd, strCols(cols))
+        val v = pick(rnd, strDomain(c.name))
+        val (os, of) = if (rnd.nextBoolean()) ("=", (a: Column, b: Column) => a === b)
+                       else ("<>", (a: Column, b: Column) => a =!= b)
+        FE(s"(${c.name} $os '$v')", of(col(c.name), lit(v)))
+      case 2 if dblCols(cols).nonEmpty => // double threshold
+        val c = pick(rnd, dblCols(cols))
+        val (lo, hi) = dblRange(c.name)
+        // literal on a coarse grid: exact same binary double in both parsers
+        val v = lo + (hi - lo) * (rnd.nextInt(16) / 16.0)
+        val (os, of) = cmpOp(rnd)
+        FE(s"(${c.name} $os $v)", of(col(c.name), lit(v)))
+      case 3 if tsCols(cols).nonEmpty => // timestamp vs literal
+        val c = pick(rnd, tsCols(cols))
+        val d = f"${1995 + rnd.nextInt(7)}%04d-${1 + rnd.nextInt(12)}%02d-${1 + rnd.nextInt(28)}%02d"
+        val (os, of) = cmpOp(rnd)
+        FE(s"(${c.name} $os TIMESTAMP '$d')",
+          of(col(c.name), lit(d).cast("timestamp")))
+      case 2 | 3 => genBool(rnd, cols, 0)
+      case 4 =>
+        val (a, b) = (genBool(rnd, cols, depth - 1), genBool(rnd, cols, depth - 1))
+        FE(s"(${a.sql} AND ${b.sql})", a.col && b.col)
+      case 5 =>
+        val (a, b) = (genBool(rnd, cols, depth - 1), genBool(rnd, cols, depth - 1))
+        FE(s"(${a.sql} OR ${b.sql})", a.col || b.col)
+      case 6 =>
+        val a = genBool(rnd, cols, depth - 1)
+        FE(s"(NOT ${a.sql})", !a.col)
+      case _ => // IN over a string domain
+        val c = pick(rnd, strCols(cols))
+        val dom = strDomain(c.name)
+        val n = 1 + rnd.nextInt(math.min(3, dom.length))
+        val vs = rnd.shuffle(dom.toList).take(n)
+        FE(s"(${c.name} IN (${vs.map(v => s"'$v'").mkString(", ")}))",
+          col(c.name).isin(vs: _*))
+    }
+  }
+
+  /** Output expression: int/string expr, CASE, or a raw double/ts column. */
+  private def genOut(rnd: Random, cols: Seq[C]): FE = rnd.nextInt(8) match {
+    case 0 | 1 | 2 => genInt(rnd, cols, 2)
+    case 3 | 4     => genStr(rnd, cols, 2)
+    case 5 =>
+      val c = genBool(rnd, cols, 1)
+      val (t, e) = (genInt(rnd, cols, 1), genInt(rnd, cols, 1))
+      FE(s"(CASE WHEN ${c.sql} THEN ${t.sql} ELSE ${e.sql} END)",
+        when(c.col, t.col).otherwise(e.col))
+    case 6 if dblCols(cols).nonEmpty =>
+      { val c = pick(rnd, dblCols(cols)); FE(c.name, col(c.name)) }
+    case _ if tsCols(cols).nonEmpty =>
+      { val c = pick(rnd, tsCols(cols)); FE(c.name, col(c.name)) }
+    case _ => genInt(rnd, cols, 2)
+  }
+
+  /** Aggregate with the portable exact spelling (doc comment up top). */
+  private def genAgg(rnd: Random, cols: Seq[C]): FE = rnd.nextInt(6) match {
+    case 0 => FE("COUNT(*)", count(lit(1)))
+    case 1 =>
+      val e = genOut(rnd, cols)
+      FE(s"COUNT(${e.sql})", count(e.col))
+    case 2 =>
+      val e = genInt(rnd, cols, 2)
+      FE(s"CAST(SUM(${e.sql}) AS BIGINT)", sum(e.col).cast("long"))
+    case 3 if dblCols(cols).nonEmpty =>
+      val c = pick(rnd, dblCols(cols))
+      FE(s"CAST(SUM(CAST(${c.name} AS DECIMAL(18,2))) AS DECIMAL(38,6))",
+        sum(col(c.name).cast("decimal(18,2)")).cast("decimal(38,6)"))
+    case _ =>
+      val pool = cols.filter(c => "isdt".contains(c.kind))
+      val c = pick(rnd, pool)
+      val isMin = rnd.nextBoolean()
+      FE(s"${if (isMin) "MIN" else "MAX"}(${c.name})",
+        if (isMin) min(col(c.name)) else max(col(c.name)))
+  }
+
+  // ---- the case generator ------------------------------------------------------
+
+  private final case class FuzzCase(name: String, sql: String, q: util.Q)
+
+  private def genFuzzCase(idx: Int, rnd: Random): FuzzCase = {
+    // source: single table or a real FK join (inner, or LEFT with an extra
+    // ON predicate so unmatched rows actually occur)
+    val (fromSql, cols, mkDf): (String, Seq[C], (SparkSession, String) => DataFrame) =
+      rnd.nextInt(6) match {
+        case 0 => ("lineitem", lineitem.cols,
+          (s, d) => util.t(s, d, "lineitem"))
+        case 1 => ("orders", orders.cols, (s, d) => util.t(s, d, "orders"))
+        case 2 => ("customer", customer.cols, (s, d) => util.t(s, d, "customer"))
+        case 3 =>
+          ("lineitem JOIN orders ON l_orderkey = o_orderkey",
+            lineitem.cols ++ orders.cols,
+            (s, d) => util.lf(s, d, "lineitem").joinOn(util.lf(s, d, "orders"),
+              col("l_orderkey") === col("o_orderkey"), "inner").df)
+        case 4 =>
+          ("orders JOIN customer ON o_custkey = c_custkey",
+            orders.cols ++ customer.cols,
+            (s, d) => util.lf(s, d, "orders").joinOn(util.lf(s, d, "customer"),
+              col("o_custkey") === col("c_custkey"), "inner").df)
+        case _ =>
+          val p = genBool(rnd, customer.cols, 1)
+          (s"orders LEFT JOIN customer ON o_custkey = c_custkey AND ${p.sql}",
+            orders.cols ++ customer.cols,
+            (s, d) => util.lf(s, d, "orders").joinOn(util.lf(s, d, "customer"),
+              col("o_custkey") === col("c_custkey") && p.col, "left").df)
+      }
+
+    val wherePred =
+      if (rnd.nextBoolean()) Some(genBool(rnd, cols, 2)) else None
+
+    val (selectSql, groupSql, build) : (String, String, DataFrame => DataFrame) =
+      if (rnd.nextInt(10) < 7) {
+        // group-agg terminal
+        val nk = rnd.nextInt(3)
+        val keys = (0 until nk).map { i =>
+          val e = rnd.nextInt(3) match {
+            case 0 => { val c = pick(rnd, strCols(cols)); FE(c.name, col(c.name)) }
+            case 1 =>
+              val c = pick(rnd, intCols(cols)); val m = 2 + rnd.nextInt(8)
+              FE(s"(${c.name} % $m)", col(c.name) % m)
+            case _ if tsCols(cols).nonEmpty =>
+              val c = pick(rnd, tsCols(cols))
+              FE(s"CAST(EXTRACT(YEAR FROM ${c.name}) AS BIGINT)",
+                year(col(c.name)).cast("long"))
+            case _ => { val c = pick(rnd, strCols(cols)); FE(c.name, col(c.name)) }
+          }
+          (s"g$i", e)
+        }
+        val nAgg = 1 + rnd.nextInt(3)
+        val aggs = (0 until nAgg).map(i => (s"a$i", genAgg(rnd, cols)))
+        val sel = (keys.map { case (n, e) => s"${e.sql} AS $n" } ++
+          aggs.map { case (n, e) => s"${e.sql} AS $n" }).mkString(", ")
+        val grp = if (keys.isEmpty) ""
+          else s" GROUP BY ${keys.indices.map(_ + 1).mkString(", ")}"
+        val ord = (1 to keys.size + aggs.size)
+          .map(i => s"$i ASC NULLS FIRST").mkString(", ")
+        (sel, s"$grp ORDER BY $ord", (df: DataFrame) => {
+          val base = if (keys.isEmpty) df.agg(aggs.head._2.col.as(aggs.head._1),
+            aggs.tail.map { case (n, e) => e.col.as(n) }: _*)
+          else df.groupBy(keys.map { case (n, e) => e.col.as(n) }: _*)
+            .agg(aggs.head._2.col.as(aggs.head._1),
+              aggs.tail.map { case (n, e) => e.col.as(n) }: _*)
+          val outNames = keys.map(_._1) ++ aggs.map(_._1)
+          base.orderBy(outNames.map(n => col(n).asc_nulls_first): _*)
+        })
+      } else {
+        // projection terminal
+        val n = 2 + rnd.nextInt(3)
+        val exs = (0 until n).map(i => (s"e$i", genOut(rnd, cols)))
+        val sel = exs.map { case (nm, e) => s"${e.sql} AS $nm" }.mkString(", ")
+        val ord = (1 to n).map(i => s"$i ASC NULLS FIRST").mkString(", ")
+        (sel, s" ORDER BY $ord", (df: DataFrame) =>
+          df.select(exs.map { case (nm, e) => e.col.as(nm) }: _*)
+            .orderBy(exs.map { case (nm, _) => col(nm).asc_nulls_first }: _*))
+      }
+
+    val whereSql = wherePred.map(p => s" WHERE ${p.sql}").getOrElse("")
+    val sql = s"SELECT $selectSql FROM $fromSql$whereSql$groupSql"
+    val q: util.Q = (s, d) => {
+      val src = mkDf(s, d)
+      build(wherePred.map(p => src.filter(p.col)).getOrElse(src))
+    }
+    FuzzCase(f"fuzz_q$idx%02d", sql, q)
+  }
+
+  private val cases: Seq[FuzzCase] = {
+    val rnd = new Random(MasterSeed)
+    (0 until nCases).map(i => genFuzzCase(i, rnd))
+  }
+
+  val queries: Map[String, util.Q] =
+    cases.map(c => c.name -> c.q).toMap
+
+  val oracle: Map[String, String] =
+    cases.map(c => c.name -> c.sql).toMap
+}

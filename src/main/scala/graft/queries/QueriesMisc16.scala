@@ -62,10 +62,10 @@ object QueriesMisc16 {
     // hash canonicalization has no TIME lane. Supersedes the i64-ns-carrier
     // contract of `dtype_time_ns` (kept: it pins the ns arithmetic).
     "dtype_time_native" -> ((s, d) => {
-      // Spark 4.1 ships TimeType behind a dynamic flag; enable it here so
-      // the key is self-contained under any session (driver's Verify, Bench,
-      // specs) without a session-builder dependency.
-      s.conf.set("spark.sql.timeType.enabled", "true")
+      // Spark 4.1 ships TimeType behind a flag; it is enabled in every
+      // session BUILDER that runs keys (Verify, BenchSession, TestSpark) —
+      // NOT mutated here: a conf.set inside a query lambda would leave
+      // cross-key global state behind (r14 verdict hygiene item 2).
       t(s, d, "events")
         .select(col("event_type"),
           expr("make_time(hour(ts), minute(ts), cast(second(ts) as decimal(16,6)))").as("tm"))
@@ -91,7 +91,6 @@ object QueriesMisc16 {
     // key (arrow child-name rule). Step varies per row to exercise ragged
     // range lengths.
     "range_time" -> ((s, d) => {
-      s.conf.set("spark.sql.timeType.enabled", "true")
       t(s, d, "events")
         .filter(col("user_id") % 17 === 0)
         .select(col("user_id"), col("ts"),

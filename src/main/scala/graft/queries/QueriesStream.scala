@@ -42,7 +42,6 @@ object QueriesStream {
     * operator math; late-data admission is watermark policy, spec-covered
     * in StreamingSpec. */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
     val raw = s.read.parquet(path) // schema probe only — streams can't infer
     // glob form: FileStreamSource force-overrides `basePath` with the path

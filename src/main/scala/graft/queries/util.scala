@@ -12,10 +12,15 @@ object util {
     * default — read nanos as long and truncate to µs, the same truncation
     * DuckDB applies) and plain timestamp[us] (read as TIMESTAMP_NTZ).
     * Normalize BOTH to tz-aware µs TIMESTAMP so every downstream query sees
-    * one dtype; sessions run UTC so the NTZ cast is instant-preserving. */
+    * one dtype; sessions run UTC so the NTZ cast is instant-preserving.
+    *
+    * `spark.sql.legacy.parquet.nanosAsLong` is required for the NANOS form
+    * and must be live at schema-inference AND scan time, so it belongs to
+    * the SESSION BUILDER (Verify, TestSpark, Bench, BenchSession, probes) —
+    * never set here: a conf.set inside the query path is hidden cross-key
+    * session mutation (r14 verdict hygiene item 2). */
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = s.read.parquet(s"$dir/$name.parquet")
       normalizeEventsTs(raw, raw.schema("ts").dataType)
     } else s.read.parquet(s"$dir/$name.parquet")

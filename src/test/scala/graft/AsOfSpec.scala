@@ -86,7 +86,14 @@ class AsOfSpec extends SparkSpec {
     val out = AsOf.join(l, r, "k", "rk", Nil, "backward", None)
 
     val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("rangepartitioning"), s"no range repartition in:\n$plan")
+    // r15: the range exchange is pinned behind a lazy localCheckpoint (the
+    // per-pid carry and the local window must read the SAME partition ids —
+    // RangePartitioner's seed is rdd.id-derived, so two evaluations can
+    // draw different boundaries). The checkpoint truncates the visible
+    // plan to a Scan ExistingRDD; the per-partition window over __pid and
+    // the multi-partition output below are the distribution evidence.
+    assert(plan.contains("Scan ExistingRDD"),
+      s"expected the pinned (checkpointed) range partitioning in:\n$plan")
     assert(plan.contains("windowspecdefinition(__pid"),
       s"data window not partitioned by range-partition id:\n$plan")
 
@@ -112,7 +119,10 @@ class AsOfSpec extends SparkSpec {
     val r = spark.range(2000).select((col("id") * 7).as("rk"), col("id").as("rv"))
       .repartition(6)
     val out = AsOf.join(l, r, "k", "rk", Nil, "forward", None)
-    assert(out.queryExecution.executedPlan.toString.contains("rangepartitioning"))
+    // range exchange pinned behind the lazy localCheckpoint (see the
+    // backward test above); the __pid window is the distribution evidence
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(__pid"), s"no __pid window:\n$plan")
     val got = out.select(col("k"), col("rk")).as[(Long, Option[Long])].collect()
     assert(got.length == 5000)
     val maxR = 1999L * 7
@@ -177,6 +187,38 @@ class AsOfSpec extends SparkSpec {
       val fwd = AsOf.join(left, r, "k", "rk", Seq("g"), "forward", None)
         .filter(col("k") === 1L).select("rv").as[String].head()
       assert(fwd == "rA", s"forward parts=$parts pass=$pass")
+    }
+  }
+
+  test("tie-break contract holds on the rangedBy and keyless paths too") {
+    // r15 (r14 advice): the boundary-carry paths implement the same
+    // contract through min_by/max_by-over-struct — a separate mechanism
+    // from the keyed window's ordered last() — so they need their own
+    // duplicate-right-key pins, across the same partition-count sweep.
+    val dupR = Seq(
+      ("a", 4L, "rA"), ("a", 4L, "rC"), ("a", 4L, "rB"),
+      ("a", 8L, "rX")
+    ).toDF("g", "rk", "rv")
+    for (parts <- Seq(1, 3, 7); pass <- 0 until 3) {
+      val r = dupR.repartition(parts)
+      // rangedBy (skew-proof by-keyed boundary carry)
+      val backR = AsOf.join(left, r, "k", "rk", Seq("g"), "backward", None,
+          rangedBy = true)
+        .filter(col("k") === 5L).select("rv").as[String].head()
+      assert(backR == "rC", s"rangedBy backward parts=$parts pass=$pass")
+      val fwdR = AsOf.join(left, r, "k", "rk", Seq("g"), "forward", None,
+          rangedBy = true)
+        .filter(col("k") === 1L).select("rv").as[String].head()
+      assert(fwdR == "rA", s"rangedBy forward parts=$parts pass=$pass")
+      // keyless (by = Nil; right's g renamed — it becomes a payload column,
+      // and being constant it defers the tie to rv, same expected picks)
+      val rK = r.withColumnRenamed("g", "rg")
+      val backK = AsOf.join(left, rK, "k", "rk", Nil, "backward", None)
+        .filter(col("k") === 5L).select("rv").as[String].head()
+      assert(backK == "rC", s"keyless backward parts=$parts pass=$pass")
+      val fwdK = AsOf.join(left, rK, "k", "rk", Nil, "forward", None)
+        .filter(col("k") === 1L).select("rv").as[String].head()
+      assert(fwdK == "rA", s"keyless forward parts=$parts pass=$pass")
     }
   }
 

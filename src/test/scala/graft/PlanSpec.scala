@@ -423,4 +423,75 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"PQ encode should not shuffle:\n$p")
     assert(!p.contains("Join"), s"PQ encode should not join:\n$p")
   }
+
+  // ---- size-driven automatic broadcast (r15 top task) ----------------------
+  // Evidence basis: at Spark's 10 MB autoBroadcastJoinThreshold a 15-20 MB
+  // dim silently degrades a 1e9-row star join to a two-sided shuffle —
+  // 764.9 s vs 112.8 s broadcast (BASELINE.md). The library must attach the
+  // hint itself, from Catalyst's own size estimate, with NO manual hint and
+  // NO session threshold pin.
+
+  test("auto-broadcast: a >10MB-but-small parquet dim broadcasts with no manual hint") {
+    import graft.dsl.LazyFrame
+    val dir = "/tmp/graft_test/bcast_dim"
+    // ~2M rows with two xxhash64 payload columns — incompressible, lands
+    // well above Spark's 10 MB default threshold on disk
+    spark.range(2000000).select(col("id").as("k"),
+        xxhash64(col("id")).as("p1"), xxhash64(col("id"), lit(7)).as("p2"))
+      .write.mode("overwrite").parquet(dir)
+    val dim = spark.read.parquet(dir)
+    val dimBytes = LazyFrame.estimatedBytes(dim)
+    assert(dimBytes > 10L * 1024 * 1024,
+      s"fixture defect: dim is only $dimBytes bytes — must exceed Spark's 10 MB default")
+    assert(dimBytes < 256L * 1024 * 1024, s"fixture defect: dim too big ($dimBytes)")
+
+    val fact = spark.range(100000000L)
+      .select(pmod(col("id"), lit(2000000L)).as("k"), col("id").as("v"))
+    // control: the RAW Spark join at the default threshold is NOT broadcast
+    val raw = planOf(fact.join(dim, "k"))
+    assert(!raw.contains("BroadcastHashJoin"),
+      s"control broken: Spark broadcast a >10MB dim at the default threshold?\n$raw")
+    // library join: the size-driven hint must fire
+    val auto = planOf(LazyFrame(fact).join(LazyFrame(dim), Seq("k")).df)
+    assert(auto.contains("BroadcastHashJoin"),
+      s"auto-broadcast did not fire for a ${dimBytes / 1048576}MB dim:\n$auto")
+    // and for the left-outer / semi / anti build-right family too
+    assert(planOf(LazyFrame(fact).join(LazyFrame(dim), Seq("k"), "left").df)
+      .contains("BroadcastHashJoin"), "left join should broadcast-hint the dim")
+    assert(planOf(LazyFrame(fact).semiJoin(LazyFrame(dim), Seq("k")).df)
+      .contains("BroadcastHashJoin"), "semi join should broadcast-hint the dim")
+  }
+
+  test("auto-broadcast: cap=0 disables; full outer and similar-size sides never hint") {
+    import graft.dsl.LazyFrame
+    val dim = spark.read.parquet("/tmp/graft_test/bcast_dim")
+    val fact = spark.range(100000000L)
+      .select(pmod(col("id"), lit(2000000L)).as("k"), col("id").as("v"))
+    withSQLConf("spark.graft.broadcastThreshold" -> "0") {
+      val p = planOf(LazyFrame(fact).join(LazyFrame(dim), Seq("k")).df)
+      assert(!p.contains("BroadcastHashJoin"), s"cap=0 must disable the hint:\n$p")
+    }
+    // full outer has no broadcastable build side — never hint
+    val fo = planOf(LazyFrame(fact).join(LazyFrame(dim), Seq("k"), "full").df)
+    assert(!fo.contains("BroadcastHashJoin"), s"full outer must not hint:\n$fo")
+    // two similar-size sides: shipping one to every executor loses at
+    // cluster scale (the BroadcastRatio guard) — plan stays a shuffle join
+    val twin = spark.read.parquet("/tmp/graft_test/bcast_dim")
+    val sim = planOf(LazyFrame(dim).join(LazyFrame(twin.withColumnRenamed("p1", "q1")
+      .withColumnRenamed("p2", "q2")), Seq("k")).df)
+    assert(!sim.contains("BroadcastHashJoin"),
+      s"similar-size sides must not broadcast (ratio guard):\n$sim")
+  }
+
+  test("auto-broadcast: cap parses bytes and k/m/g suffixes") {
+    import graft.dsl.LazyFrame
+    assert(LazyFrame.parseBytes("268435456") == 268435456L)
+    assert(LazyFrame.parseBytes("256m") == 256L * 1024 * 1024)
+    assert(LazyFrame.parseBytes("1g") == 1L << 30)
+    assert(LazyFrame.parseBytes("512K") == 512L * 1024)
+    assert(LazyFrame.parseBytes("0") == 0L)
+    withSQLConf("spark.graft.broadcastThreshold" -> "64m") {
+      assert(LazyFrame.broadcastCap(spark) == 64L * 1024 * 1024)
+    }
+  }
 }
