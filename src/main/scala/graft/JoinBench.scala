@@ -61,8 +61,8 @@ object JoinBench {
     * match rate. Asserts: (a) the deduped dim's row count sits within ±15%
     * of expected coverage, (b) the key's max spans the domain (≥ domain/2)
     * — the r3 defect (domain derived from dim row count) collapses both. */
-  private def assertDimShape(name: String, dimRows: Long, keyMax: Long,
-                             nGen: Long, domain: Long): Unit = {
+  private[graft] def assertDimShape(name: String, dimRows: Long, keyMax: Long,
+                                    nGen: Long, domain: Long): Unit = {
     val expected = domain.toDouble * (1.0 - math.exp(-nGen.toDouble / domain))
     require(dimRows >= expected * 0.85 && dimRows <= expected * 1.15,
       f"$name shape assert: $dimRows%d distinct keys vs expected " +
