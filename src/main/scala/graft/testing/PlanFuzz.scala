@@ -33,9 +33,12 @@ import org.apache.spark.sql.types._
   * the SQL, and both row sets, and reproduces exactly from the seed.
   *
   * Plan grammar per case (seeded draws):
-  *   base t0 → [filter] → [join t1 (inner|left) on k0/k1] → [filter] →
-  *   [window (partitioned running agg, unique-rid order)] →
-  *   (project exprs | groupBy(keys).agg(aggs) | distinct(projection))
+  *   (base t0 | t0 UNION [ALL]/INTERSECT/EXCEPT t1 on the narrow key
+  *   projection) → [filter] → [join t1 (inner|left) on k0/k1] → [filter] →
+  *   [window (partitioned running agg / row_number / lag / lead,
+  *   unique-rid order)] →
+  *   (project exprs | groupBy(keys).agg(aggs) | distinct(projection)
+  *    | ORDER BY rid LIMIT k)
   * Expression grammar: column refs, literals, +,-,*, string concat/upper/
   * substring/length, date year/date_add, struct field access, array
   * size/try_element_at, comparisons over every orderable kind, IS NULL,
@@ -424,8 +427,13 @@ object PlanFuzz {
     case d: BigDecimal => canon(d.bigDecimal)
     case d: Date => s"d:${d.toLocalDate}"
     case t: Timestamp => s"t:${t.toInstant}"
-    case xs: Seq[_] => xs.map(canon).mkString("[", ",", "]")
-    case r: Row => r.toSeq.map(canon).mkString("{", ",", "}")
+    // arrays and structs canonicalize identically (model structs are Seqs,
+    // Spark structs are Rows — per-column schemas are fixed, so the shared
+    // bracket form cannot conflate them within a column). collection.Seq,
+    // not the default immutable.Seq: Spark collects arrays as
+    // mutable.ArraySeq, which the narrower match silently missed.
+    case xs: scala.collection.Seq[_] => xs.map(canon).mkString("[", ",", "]")
+    case r: Row => r.toSeq.map(canon).mkString("[", ",", "]")
     case other => s"?:$other"
   }
 
@@ -446,6 +454,46 @@ object PlanFuzz {
     var df = f0
     var model: Seq[Map[String, Any]] = m0
     var joined = false
+    // hasRid = rid is still a UNIQUE total order (windows / deterministic
+    // limit need one); set-op sources drop it, joins may duplicate it
+    var hasRid = true
+
+    // set-operation source (25%): both bases projected to the narrow
+    // collision-rich key columns, then UNION / UNION ALL / INTERSECT /
+    // EXCEPT — Spark's set ops are the DISTINCT forms and use null-safe,
+    // NaN-normalizing equality, which the model mirrors through canon
+    if (rnd.nextInt(4) == 0) {
+      val narrowC = Seq(Col("k0", KLong), Col("k1", KStr), Col("b0", KBool))
+      val names = narrowC.map(_.name)
+      val proj = names.mkString(", ")
+      val (opSql, opDsl, opModel): (String,
+          (DataFrame, DataFrame) => DataFrame,
+          (Seq[Map[String, Any]], Seq[Map[String, Any]]) => Seq[Map[String, Any]]) =
+        rnd.nextInt(4) match {
+          case 0 => ("UNION ALL", _ union _, _ ++ _)
+          case 1 => ("UNION", (a, b) => a.union(b).distinct(),
+            (a, b) => (a ++ b).groupBy(r => names.map(n => canon(r(n))))
+              .map(_._2.head).toSeq)
+          case 2 => ("INTERSECT", _ intersect _, (a, b) => {
+            val rk = b.map(r => names.map(n => canon(r(n)))).toSet
+            a.filter(r => rk(names.map(n => canon(r(n)))))
+              .groupBy(r => names.map(n => canon(r(n)))).map(_._2.head).toSeq
+          })
+          case _ => ("EXCEPT", _ except _, (a, b) => {
+            val rk = b.map(r => names.map(n => canon(r(n)))).toSet
+            a.filterNot(r => rk(names.map(n => canon(r(n)))))
+              .groupBy(r => names.map(n => canon(r(n)))).map(_._2.head).toSeq
+          })
+        }
+      sql = s"SELECT $proj FROM fz_t0 $opSql SELECT $proj FROM fz_t1"
+      val (d0, d1) = (f0.select(names.map(col): _*), f1.select(names.map(col): _*))
+      df = opDsl(d0, d1)
+      def narrow(rows: Seq[Map[String, Any]]) =
+        rows.map(r => names.map(n => n -> r(n)).toMap)
+      model = opModel(narrow(m0), narrow(m1))
+      schema = narrowC
+      hasRid = false
+    }
 
     def applyFilter(): Unit = {
       val p = genBool(rnd, schema, 2)
@@ -489,52 +537,67 @@ object PlanFuzz {
     if (rnd.nextBoolean()) applyFilter()
 
     // window stage: requires a unique order column — rid is unique on the
-    // base, but an inner/left join can duplicate left rows, so only when
-    // not joined
-    if (!joined && rnd.nextInt(3) == 0) {
+    // base, but a set-op source drops it and an inner/left join can
+    // duplicate left rows
+    if (hasRid && !joined && rnd.nextInt(3) == 0) {
       val part = rnd.nextInt(4) match {
         case 0 => None; case 1 => Some("k0"); case 2 => Some("k1"); case _ => Some("b0")
       }
       type Mk = org.apache.spark.sql.expressions.WindowSpec => Column
-      val (wSql, mkW, wEv, wKind): (String, Mk, (Seq[Map[String, Any]], Int) => Any, Kind) =
-        rnd.nextInt(4) match {
+      // (fn SQL, DSL over spec, framed? — LAG/LEAD take no frame clause,
+      // running aggs use ROWS UNBOUNDED PRECEDING..CURRENT ROW, model)
+      val (wSql, mkW, framed, wEv): (String, Mk, Boolean,
+          (Seq[Map[String, Any]], Int) => Any) =
+        rnd.nextInt(6) match {
           case 0 =>
             val e = genLong(rnd, schema, 1)
             (s"SUM(${e.sql})", (sp: org.apache.spark.sql.expressions.WindowSpec) =>
-              sum(e.col).over(sp), { (rows, i) =>
+              sum(e.col).over(sp), true, { (rows, i) =>
               val vs = rows.take(i + 1).map(e.ev).filter(_ != null)
               if (vs.isEmpty) null else vs.map(_.asInstanceOf[Long]).sum
-            }, KLong)
+            })
           case 1 =>
             val e = genLong(rnd, schema, 1)
             (s"COUNT(${e.sql})", (sp: org.apache.spark.sql.expressions.WindowSpec) =>
-              count(e.col).over(sp), { (rows, i) =>
+              count(e.col).over(sp), true, { (rows, i) =>
               rows.take(i + 1).count(r => e.ev(r) != null).toLong
-            }, KLong)
+            })
           case 2 =>
             ("ROW_NUMBER()", (sp: org.apache.spark.sql.expressions.WindowSpec) =>
-              row_number().over(sp).cast("long"),
-              { (_, i) => (i + 1).toLong }, KLong)
-          case _ =>
+              row_number().over(sp).cast("long"), true,
+              { (_, i) => (i + 1).toLong })
+          case 3 =>
             val e = genLong(rnd, schema, 1)
             (s"MAX(${e.sql})", (sp: org.apache.spark.sql.expressions.WindowSpec) =>
-              max(e.col).over(sp), { (rows, i) =>
+              max(e.col).over(sp), true, { (rows, i) =>
               val vs = rows.take(i + 1).map(e.ev).filter(_ != null)
               if (vs.isEmpty) null
               else vs.map(_.asInstanceOf[Long]).max
-            }, KLong)
+            })
+          case 4 =>
+            val e = genLong(rnd, schema, 1)
+            (s"LAG(${e.sql}, 1)", (sp: org.apache.spark.sql.expressions.WindowSpec) =>
+              lag(e.col, 1).over(sp), false,
+              { (rows, i) => if (i == 0) null else e.ev(rows(i - 1)) })
+          case _ =>
+            val e = genLong(rnd, schema, 1)
+            (s"LEAD(${e.sql}, 1)", (sp: org.apache.spark.sql.expressions.WindowSpec) =>
+              lead(e.col, 1).over(sp), false,
+              { (rows, i) => if (i + 1 >= rows.size) null else e.ev(rows(i + 1)) })
         }
       val partSql = part.map(p => s"PARTITION BY $p ").getOrElse("")
-      val over = s"OVER ($partSql" +
-        "ORDER BY rid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+      val frameSql =
+        if (framed) " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW" else ""
+      val over = s"OVER (${partSql}ORDER BY rid$frameSql)"
       val sel = schema.map(_.name).mkString(", ")
       sql = s"SELECT $sel, $wSql $over AS w0 FROM ($sql)"
       val w = org.apache.spark.sql.expressions.Window
       val spec0 = part match {
         case Some(p) => w.partitionBy(col(p)); case None => w.partitionBy()
       }
-      val spec = spec0.orderBy(col("rid"))
-        .rowsBetween(w.unboundedPreceding, w.currentRow)
+      val ordered0 = spec0.orderBy(col("rid"))
+      val spec = if (framed)
+        ordered0.rowsBetween(w.unboundedPreceding, w.currentRow) else ordered0
       df = df.withColumn("w0", mkW(spec))
       // model: group by canonical partition key, order by rid, prefix-agg
       val grouped = model.groupBy(r => part.map(p => canon(r(p))).getOrElse(""))
@@ -542,11 +605,16 @@ object PlanFuzz {
         val ordered = g.sortBy(_("rid").asInstanceOf[Long])
         ordered.zipWithIndex.map { case (r, i) => r + ("w0" -> wEv(ordered, i)) }
       }
-      schema = schema :+ Col("w0", wKind)
+      schema = schema :+ Col("w0", KLong)
     }
 
     // terminal stage
-    rnd.nextInt(4) match {
+    rnd.nextInt(5) match {
+      case 4 if hasRid && !joined => // deterministic sort + limit (rid unique)
+        val k = 1 + rnd.nextInt(20)
+        sql = s"SELECT * FROM ($sql) ORDER BY rid LIMIT $k"
+        df = df.orderBy(col("rid")).limit(k)
+        model = model.sortBy(_("rid").asInstanceOf[Long]).take(k)
       case 0 | 1 => // project
         val n = 1 + rnd.nextInt(4)
         val exs = (0 until n).map(i => (s"e$i", genOut(rnd, schema)))
@@ -601,20 +669,33 @@ object PlanFuzz {
     Case(seed, sql, df, model, schema)
   }
 
-  /** Run one case: returns None when all three paths agree, or a diagnostic. */
+  /** Run one case: returns None when all three paths agree, or a diagnostic
+    * (a path that THROWS is itself a divergence — reported with the case's
+    * SQL and the full cause chain, never crashing the sweep). */
   def runCase(spark: SparkSession, seed: Long): Option[String] = {
     val c = genCase(spark, seed)
     val names = c.outCols.map(_.name)
-    val dsl = canonRows(c.df.collect().toSeq.map(r => names.map(n => r.getAs[Any](n))))
-    val viaSql = canonRows(spark.sql(c.sql).collect().toSeq
-      .map(r => names.map(n => r.getAs[Any](n))))
-    val mod = canonRows(c.model.map(r => names.map(r(_))))
-    if (dsl == viaSql && dsl == mod) None
-    else Some(
-      s"""seed=$seed diverged
-         |sql: ${c.sql}
-         |dsl   (${dsl.size} rows): ${dsl.take(20).mkString("; ")}
-         |sql   (${viaSql.size} rows): ${viaSql.take(20).mkString("; ")}
-         |model (${mod.size} rows): ${mod.take(20).mkString("; ")}""".stripMargin)
+    def run(what: String)(body: => Seq[Seq[String]]): Either[String, Seq[Seq[String]]] =
+      try Right(body) catch {
+        case e: Throwable =>
+          val causes = Iterator.iterate(e: Throwable)(_.getCause)
+            .takeWhile(_ != null).map(_.toString).take(4).mkString("\n  caused by ")
+          Left(s"seed=$seed $what THREW\nsql: ${c.sql}\n$causes")
+      }
+    val dsl = run("dsl")(canonRows(
+      c.df.collect().toSeq.map(r => names.map(n => r.getAs[Any](n)))))
+    val viaSql = run("sql")(canonRows(
+      spark.sql(c.sql).collect().toSeq.map(r => names.map(n => r.getAs[Any](n)))))
+    val mod = run("model")(canonRows(c.model.map(r => names.map(r(_)))))
+    (dsl, viaSql, mod) match {
+      case (Right(a), Right(b), Right(m)) if a == b && a == m => None
+      case (Right(a), Right(b), Right(m)) => Some(
+        s"""seed=$seed diverged
+           |sql: ${c.sql}
+           |dsl   (${a.size} rows): ${a.take(20).mkString("; ")}
+           |sql   (${b.size} rows): ${b.take(20).mkString("; ")}
+           |model (${m.size} rows): ${m.take(20).mkString("; ")}""".stripMargin)
+      case _ => Some(Seq(dsl, viaSql, mod).flatMap(_.left.toOption).mkString("\n"))
+    }
   }
 }
