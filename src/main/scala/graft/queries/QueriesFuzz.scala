@@ -37,7 +37,7 @@ import graft.dsl.LazyFrame
 object QueriesFuzz {
 
   private val MasterSeed = 20260815L
-  private val nCases = 40
+  private val nCases = 48
 
   // ---- column metadata ------------------------------------------------------
 
@@ -226,10 +226,11 @@ object QueriesFuzz {
   private final case class FuzzCase(name: String, sql: String, q: util.Q)
 
   private def genFuzzCase(idx: Int, rnd: Random): FuzzCase = {
-    // source: single table or a real FK join (inner, or LEFT with an extra
-    // ON predicate so unmatched rows actually occur)
+    // source: single table, a real FK join (inner, or LEFT with an extra
+    // ON predicate so unmatched rows actually occur), or a semi/anti
+    // EXISTS shape routed through LazyFrame.semiJoin/antiJoin
     val (fromSql, cols, mkDf): (String, Seq[C], (SparkSession, String) => DataFrame) =
-      rnd.nextInt(6) match {
+      rnd.nextInt(8) match {
         case 0 => ("lineitem", lineitem.cols,
           (s, d) => util.t(s, d, "lineitem"))
         case 1 => ("orders", orders.cols, (s, d) => util.t(s, d, "orders"))
@@ -244,12 +245,33 @@ object QueriesFuzz {
             orders.cols ++ customer.cols,
             (s, d) => util.lf(s, d, "orders").joinOn(util.lf(s, d, "customer"),
               col("o_custkey") === col("c_custkey"), "inner").df)
-        case _ =>
+        case 5 =>
           val p = genBool(rnd, customer.cols, 1)
           (s"orders LEFT JOIN customer ON o_custkey = c_custkey AND ${p.sql}",
             orders.cols ++ customer.cols,
             (s, d) => util.lf(s, d, "orders").joinOn(util.lf(s, d, "customer"),
               col("o_custkey") === col("c_custkey") && p.col, "left").df)
+        case 6 =>
+          // semi: orders WHERE EXISTS a matching (filtered) customer.
+          // DSL: LazyFrame.semiJoin on a same-named key (rename first).
+          val p = genBool(rnd, customer.cols, 1)
+          (s"(SELECT * FROM orders WHERE EXISTS (SELECT 1 FROM customer " +
+            s"WHERE c_custkey = o_custkey AND ${p.sql})) AS t",
+            orders.cols,
+            (s, d) => util.lf(s, d, "orders").semiJoin(
+              util.lf(s, d, "customer").filter(p.col)
+                .rename("c_custkey" -> "o_custkey"), Seq("o_custkey")).df)
+        case _ =>
+          // anti: orders WHERE NOT EXISTS. NULL-semantics note: NOT EXISTS
+          // (unlike NOT IN) is null-key-safe in both engines, matching
+          // Spark's left_anti join exactly.
+          val p = genBool(rnd, customer.cols, 1)
+          (s"(SELECT * FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer " +
+            s"WHERE c_custkey = o_custkey AND ${p.sql})) AS t",
+            orders.cols,
+            (s, d) => util.lf(s, d, "orders").antiJoin(
+              util.lf(s, d, "customer").filter(p.col)
+                .rename("c_custkey" -> "o_custkey"), Seq("o_custkey")).df)
       }
 
     val wherePred =
@@ -279,16 +301,32 @@ object QueriesFuzz {
           aggs.map { case (n, e) => s"${e.sql} AS $n" }).mkString(", ")
         val grp = if (keys.isEmpty) ""
           else s" GROUP BY ${keys.indices.map(_ + 1).mkString(", ")}"
+        // HAVING on grouped cases whose first agg is an integer (COUNT(*)
+        // or the CAST(SUM .. AS BIGINT) form): repeat the aggregate
+        // expression in HAVING (alias resolution there differs across
+        // engines); the DSL filters the aliased output column — identical
+        // semantics, independent spelling
+        val headSql = aggs.head._2.sql
+        val havingT =
+          if (keys.nonEmpty && rnd.nextBoolean() &&
+              (headSql == "COUNT(*)" || headSql.startsWith("CAST(SUM(")))
+            Some(rnd.nextInt(40).toLong)
+          else None
+        val having = havingT.map(t => s" HAVING $headSql > $t").getOrElse("")
         val ord = (1 to keys.size + aggs.size)
           .map(i => s"$i ASC NULLS FIRST").mkString(", ")
-        (sel, s"$grp ORDER BY $ord", (df: DataFrame) => {
+        (sel, s"$grp$having ORDER BY $ord", (df: DataFrame) => {
           val base = if (keys.isEmpty) df.agg(aggs.head._2.col.as(aggs.head._1),
             aggs.tail.map { case (n, e) => e.col.as(n) }: _*)
           else df.groupBy(keys.map { case (n, e) => e.col.as(n) }: _*)
             .agg(aggs.head._2.col.as(aggs.head._1),
               aggs.tail.map { case (n, e) => e.col.as(n) }: _*)
+          val filtered = havingT match {
+            case Some(t) => base.filter(col(aggs.head._1) > t)
+            case None    => base
+          }
           val outNames = keys.map(_._1) ++ aggs.map(_._1)
-          base.orderBy(outNames.map(n => col(n).asc_nulls_first): _*)
+          filtered.orderBy(outNames.map(n => col(n).asc_nulls_first): _*)
         })
       } else {
         // projection terminal

@@ -510,28 +510,62 @@ object PlanFuzz {
       val keys = rnd.nextInt(3) match {
         case 0 => Seq("k0"); case 1 => Seq("k1"); case _ => Seq("k0", "k1")
       }
-      val rCols = baseSchema.map(c => Col(c.name + "_r", c.kind))
       val joinSql = if (how == "inner") "JOIN" else "LEFT JOIN"
-      val cond = keys.map(k => s"L.$k = R.$k").mkString(" AND ")
-      val lSel = schema.map(c => s"L.${c.name} AS ${c.name}").mkString(", ")
-      val rSel = baseSchema.map(c => s"R.${c.name} AS ${c.name}_r").mkString(", ")
-      sql = s"SELECT $lSel, $rSel FROM ($sql) AS L $joinSql (SELECT * FROM fz_t1) AS R ON $cond"
-      val rRenamed = f1.toDF(baseSchema.map(_.name + "_r"): _*)
-      val dslCond = keys.map(k => col(k) === col(k + "_r")).reduce(_ && _)
-      df = df.join(rRenamed, dslCond, how)
-      val rModel = m1.map(r => r.map { case (k, v) => (k + "_r", v) })
-      def keyMatch(l: Map[String, Any], r: Map[String, Any]): Boolean =
-        keys.forall { k =>
-          val (a, b) = (l(k), r(k + "_r"))
-          a != null && b != null && canon(a) == canon(b)
+      if (rnd.nextBoolean()) {
+        // variant A: explicit rename + ON condition (raw Spark surface)
+        val rCols = baseSchema.map(c => Col(c.name + "_r", c.kind))
+        val cond = keys.map(k => s"L.$k = R.$k").mkString(" AND ")
+        val lSel = schema.map(c => s"L.${c.name} AS ${c.name}").mkString(", ")
+        val rSel = baseSchema.map(c => s"R.${c.name} AS ${c.name}_r").mkString(", ")
+        sql = s"SELECT $lSel, $rSel FROM ($sql) AS L $joinSql (SELECT * FROM fz_t1) AS R ON $cond"
+        val rRenamed = f1.toDF(baseSchema.map(_.name + "_r"): _*)
+        val dslCond = keys.map(k => col(k) === col(k + "_r")).reduce(_ && _)
+        df = df.join(rRenamed, dslCond, how)
+        val rModel = m1.map(r => r.map { case (k, v) => (k + "_r", v) })
+        def keyMatch(l: Map[String, Any], r: Map[String, Any]): Boolean =
+          keys.forall { k =>
+            val (a, b) = (l(k), r(k + "_r"))
+            a != null && b != null && canon(a) == canon(b)
+          }
+        model = model.flatMap { l =>
+          val ms = rModel.filter(r => keyMatch(l, r))
+          if (ms.nonEmpty) ms.map(l ++ _)
+          else if (how == "left") Seq(l ++ rCols.map(c => c.name -> null).toMap)
+          else Nil
         }
-      model = model.flatMap { l =>
-        val ms = rModel.filter(r => keyMatch(l, r))
-        if (ms.nonEmpty) ms.map(l ++ _)
-        else if (how == "left") Seq(l ++ rCols.map(c => c.name -> null).toMap)
-        else Nil
+        schema = schema ++ rCols
+      } else {
+        // variant B: the graft LazyFrame.join surface — polars USING-join
+        // semantics: key columns coalesce, and a right non-key column takes
+        // the suffix ONLY when it collides with a left column (after a
+        // set-op source the left is the narrow projection, so most right
+        // columns keep their plain names). Exercises the library's
+        // collision-rename + automatic broadcast path end-to-end.
+        val leftNames = schema.map(_.name).toSet
+        val rNonKey = baseSchema.filterNot(c => keys.contains(c.name))
+        def outName(c: Col) = if (leftNames(c.name)) c.name + "_r" else c.name
+        val rCols = rNonKey.map(c => Col(outName(c), c.kind))
+        val lSel = schema.map(c =>
+          if (keys.contains(c.name)) c.name else s"L.${c.name} AS ${c.name}")
+          .mkString(", ")
+        val rSel = rNonKey.map(c => s"R.${c.name} AS ${outName(c)}").mkString(", ")
+        sql = s"SELECT $lSel, $rSel FROM ($sql) AS L $joinSql " +
+          s"(SELECT * FROM fz_t1) AS R USING (${keys.mkString(", ")})"
+        df = graft.dsl.LazyFrame(df)
+          .join(graft.dsl.LazyFrame(f1), keys, how, suffix = "_r").df
+        model = model.flatMap { l =>
+          val ms = m1.filter(r => keys.forall { k =>
+            val (a, b) = (l(k), r(k))
+            a != null && b != null && canon(a) == canon(b)
+          }).map(r => r.collect {
+            case (k, v) if !keys.contains(k) => (outName(Col(k, KLong)), v)
+          })
+          if (ms.nonEmpty) ms.map(l ++ _)
+          else if (how == "left") Seq(l ++ rCols.map(c => c.name -> null).toMap)
+          else Nil
+        }
+        schema = schema ++ rCols
       }
-      schema = schema ++ rCols
     }
 
     if (rnd.nextBoolean()) applyFilter()
