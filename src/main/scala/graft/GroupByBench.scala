@@ -73,13 +73,15 @@ object GroupByBench {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     df.count() // materialize once, like the benchmark's in-memory frame
     // standing shape assert (r14 verdict item 1: every bench generator gets
-    // a cardinality assert): id1/id4 must span all K groups and id3/id6 the
-    // n/k domain (coverage 1−exp(−k) ≈ 1 for k ≥ 100, so ±5% on a sketch
-    // NDV is safe at any benched n). One untimed agg over the cached frame.
+    // a cardinality assert): id1/id4 must span all K groups (exact count)
+    // and id3/id6 the n/k domain (rsd-2% HLL sketch; the ±10% band is wide
+    // against sketch tails but still 100× tighter than the r3 defect
+    // class, which shrinks a domain 1000×). One untimed agg, cached frame.
     val nk = math.max(n / k, 1L)
     val ndv = df.agg(
       count_distinct(col("id1")), count_distinct(col("id4")),
-      approx_count_distinct(col("id3")), approx_count_distinct(col("id6")))
+      approx_count_distinct(col("id3"), 0.02),
+      approx_count_distinct(col("id6"), 0.02))
       .collect()(0)
     def expected(domain: Long): Double =
       domain.toDouble * (1.0 - math.exp(-n.toDouble / domain))
@@ -87,9 +89,9 @@ object GroupByBench {
         ("id3", ndv.getLong(2), nk), ("id6", ndv.getLong(3), nk))
       .foreach { case (c, v, domain) =>
         val e = expected(domain)
-        require(v >= e * 0.93 && v <= domain * 1.05,
-          s"gen shape assert: $c NDV $v outside [0.93×${e.round}, $domain] " +
-            "— generator defect?")
+        require(v >= e * 0.90 && v <= domain * 1.10,
+          s"gen shape assert: $c NDV $v outside [0.90×${e.round}, " +
+            s"1.10×$domain] — generator defect?")
       }
     import BenchSession.reclaim
     def selected = BenchSession.select(queries(df), wanted)
