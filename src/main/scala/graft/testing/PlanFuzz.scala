@@ -203,8 +203,30 @@ object PlanFuzz {
 
   def genLong(rnd: Random, schema: Seq[Col], depth: Int): Ex = {
     val leaves = colsOf(schema, KLong)
-    val choice = if (depth <= 0) rnd.nextInt(2) else rnd.nextInt(8)
+    val choice = if (depth <= 0) rnd.nextInt(2) else rnd.nextInt(11)
     choice match {
+      case 8 =>
+        val (a, b) = (genLong(rnd, schema, depth - 1), genLong(rnd, schema, depth - 1))
+        Ex(s"COALESCE(${a.sql}, ${b.sql})", coalesce(a.col, b.col),
+          r => { val x = a.ev(r); if (x != null) x else b.ev(r) }, KLong)
+      case 9 =>
+        val a = genLong(rnd, schema, depth - 1)
+        Ex(s"ABS(${a.sql})", abs(a.col),
+          r => np1(a.ev(r))(v => math.abs(v.asInstanceOf[Long])), KLong)
+      case 10 =>
+        // GREATEST/LEAST ignore nulls in Spark (null only when ALL null)
+        val (a, b) = (genLong(rnd, schema, depth - 1), genLong(rnd, schema, depth - 1))
+        val isMax = rnd.nextBoolean()
+        val (nm, c) = if (isMax) ("GREATEST", greatest(a.col, b.col))
+                      else ("LEAST", least(a.col, b.col))
+        Ex(s"$nm(${a.sql}, ${b.sql})", c, { r =>
+          val (x, y) = (a.ev(r), b.ev(r))
+          if (x == null) y else if (y == null) x
+          else {
+            val (xv, yv) = (x.asInstanceOf[Long], y.asInstanceOf[Long])
+            if (isMax) math.max(xv, yv) else math.min(xv, yv)
+          }
+        }, KLong)
       case 0 if leaves.nonEmpty => colRef(pick(rnd, leaves))
       case 0 | 1 =>
         val v = rnd.nextLong(9) - 3L
@@ -240,17 +262,41 @@ object PlanFuzz {
           r => np1(s.ev(r))(v => v.asInstanceOf[Seq[Any]].head), KLong)
       case 6 | 7 if colsOf(schema, KDate).nonEmpty =>
         val d = colRef(pick(rnd, colsOf(schema, KDate)))
-        Ex(s"CAST(YEAR(${d.sql}) AS BIGINT)", year(d.col).cast("long"),
-          r => np1(d.ev(r))(v => v.asInstanceOf[Date].toLocalDate.getYear.toLong),
-          KLong)
+        rnd.nextInt(3) match {
+          case 0 =>
+            Ex(s"CAST(YEAR(${d.sql}) AS BIGINT)", year(d.col).cast("long"),
+              r => np1(d.ev(r))(v =>
+                v.asInstanceOf[Date].toLocalDate.getYear.toLong), KLong)
+          case 1 =>
+            Ex(s"CAST(MONTH(${d.sql}) AS BIGINT)", month(d.col).cast("long"),
+              r => np1(d.ev(r))(v =>
+                v.asInstanceOf[Date].toLocalDate.getMonthValue.toLong), KLong)
+          case _ =>
+            Ex(s"CAST(DAY(${d.sql}) AS BIGINT)", dayofmonth(d.col).cast("long"),
+              r => np1(d.ev(r))(v =>
+                v.asInstanceOf[Date].toLocalDate.getDayOfMonth.toLong), KLong)
+        }
       case _ => genLong(rnd, schema, 0)
     }
   }
 
   def genStr(rnd: Random, schema: Seq[Col], depth: Int): Ex = {
     val leaves = colsOf(schema, KStr)
-    val choice = if (depth <= 0) rnd.nextInt(2) else rnd.nextInt(5)
+    val choice = if (depth <= 0) rnd.nextInt(2) else rnd.nextInt(7)
     choice match {
+      case 5 =>
+        val a = genStr(rnd, schema, depth - 1)
+        Ex(s"REPLACE(${a.sql}, 'a', 'X')", regexp_replace(a.col, "a", "X"),
+          r => np1(a.ev(r))(v => v.asInstanceOf[String].replace("a", "X")), KStr)
+      case 6 =>
+        // LPAD pads to length 5 — and TRUNCATES longer strings to 5
+        val a = genStr(rnd, schema, depth - 1)
+        Ex(s"LPAD(${a.sql}, 5, '_')", lpad(a.col, 5, "_"),
+          r => np1(a.ev(r)) { v =>
+            val s = v.asInstanceOf[String]
+            if (s.length >= 5) s.substring(0, 5)
+            else ("_" * (5 - s.length)) + s
+          }, KStr)
       case 0 if leaves.nonEmpty => colRef(pick(rnd, leaves))
       case 0 | 1 =>
         val v = pick(rnd, vocabK)
@@ -303,7 +349,7 @@ object PlanFuzz {
           }
         }, KBool)
     }
-    val choice = if (depth <= 0) rnd.nextInt(3) else rnd.nextInt(8)
+    val choice = if (depth <= 0) rnd.nextInt(3) else rnd.nextInt(9)
     choice match {
       case 0 if colsOf(schema, KBool).nonEmpty => colRef(pick(rnd, colsOf(schema, KBool)))
       case 0 | 1 | 2 => comparison()
@@ -322,12 +368,21 @@ object PlanFuzz {
         val c = pick(rnd, schema)
         Ex(s"(${c.name} IS NULL)", col(c.name).isNull,
           r => r(c.name) == null, KBool)
-      case _ =>
+      case 7 =>
         val a = genLong(rnd, schema, 1)
         val lits = (0 until 1 + rnd.nextInt(3)).map(_ => rnd.nextLong(9) - 3L)
         Ex(s"(${a.sql} IN (${lits.mkString(", ")}))",
           a.col.isin(lits.map(l => l: Any): _*),
           r => np1(a.ev(r))(v => lits.contains(v.asInstanceOf[Long])), KBool)
+      case _ =>
+        // BETWEEN with literal bounds: x null → null, else inclusive range
+        val a = genLong(rnd, schema, 1)
+        val lo = rnd.nextLong(9) - 3L
+        val hi = lo + rnd.nextLong(8)
+        Ex(s"(${a.sql} BETWEEN $lo AND $hi)", a.col.between(lo, hi),
+          r => np1(a.ev(r)) { v =>
+            val x = v.asInstanceOf[Long]; lo <= x && x <= hi
+          }, KBool)
     }
   }
 
