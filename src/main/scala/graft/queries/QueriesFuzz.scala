@@ -229,26 +229,33 @@ object QueriesFuzz {
     // source: single table, a real FK join (inner, or LEFT with an extra
     // ON predicate so unmatched rows actually occur), or a semi/anti
     // EXISTS shape routed through LazyFrame.semiJoin/antiJoin
-    val (fromSql, cols, mkDf): (String, Seq[C], (SparkSession, String) => DataFrame) =
+    // `uniq`: a column known UNIQUE in the source (probed at sf0.01 —
+    // o_orderkey / c_custkey; lineitem has no stable unique tuple in the
+    // synthetic data) — it makes window ORDER BY deterministic. Empty =
+    // no window terminal for this source.
+    val (fromSql, cols, uniq, mkDf): (String, Seq[C], Seq[String],
+        (SparkSession, String) => DataFrame) =
       rnd.nextInt(8) match {
-        case 0 => ("lineitem", lineitem.cols,
+        case 0 => ("lineitem", lineitem.cols, Nil,
           (s, d) => util.t(s, d, "lineitem"))
-        case 1 => ("orders", orders.cols, (s, d) => util.t(s, d, "orders"))
-        case 2 => ("customer", customer.cols, (s, d) => util.t(s, d, "customer"))
+        case 1 => ("orders", orders.cols, Seq("o_orderkey"),
+          (s, d) => util.t(s, d, "orders"))
+        case 2 => ("customer", customer.cols, Seq("c_custkey"),
+          (s, d) => util.t(s, d, "customer"))
         case 3 =>
           ("lineitem JOIN orders ON l_orderkey = o_orderkey",
-            lineitem.cols ++ orders.cols,
+            lineitem.cols ++ orders.cols, Nil,
             (s, d) => util.lf(s, d, "lineitem").joinOn(util.lf(s, d, "orders"),
               col("l_orderkey") === col("o_orderkey"), "inner").df)
         case 4 =>
           ("orders JOIN customer ON o_custkey = c_custkey",
-            orders.cols ++ customer.cols,
+            orders.cols ++ customer.cols, Seq("o_orderkey"),
             (s, d) => util.lf(s, d, "orders").joinOn(util.lf(s, d, "customer"),
               col("o_custkey") === col("c_custkey"), "inner").df)
         case 5 =>
           val p = genBool(rnd, customer.cols, 1)
           (s"orders LEFT JOIN customer ON o_custkey = c_custkey AND ${p.sql}",
-            orders.cols ++ customer.cols,
+            orders.cols ++ customer.cols, Seq("o_orderkey"),
             (s, d) => util.lf(s, d, "orders").joinOn(util.lf(s, d, "customer"),
               col("o_custkey") === col("c_custkey") && p.col, "left").df)
         case 6 =>
@@ -257,7 +264,7 @@ object QueriesFuzz {
           val p = genBool(rnd, customer.cols, 1)
           (s"(SELECT * FROM orders WHERE EXISTS (SELECT 1 FROM customer " +
             s"WHERE c_custkey = o_custkey AND ${p.sql})) AS t",
-            orders.cols,
+            orders.cols, Seq("o_orderkey"),
             (s, d) => util.lf(s, d, "orders").semiJoin(
               util.lf(s, d, "customer").filter(p.col)
                 .rename("c_custkey" -> "o_custkey"), Seq("o_custkey")).df)
@@ -268,7 +275,7 @@ object QueriesFuzz {
           val p = genBool(rnd, customer.cols, 1)
           (s"(SELECT * FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer " +
             s"WHERE c_custkey = o_custkey AND ${p.sql})) AS t",
-            orders.cols,
+            orders.cols, Seq("o_orderkey"),
             (s, d) => util.lf(s, d, "orders").antiJoin(
               util.lf(s, d, "customer").filter(p.col)
                 .rename("c_custkey" -> "o_custkey"), Seq("o_custkey")).df)
@@ -277,8 +284,72 @@ object QueriesFuzz {
     val wherePred =
       if (rnd.nextBoolean()) Some(genBool(rnd, cols, 2)) else None
 
+    val termDraw = rnd.nextInt(10)
     val (selectSql, groupSql, build) : (String, String, DataFrame => DataFrame) =
-      if (rnd.nextInt(10) < 7) {
+      if (uniq.nonEmpty && termDraw < 3) {
+        // window terminal: deterministic because the source carries a
+        // genuinely UNIQUE order column. SUM/ROW_NUMBER cast to BIGINT
+        // outside the OVER (DuckDB windows sum to HUGEINT / number to
+        // BIGINT where Spark yields BIGINT / INT).
+        val ok = uniq.head
+        val part: Option[FE] = rnd.nextInt(3) match {
+          case 0 => None
+          case 1 =>
+            val c = pick(rnd, strCols(cols)); Some(FE(c.name, col(c.name)))
+          case _ =>
+            val c = pick(rnd, intCols(cols)); val m = 2 + rnd.nextInt(8)
+            Some(FE(s"(${c.name} % $m)", col(c.name) % m))
+        }
+        type WS = org.apache.spark.sql.expressions.WindowSpec
+        // (inner fn sql, DSL over spec, framed?, cast result to BIGINT?)
+        val (fnSql, mkFn, framed, castOut): (String, WS => Column, Boolean, Boolean) =
+          rnd.nextInt(6) match {
+            case 0 =>
+              val e = genInt(rnd, cols, 2)
+              (s"SUM(${e.sql})",
+                (w: WS) => sum(e.col).over(w).cast("long"), true, true)
+            case 1 =>
+              val e = genInt(rnd, cols, 2)
+              (s"COUNT(${e.sql})", (w: WS) => count(e.col).over(w), true, false)
+            case 2 =>
+              ("ROW_NUMBER()",
+                (w: WS) => row_number().over(w).cast("long"), false, true)
+            case 3 =>
+              val e = genInt(rnd, cols, 2)
+              (s"LAG(${e.sql}, 1)", (w: WS) => lag(e.col, 1).over(w), false, false)
+            case 4 =>
+              val e = genInt(rnd, cols, 2)
+              (s"LEAD(${e.sql}, 1)", (w: WS) => lead(e.col, 1).over(w), false, false)
+            case _ =>
+              val e = genInt(rnd, cols, 2)
+              val isMin = rnd.nextBoolean()
+              (s"${if (isMin) "MIN" else "MAX"}(${e.sql})",
+                (w: WS) => (if (isMin) min(e.col) else max(e.col)).over(w),
+                true, false)
+          }
+        val partSql = part.map(p => s"PARTITION BY ${p.sql} ").getOrElse("")
+        val frame =
+          if (framed) " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW" else ""
+        val wExpr0 = s"$fnSql OVER (${partSql}ORDER BY $ok ASC$frame)"
+        val wExpr = if (castOut) s"CAST($wExpr0 AS BIGINT)" else wExpr0
+        val outSel = (Seq(s"$ok AS o0") ++ part.map(p => s"${p.sql} AS p0") ++
+          Seq(s"$wExpr AS w0")).mkString(", ")
+        val nOut = 2 + part.size
+        val ord = (1 to nOut).map(i => s"$i ASC NULLS FIRST").mkString(", ")
+        (outSel, s" ORDER BY $ord", (df: DataFrame) => {
+          val W = org.apache.spark.sql.expressions.Window
+          val spec0 = part match {
+            case Some(p) => W.partitionBy(p.col); case None => W.partitionBy()
+          }
+          val ordered = spec0.orderBy(col(ok))
+          val spec = if (framed)
+            ordered.rowsBetween(W.unboundedPreceding, W.currentRow) else ordered
+          val sel = Seq(col(ok).as("o0")) ++ part.map(_.col.as("p0")) ++
+            Seq(mkFn(spec).as("w0"))
+          val outNames = Seq("o0") ++ part.map(_ => "p0") ++ Seq("w0")
+          df.select(sel: _*).orderBy(outNames.map(n => col(n).asc_nulls_first): _*)
+        })
+      } else if (termDraw < 7) {
         // group-agg terminal
         val nk = rnd.nextInt(3)
         val keys = (0 until nk).map { i =>
