@@ -36,7 +36,7 @@ import org.apache.spark.sql.types._
   *   (base t0 | t0 UNION [ALL]/INTERSECT/EXCEPT t1 on the narrow key
   *   projection) → [filter] → [join t1 (inner|left) on k0/k1] → [filter] →
   *   [window (partitioned running agg / row_number / lag / lead,
-  *   unique-rid order)] →
+  *   unique-rid order)] → [explode(array col) — inner Generate] →
   *   (project exprs | groupBy(keys).agg(aggs) | distinct(projection)
   *    | ORDER BY rid LIMIT k)
   * Expression grammar: column refs, literals, +,-,*, string concat/upper/
@@ -695,6 +695,25 @@ object PlanFuzz {
         ordered.zipWithIndex.map { case (r, i) => r + ("w0" -> wEv(ordered, i)) }
       }
       schema = schema :+ Col("w0", KLong)
+    }
+
+    // explode stage (25% when an array column is present): a Generate
+    // node. INNER explode semantics: rows with a null or EMPTY array are
+    // dropped; one output row per element (elements may be null). rid
+    // duplicates across exploded rows, so the unique-order flag drops.
+    val arrCols = schema.filter(_.kind == KArr)
+    if (arrCols.nonEmpty && rnd.nextInt(4) == 0) {
+      val a = pick(rnd, arrCols)
+      sql = s"SELECT *, EXPLODE(${a.name}) AS ex FROM ($sql)"
+      df = df.withColumn("ex", explode(col(a.name)))
+      model = model.flatMap { r =>
+        r(a.name) match {
+          case null => Nil
+          case arr: Seq[_] => arr.map(e => r + ("ex" -> e))
+        }
+      }
+      schema = schema :+ Col("ex", KLong)
+      hasRid = false
     }
 
     // terminal stage
