@@ -135,9 +135,13 @@ def main():
         # dtype_decimal_s4 on the r10 record — since re-pinned to a
         # string digitstring probe) and values with more significant
         # digits than float64 carries (redded the original s4nz). The
-        # Decimal-vs-Decimal compare here is blind to both, so warn
-        # loudly instead.
+        # Decimal-vs-Decimal compare here is blind to both, so FAIL hard:
+        # r15 proved a WARN ships (nine hazard-class keys reached the
+        # driver red); a key that trips this must be re-emitted as a
+        # string digitstring (the dtype_decimal_s4 pattern) before it is
+        # declared. Negative-tested by tools/test_check_hazard.py.
         import decimal
+        hazard = 0
         for f in got_tbl.schema:
             if not str(f.type).startswith("decimal"):
                 continue
@@ -151,10 +155,15 @@ def main():
                 if str(v) != fr:
                     bad += 1
             if bad:
-                print(f"WARN {name}: decimal col {f.name} has {bad} "
+                print(f"HAZARD {name}: decimal col {f.name} has {bad} "
                       "value(s) whose digitstring != float64 shortest-repr "
                       "— driver hash hazard (see QueriesMisc8 "
-                      "dtype_decimal_s4 notes)")
+                      "dtype_decimal_s4 notes); re-emit as a string "
+                      "digitstring on both engines")
+                hazard += bad
+        if hazard:
+            fail += 1
+            continue
         print(f"OK {name} ({len(gr)} rows)")
         ok += 1
     print(f"\n{ok} ok, {fail} fail, {skip} skip")
