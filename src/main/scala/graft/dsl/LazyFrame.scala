@@ -115,11 +115,20 @@ final class LazyFrame(val df: DataFrame) {
     *
     * Size-driven automatic broadcast (r15): when one side's Catalyst size
     * estimate is under `spark.graft.broadcastThreshold` /
-    * `SPARK_GRAFT_BCAST_THRESHOLD` (default 256 MB) and the other side
-    * dwarfs it, that side is broadcast-hinted — see
-    * [[LazyFrame.autoBroadcast]]. This closes the measured 6.8× cliff where
-    * Spark's 10 MB default threshold turned every medium-dim star join into
-    * a two-sided full shuffle (BASELINE.md, 1e9 join ladder). */
+    * `SPARK_GRAFT_BCAST_THRESHOLD` and the other side dwarfs it, that side
+    * is broadcast-hinted — see [[LazyFrame.autoBroadcast]]. This closes
+    * the measured 6.8× cliff where Spark's 10 MB default threshold turned
+    * every medium-dim star join into a two-sided full shuffle (BASELINE.md,
+    * 1e9 join ladder).
+    *
+    * The default cap is DERATED against driver heap (r17,
+    * [[LazyFrame.derateCap]]): the size estimate is compressed on-disk
+    * bytes while the broadcast relation is collected through the driver
+    * 5-20× larger and capped by Spark at a hard 8 GB, so a fixed 256 MB
+    * default would OOM a cluster-default 1 GB driver. The default is
+    * `maxHeap/30` clamped to [16 MB, 256 MB] — ~34 MB on a 1 GB driver,
+    * the full 256 MB on the ≥7.5 GB bench rig. Set the conf explicitly to
+    * trade driver memory for more broadcasting. */
   def join(other: LazyFrame, on: Seq[String], how: String = "inner",
            suffix: String = "_right"): LazyFrame = {
     val leftCols = df.columns.toSet
@@ -1091,11 +1100,40 @@ object LazyFrame {
 
   // ---- size-driven automatic broadcast (r15) ------------------------------
 
-  /** Default byte cap under which a join side is broadcast-hinted: 256 MB.
-    * Measured basis (BASELINE.md, 1e9 join ladder): Spark's conservative
-    * 10 MB `autoBroadcastJoinThreshold` silently turns a 15-20 MB dim join
-    * into a two-sided 1e9-row shuffle — 764.9 s vs 112.8 s broadcast. */
-  private val DefaultBroadcastCap: Long = 256L * 1024 * 1024
+  /** Ceiling on the derated default broadcast cap: 256 MB. Measured basis
+    * (BASELINE.md, 1e9 join ladder): Spark's conservative 10 MB
+    * `autoBroadcastJoinThreshold` silently turns a 15-20 MB dim join into
+    * a two-sided 1e9-row shuffle — 764.9 s vs 112.8 s broadcast. */
+  private val BroadcastCapCeiling: Long = 256L * 1024 * 1024
+
+  /** Floor on the derated default cap: 16 MB — always above Spark's 10 MB
+    * default so the measured star-join cliff stays closed even on a
+    * minimally-sized driver. */
+  private val BroadcastCapFloor: Long = 16L * 1024 * 1024
+
+  /** Assumed on-disk → in-memory inflation of a broadcast hash relation
+    * built from a compressed parquet scan. Catalyst's `sizeInBytes` for a
+    * file scan is COMPRESSED FILE BYTES, but the relation is collected
+    * through the driver and materialized as JVM rows + hash index,
+    * typically 5-20× larger; 10× is the design point the derated default
+    * budgets for. */
+  private val BroadcastInflation = 10L
+
+  /** Derate the default broadcast cap against the driver's max heap: the
+    * broadcast relation ([[BroadcastInflation]]× the on-disk estimate the
+    * cap is compared against) is collected through the driver and must
+    * also stay well under Spark's hard 8 GB broadcast-relation limit, so
+    * the default budgets at most ~1/3 of the heap for it:
+    * `cap = heap / (3 × inflation)`, clamped to
+    * [[[BroadcastCapFloor]], [[BroadcastCapCeiling]]]. A 1 GB driver
+    * (cluster default) gets ~34 MB; ≥7.5 GB drivers (the bench rig) get
+    * the full 256 MB. Rigs that want the old fixed 256 MB on a small
+    * driver set `spark.graft.broadcastThreshold=256m` explicitly and
+    * accept the OOM tradeoff. */
+  private[graft] def derateCap(maxHeapBytes: Long): Long = {
+    val byHeap = maxHeapBytes / (3L * BroadcastInflation)
+    math.max(BroadcastCapFloor, math.min(BroadcastCapCeiling, byHeap))
+  }
 
   /** Minimum big-side/small-side size ratio before the hint fires. A
     * broadcast ships the build side once per executor, so broadcasting a
@@ -1116,12 +1154,14 @@ object LazyFrame {
   }
 
   /** Broadcast cap in bytes: session conf `spark.graft.broadcastThreshold`
-    * beats env `SPARK_GRAFT_BCAST_THRESHOLD` beats the 256 MB default.
-    * Zero or negative disables the automatic hint entirely. */
+    * beats env `SPARK_GRAFT_BCAST_THRESHOLD` beats the heap-derated
+    * default ([[derateCap]] of the driver JVM's max heap). Zero or
+    * negative disables the automatic hint entirely. */
   private[graft] def broadcastCap(spark: SparkSession): Long =
-    parseBytes(spark.conf.getOption("spark.graft.broadcastThreshold")
+    spark.conf.getOption("spark.graft.broadcastThreshold")
       .orElse(sys.env.get("SPARK_GRAFT_BCAST_THRESHOLD"))
-      .getOrElse(DefaultBroadcastCap.toString))
+      .map(parseBytes)
+      .getOrElse(derateCap(Runtime.getRuntime.maxMemory))
 
   /** Catalyst's size estimate for the frame's optimized logical plan: for a
     * file scan these are the parquet footer/file bytes (the same bytes
