@@ -11,6 +11,60 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  // ---- calibration probes (r17) -------------------------------------------
+  // Fixed-cost work emitted alongside the totals so driver-vs-builder
+  // host-load skew is quantifiable: two of the last three rounds burned
+  // round-over-round comparability on ±25% uniform host noise. The probe
+  // code never changes, so any drift in these numbers between records is
+  // the HOST, not the library. Three probes, each min-of-3, taken BEFORE
+  // and AFTER the timed passes (host interference windows are
+  // multi-minute — the pre/post pair brackets the run):
+  //   cpu_spin_ms — single-thread fixed xorshift loop: core-speed drift.
+  //   par_spin_ms — the same loop on `cpus` threads at once: CPU
+  //                 contention from co-tenants (uniform noise shows here).
+  //   scan_ms     — noop-sink scan of the pinned customer.parquet:
+  //                 Spark job-launch + IO-path drift at the record's sf.
+
+  @volatile private var blackhole: Long = 0L // defeats dead-code elimination
+
+  private def spin(iters: Long): Long = {
+    var x = 0x9e3779b97f4a7c15L
+    var i = 0L
+    while (i < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    x
+  }
+
+  private def cpuSpinMs(): Double = {
+    val t0 = System.nanoTime()
+    blackhole ^= spin(400000000L)
+    (System.nanoTime() - t0) / 1e6
+  }
+
+  private def parSpinMs(threads: Int): Double = {
+    val t0 = System.nanoTime()
+    val ts = (1 to threads).map(_ => new Thread(() => {
+      blackhole ^= spin(100000000L)
+    }))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e6
+  }
+
+  private def scanMs(spark: SparkSession, sfDir: String): Double = {
+    val t0 = System.nanoTime()
+    spark.read.parquet(s"$sfDir/customer.parquet")
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e6
+  }
+
+  /** One calibration snapshot as a JSON object string (min-of-3 each). */
+  private[graft] def calibrate(spark: SparkSession, sfDir: String,
+                               threads: Int): String = {
+    val cpu = Seq.fill(3)(cpuSpinMs()).min
+    val par = Seq.fill(3)(parSpinMs(threads)).min
+    val scan = Seq.fill(3)(scanMs(spark, sfDir)).min
+    f"""{"cpu_spin_ms":$cpu%.1f,"par_spin_ms":$par%.1f,"scan_ms":$scan%.1f}"""
+  }
+
   /** Representative slice of the battery: scan+agg, shuffles, joins, windows,
     * asof, dedup/LSH, similarity, text scoring, explode, top-k. */
   val headline: Seq[String] = Seq(
@@ -81,7 +135,10 @@ object Bench {
           name -> Left("err")
       }
     }
+    blackhole ^= spin(50000000L) // JIT-warm the probe loop itself
+    val calPre = calibrate(spark, sfDir, cpus.toInt)
     val runs = Seq.fill(passes)(pass())
+    val calPost = calibrate(spark, sfDir, cpus.toInt)
     val results: Seq[(String, Either[String, (Double, Double)])] =
       picked.zipWithIndex.map { case (name, i) =>
         val samples = runs.map(_(i)._2)
@@ -98,7 +155,7 @@ object Bench {
     val errs = results.count(_._2.isLeft)
     val total = results.collect { case (_, Right((mn, _))) => mn }.sum
     val totalMed = results.collect { case (_, Right((_, md))) => md }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonOf(_._1)},"queries_median":${jsonOf(_._2)},"total_median":$totalMed%.3f,"sf":"$sfDir","passes":$passes,"errors":$errs}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonOf(_._1)},"queries_median":${jsonOf(_._2)},"total_median":$totalMed%.3f,"sf":"$sfDir","passes":$passes,"errors":$errs,"calibration":{"pre":$calPre,"post":$calPost}}""")
     spark.stop()
   }
 }
