@@ -1163,13 +1163,36 @@ object LazyFrame {
       .map(parseBytes)
       .getOrElse(derateCap(Runtime.getRuntime.maxMemory))
 
-  /** Catalyst's size estimate for the frame's optimized logical plan: for a
-    * file scan these are the parquet footer/file bytes (the same bytes
+  /** Plans bigger than this many logical nodes skip the optimizer run in
+    * [[estimatedBytes]]. Measured basis (BroadcastChainProbe, SCALE.md):
+    * optimizing per join call is O(N²) on an iteratively built join chain
+    * — ~70 ms/join at depth 50 and growing, vs ~7 ms flat for the
+    * analyzed-stats fallback. */
+  private val PlanNodeBudget = 64
+
+  /** Catalyst's size estimate for the frame's logical plan: for a file
+    * scan these are the parquet footer/file bytes (the same bytes
     * [[graft.sources.ParquetMeta]] reads), for a materialized cache the
     * in-memory bytes, and for anything unknown a huge default — which
-    * correctly suppresses the hint. Driver-side plan math only; no job. */
-  private[graft] def estimatedBytes(df: DataFrame): BigInt =
-    df.queryExecution.optimizedPlan.stats.sizeInBytes
+    * correctly suppresses the hint. Driver-side plan math only; no job.
+    *
+    * Normally reads the OPTIMIZED plan's stats (column pruning reaches the
+    * scan, so a 2-column projection of a wide table estimates small —
+    * that precision is what lets the hint fire on projected dims). But
+    * running the full optimizer per join call is O(N²) on an iteratively
+    * built chain, so past [[PlanNodeBudget]] nodes this falls back to the
+    * ALREADY-ANALYZED plan's stats: coarser (no pruning; with CBO off a
+    * join node estimates as the product of its children), but every error
+    * direction is conservative — the deep side only ever looks BIGGER, so
+    * it is never itself broadcast and it still clears the probe-side
+    * ratio guard, while shallow dims keep the precise optimized path. */
+  private[graft] def estimatedBytes(df: DataFrame): BigInt = {
+    val analyzed = df.queryExecution.analyzed
+    var nodes = 0
+    analyzed.foreach(_ => nodes += 1)
+    if (nodes > PlanNodeBudget) analyzed.stats.sizeInBytes
+    else df.queryExecution.optimizedPlan.stats.sizeInBytes
+  }
 
   /** Attach a broadcast HINT to a join side when (a) the join type can
     * build on that side, (b) Catalyst's size estimate is under
