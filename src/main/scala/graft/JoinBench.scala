@@ -64,9 +64,18 @@ object JoinBench {
   private[graft] def assertDimShape(name: String, dimRows: Long, keyMax: Long,
                                     nGen: Long, domain: Long): Unit = {
     val expected = domain.toDouble * (1.0 - math.exp(-nGen.toDouble / domain))
-    require(dimRows >= expected * 0.85 && dimRows <= expected * 1.15,
+    // Band: ±15% of expectation PLUS a 4σ sampling-noise allowance — the
+    // coverage count is a sum of near-independent Bernoullis with variance
+    // ≤ expectation, so at small nGen (expected coverage of a few hundred
+    // keys) honest hash-uniform draws routinely land outside a bare ±15%
+    // (ADVICE r16 low item: over-tight at small nGen). The 4σ term is
+    // negligible at the H2O sizes (√1e6 vs 1.5e5) and the r3 defect class
+    // misses by ORDERS of magnitude, so the assert's teeth are unchanged.
+    val slack = expected * 0.15 + 4.0 * math.sqrt(expected)
+    require(dimRows >= expected - slack && dimRows <= expected + slack,
       f"$name shape assert: $dimRows%d distinct keys vs expected " +
-        f"$expected%.0f (domain=$domain%d, nGen=$nGen%d) — generator defect?")
+        f"$expected%.0f ± $slack%.0f (domain=$domain%d, nGen=$nGen%d) — " +
+        "generator defect?")
     require(keyMax >= domain / 2,
       s"$name shape assert: key max $keyMax does not span domain $domain " +
         "— dim is deriving its key domain from its own row count (r3 defect)")

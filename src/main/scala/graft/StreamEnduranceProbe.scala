@@ -81,8 +81,15 @@ object StreamEnduranceProbe {
 
     final case class Obs(batch: Long, rows: Long, execMs: Long,
                          stateRows: Long, stateBytes: Long)
-    // recentProgress retains ~100 updates; each half runs ≤ files/2 + tail
-    // batches, so a snapshot at the end of each half sees every batch
+    // recentProgress retains only the last ~100 updates
+    // (spark.sql.streaming.numRecentProgressUpdates), so a single snapshot
+    // at the end of a half silently DROPS early batches once
+    // files/2 + empty-trigger tail exceeds that window (any run with
+    // files > ~160, or a short triggerSec against the 2 s poll). The wait
+    // loops below therefore accumulate each poll's snapshot merged by
+    // batchId — no retention bound can lose a batch that survived one
+    // 2 s poll window, and the stats never silently exclude the start of
+    // a half. (ADVICE r16 low item, closed r17.)
     def observe(q: org.apache.spark.sql.streaming.StreamingQuery): Seq[Obs] =
       q.recentProgress.toSeq.filter(_.numInputRows > 0).map { p =>
         val so = p.stateOperators.headOption
@@ -95,11 +102,13 @@ object StreamEnduranceProbe {
     val halfMs = files.toLong * triggerSec * 1000L / 2
     val q1 = start()
     val t0 = System.nanoTime()
+    var obs1 = Seq.empty[Obs]
     while ((System.nanoTime() - t0) / 1e6 < halfMs) {
       Thread.sleep(2000)
       if (q1.exception.isDefined) throw q1.exception.get
+      obs1 = (obs1 ++ observe(q1)).distinctBy(_.batch)
     }
-    val obs1 = observe(q1).distinctBy(_.batch).sortBy(_.batch)
+    obs1 = (obs1 ++ observe(q1)).distinctBy(_.batch).sortBy(_.batch)
     // cold kill: stop() without waiting for the in-flight batch
     q1.stop()
     println(s"[endurance] first half: ${obs1.size} batches; killed mid-run")
@@ -116,18 +125,19 @@ object StreamEnduranceProbe {
     val recoverySec = (System.nanoTime() - tRec0) / 1e9
 
     // run out the remaining files (plus watermark tail), observing state
-    var obs2 = Seq.empty[Obs]
+    var obs2 = recovered.distinctBy(_.batch)
     val tEnd = System.nanoTime()
     var idle = 0
     while (idle < 6 && (System.nanoTime() - tEnd) / 1e9 < files * triggerSec) {
       Thread.sleep(2000)
       if (q2.exception.isDefined) throw q2.exception.get
-      val now = observe(q2)
-      if (now.size == obs2.size && now.map(_.batch) == obs2.map(_.batch)) idle += 1
+      val merged = (obs2 ++ observe(q2)).distinctBy(_.batch)
+      if (merged.size == obs2.size) idle += 1
       else idle = 0
-      obs2 = now
+      obs2 = merged
     }
     q2.stop()
+    obs2 = obs2.sortBy(_.batch)
 
     val all = (obs1 ++ obs2).distinctBy(_.batch).sortBy(_.batch)
     val steady = all.drop(2)

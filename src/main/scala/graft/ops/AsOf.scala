@@ -184,6 +184,17 @@ object AsOf {
     // inconsistent pids and wrong boundary carry-ins. Exchange reuse
     // dedupes them only when AQE feels like it; materializing once makes
     // the shared pids unconditional. LAZY so plan construction runs no job.
+    //
+    // Durability tradeoff (ADVICE r16 note): localCheckpoint stores blocks
+    // on executor local storage, NOT the reliable checkpoint dir — losing
+    // an executor mid-job loses its blocks, and because the lineage is cut
+    // Spark cannot recompute them: the job fails and the caller re-runs
+    // the query (correctness is never at risk; the rerun re-samples
+    // consistent pids from scratch). On preemptible/spot fleets, either
+    // accept the rerun-on-loss or swap in a reliable `checkpoint()` via
+    // `spark.sparkContext.setCheckpointDir` upstream — we keep the local
+    // variant because an extra HDFS round-trip per as-of join is a real
+    // cost while executor loss inside this one job's window is rare.
     val ranged = unioned.repartitionByRange(ord: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(eager = false)

@@ -27,9 +27,15 @@ import graft.dsl.LazyFrame
   *     CAST(EXTRACT(YEAR ..) AS BIGINT);
   *   - doubles in comparisons/min/max only (per-row exact); SUMs go
   *     through CAST(x AS DECIMAL(18,2)) then CAST(.. AS DECIMAL(38,6))
-  *     so accumulation is exact and the result width identical (Spark
-  *     sums to DECIMAL(28,2), DuckDB to DECIMAL(38,2); integer SUM is
-  *     HUGEINT in DuckDB — hence CAST(SUM(..) AS BIGINT));
+  *     so accumulation is exact and the width identical (Spark sums to
+  *     DECIMAL(28,2), DuckDB to DECIMAL(38,2); integer SUM is HUGEINT
+  *     in DuckDB — hence CAST(SUM(..) AS BIGINT)), and the final value
+  *     is emitted as a STRING digitstring on BOTH engines (r16:
+  *     CAST(.. AS VARCHAR) / .cast("string")) because the driver's
+  *     compare canonicalizes decimals through float64 — trailing scale
+  *     zeros or >16 significant digits would hash-mismatch a typed
+  *     decimal even when the values are identical (the proven
+  *     dtype_decimal_s4 re-pin; see tools/check.py's hazard gate);
   *   - GROUP BY / ORDER BY by ordinal (alias resolution differs);
   *   - ORDER BY every output column ASC NULLS FIRST (DuckDB defaults
   *     NULLS LAST; Spark NULLS FIRST — left-join nulls would diverge).

@@ -32,6 +32,22 @@ class BenchShapeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("span domain"))
   }
 
+  test("JoinBench dim shape band admits honest sampling noise at small nGen") {
+    // expected coverage for nGen=domain=500 is ~316; a bare ±15% band
+    // (269..363) rejected honest hash-uniform draws a few σ out (ADVICE
+    // r16 low item) — the widened band (±15% + 4·√expected ≈ ±118) admits
+    // them while the r3 defect class (orders of magnitude off) still fires
+    JoinBench.assertDimShape("tiny", dimRows = 250, keyMax = 480,
+      nGen = 500, domain = 500)
+    JoinBench.assertDimShape("tiny", dimRows = 380, keyMax = 480,
+      nGen = 500, domain = 500)
+    val e = intercept[IllegalArgumentException] {
+      JoinBench.assertDimShape("tiny", dimRows = 20, keyMax = 480,
+        nGen = 500, domain = 500)
+    }
+    assert(e.getMessage.contains("shape assert"))
+  }
+
   test("JoinBench dim shape assert passes the healthy hash-uniform shape") {
     // expected coverage = domain·(1−e^{−nGen/domain}) ≈ 6321 for nGen=domain
     JoinBench.assertDimShape("medium", dimRows = 6321, keyMax = 9999,
