@@ -242,16 +242,17 @@ object QueriesFuzz {
 
   private final case class FuzzCase(name: String, sql: String, q: util.Q)
 
-  private def genFuzzCase(idx: Int, rnd: Random): FuzzCase = {
-    // source: single table, a real FK join (inner, or LEFT with an extra
-    // ON predicate so unmatched rows actually occur), or a semi/anti
-    // EXISTS shape routed through LazyFrame.semiJoin/antiJoin
-    // `uniq`: a column known UNIQUE in the source (probed at sf0.01 —
-    // o_orderkey / c_custkey; lineitem has no stable unique tuple in the
-    // synthetic data) — it makes window ORDER BY deterministic. Empty =
-    // no window terminal for this source.
-    val (fromSql, cols, uniq, mkDf): (String, Seq[C], Seq[String],
-        (SparkSession, String) => DataFrame) =
+  /** Source shape: single table, a real FK join (inner, or LEFT with an
+    * extra ON predicate so unmatched rows actually occur), or a semi/anti
+    * EXISTS shape routed through LazyFrame.semiJoin/antiJoin.
+    * `uniq`: a column known UNIQUE in the source (probed at sf0.01 —
+    * o_orderkey / c_custkey; lineitem has no stable unique tuple in the
+    * synthetic data) — it makes window ORDER BY deterministic. Empty =
+    * no window terminal for this source. Factored out of genFuzzCase in
+    * r17 for the v2 batch; the RNG consumption order is byte-identical to
+    * the inline r15 form so the 48 frozen v1 keys regenerate unchanged. */
+  private def genSource(rnd: Random): (String, Seq[C], Seq[String],
+      (SparkSession, String) => DataFrame) =
       rnd.nextInt(8) match {
         case 0 => ("lineitem", lineitem.cols, Nil,
           (s, d) => util.t(s, d, "lineitem"))
@@ -297,6 +298,9 @@ object QueriesFuzz {
               util.lf(s, d, "customer").filter(p.col)
                 .rename("c_custkey" -> "o_custkey"), Seq("o_custkey")).df)
       }
+
+  private def genFuzzCase(idx: Int, rnd: Random): FuzzCase = {
+    val (fromSql, cols, uniq, mkDf) = genSource(rnd)
 
     val wherePred =
       if (rnd.nextBoolean()) Some(genBool(rnd, cols, 2)) else None
@@ -442,9 +446,284 @@ object QueriesFuzz {
     FuzzCase(f"fuzz_q$idx%02d", sql, q)
   }
 
+  // ---- v2 batch (r17, VERDICT r16 task 4): fuzz_q48.. ------------------------
+  //
+  // A SECOND master seed and generator so the 48 frozen v1 keys regenerate
+  // byte-identically while the surface grows. New shapes, each through a
+  // DSL entry the v1 batch never reached:
+  //   * as-of terminals (LazyFrame.joinAsof backward/forward, optional
+  //     by-group) against DuckDB's native ASOF LEFT JOIN — the right side
+  //     is GROUP BY-unique on the as-of key so tie-pinning semantics never
+  //     enter the differential;
+  //   * inequality-join terminals (LazyFrame.joinWhere → grid IEJoin) over
+  //     two GROUP BY-aggregated sides, so the output is ≤ |ga|×|gb| rows
+  //     at ANY scale factor;
+  //   * correlated scalar subqueries (COUNT/SUM/MIN/MAX over lineitem
+  //     correlated on the orders key) — DSL as aggregate + using-join,
+  //     COALESCE(0) for the COUNT-on-empty-set scalar semantics;
+  //   * group-agg v2: the proven string-digitstring decimal SUM now also
+  //     over a DECIMAL×DECIMAL product (q6-revenue shape), and HAVING
+  //     extended from integer COUNT/SUM heads to MIN/MAX integer heads
+  //     (typed tags, not spelling matches, pick the comparable heads).
+
+  private val MasterSeedV2 = 20260817L
+  private val nCasesV2 = 36
+
+  /** v2 aggregate: FE plus a type tag for the HAVING guard —
+    * 'c' = COUNT (BIGINT), 's' = integer SUM (BIGINT), 'm' = integer
+    * MIN/MAX (BIGINT), 'x' = not integer-comparable (string digitstring
+    * sums, string/ts min/max). */
+  private def genAggV2(rnd: Random, cols: Seq[C]): (FE, Char) =
+    rnd.nextInt(8) match {
+      case 0 => (FE("COUNT(*)", count(lit(1))), 'c')
+      case 1 =>
+        val e = genOut(rnd, cols)
+        (FE(s"COUNT(${e.sql})", count(e.col)), 'c')
+      case 2 =>
+        val e = genInt(rnd, cols, 2)
+        (FE(s"CAST(SUM(${e.sql}) AS BIGINT)", sum(e.col).cast("long")), 's')
+      case 3 if dblCols(cols).nonEmpty =>
+        val c = pick(rnd, dblCols(cols))
+        (FE("CAST(CAST(SUM(CAST(" + c.name +
+            " AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS VARCHAR)",
+          sum(col(c.name).cast("decimal(18,2)")).cast("decimal(38,6)")
+            .cast("string")), 'x')
+      case 4 if dblCols(cols).size >= 2 =>
+        // decimal×decimal product sum (TPC-H q6 revenue shape): cents ×
+        // cents → DECIMAL(·,4), exact in both engines, summed exactly,
+        // then the r16 string-digitstring emission (header doc).
+        val a = pick(rnd, dblCols(cols)); val b = pick(rnd, dblCols(cols))
+        (FE("CAST(CAST(SUM(CAST(" + a.name + " AS DECIMAL(18,2)) * CAST(" +
+            b.name + " AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS VARCHAR)",
+          sum(col(a.name).cast("decimal(18,2)") *
+              col(b.name).cast("decimal(18,2)")).cast("decimal(38,6)")
+            .cast("string")), 'x')
+      case 5 =>
+        val e = genInt(rnd, cols, 1)
+        val isMin = rnd.nextBoolean()
+        (FE(s"${if (isMin) "MIN" else "MAX"}(${e.sql})",
+          if (isMin) min(e.col) else max(e.col)), 'm')
+      case _ =>
+        val pool = cols.filter(c => "isdt".contains(c.kind))
+        val c = pick(rnd, pool)
+        val isMin = rnd.nextBoolean()
+        (FE(s"${if (isMin) "MIN" else "MAX"}(${c.name})",
+          if (isMin) min(col(c.name)) else max(col(c.name))),
+          if (c.kind == 'i') 'm' else 'x')
+    }
+
+  /** A small GROUP BY-aggregated side for the IEJoin terminal: bounded to
+    * ≤ `m` rows at any scale factor (the group key is `key % m`), with an
+    * integer aggregate payload. Returns (subquery SQL, group alias,
+    * payload alias, DSL builder). */
+  private def genBoundedSide(rnd: Random, tbl: Tbl, g: String, v: String)
+      : (String, (SparkSession, String) => DataFrame) = {
+    val key = pick(rnd, intCols(tbl.cols))
+    val m = 4 + rnd.nextInt(13)
+    val (agg, _) = {
+      // only integer-comparable payloads: draw until c/s/m (bounded —
+      // tags are independent of table shape for these three cases)
+      var a = genAggV2(rnd, tbl.cols)
+      while (a._2 == 'x') a = genAggV2(rnd, tbl.cols)
+      a
+    }
+    val pred = if (rnd.nextBoolean()) Some(genBool(rnd, tbl.cols, 1)) else None
+    val w = pred.map(p => s" WHERE ${p.sql}").getOrElse("")
+    val sql = s"(SELECT (${key.name} % $m) AS $g, ${agg.sql} AS $v " +
+      s"FROM ${tbl.name}$w GROUP BY 1)"
+    val mk = (s: SparkSession, d: String) => {
+      val base = util.t(s, d, tbl.name)
+      val f = pred.map(p => base.filter(p.col)).getOrElse(base)
+      f.groupBy((col(key.name) % m).as(g)).agg(agg.col.as(v))
+    }
+    (sql, mk)
+  }
+
+  private def genFuzzCaseV2(idx: Int, rnd: Random): FuzzCase =
+    rnd.nextInt(10) match {
+      // ---- as-of terminal (3/10) ------------------------------------------
+      case 0 | 1 | 2 =>
+        val backward = rnd.nextBoolean()
+        val by = rnd.nextBoolean()
+        // left: lineitem keyed on l_shipdate; right: orders collapsed to
+        // one row per (group,) o_orderdate — GROUP BY-unique on the as-of
+        // key, so both engines' tie rules are moot
+        val m = 2 + rnd.nextInt(6)
+        val rPred = if (rnd.nextBoolean()) Some(genBool(rnd, orders.cols, 1)) else None
+        val lPred = if (rnd.nextBoolean()) Some(genBool(rnd, lineitem.cols, 1)) else None
+        val rw = rPred.map(p => s" WHERE ${p.sql}").getOrElse("")
+        val lw = lPred.map(p => s" WHERE ${p.sql}").getOrElse("")
+        val gSelR = if (by) s"(o_custkey % $m) AS g, " else ""
+        val gGrpR = if (by) "1, 2" else "1"
+        val rightSql = s"(SELECT ${gSelR}o_orderdate AS rts, " +
+          s"CAST(COUNT(*) AS BIGINT) AS rv FROM orders$rw GROUP BY $gGrpR)"
+        val gSelL = if (by) s"(l_suppkey % $m) AS g, " else ""
+        val leftSql = s"(SELECT ${gSelL}l_orderkey, l_shipdate " +
+          s"FROM lineitem$lw)"
+        val onSql = (if (by) "l.g = r.g AND " else "") +
+          s"l.l_shipdate ${if (backward) ">=" else "<="} r.rts"
+        val outCols = (if (by) Seq("g") else Nil) ++
+          Seq("l_orderkey", "l_shipdate", "rts", "rv")
+        // `g` exists on BOTH sides of the ASOF join — qualify (l.g AS g)
+        val outSql = (if (by) Seq("l.g AS g") else Nil) ++
+          Seq("l.l_orderkey", "l.l_shipdate", "r.rts", "r.rv")
+        val ord = outCols.indices.map(i => s"${i + 1} ASC NULLS FIRST")
+          .mkString(", ")
+        val sql = s"SELECT ${outSql.mkString(", ")} FROM $leftSql l " +
+          s"ASOF LEFT JOIN $rightSql r ON $onSql ORDER BY $ord"
+        val q: util.Q = (s, d) => {
+          val l0 = util.t(s, d, "lineitem")
+          val lf0 = lPred.map(p => l0.filter(p.col)).getOrElse(l0)
+          val left = if (by)
+            lf0.select((col("l_suppkey") % m).as("g"), col("l_orderkey"),
+              col("l_shipdate"))
+          else lf0.select(col("l_orderkey"), col("l_shipdate"))
+          val r0 = util.t(s, d, "orders")
+          val rf0 = rPred.map(p => r0.filter(p.col)).getOrElse(r0)
+          val right = if (by)
+            rf0.groupBy((col("o_custkey") % m).as("g"),
+                col("o_orderdate").as("rts"))
+              .agg(count(lit(1)).as("rv"))
+          else rf0.groupBy(col("o_orderdate").as("rts"))
+            .agg(count(lit(1)).as("rv"))
+          LazyFrame(left).joinAsof(LazyFrame(right), "l_shipdate", "rts",
+              by = if (by) Seq("g") else Nil,
+              strategy = if (backward) "backward" else "forward")
+            .df.select(outCols.map(col): _*)
+            .orderBy(outCols.map(n => col(n).asc_nulls_first): _*)
+        }
+        FuzzCase(f"fuzz_q$idx%02d", sql, q)
+
+      // ---- inequality-join terminal (2/10) --------------------------------
+      case 3 | 4 =>
+        val (aSql, mkA) = genBoundedSide(rnd, customer, "ga", "va")
+        val (bSql, mkB) = genBoundedSide(rnd, orders, "gb", "vb")
+        val ops = Seq("<", "<=", ">", ">=")
+        val op1 = pick(rnd, ops)
+        val op2 = pick(rnd, ops)
+        val sql = s"SELECT ga, va, gb, vb FROM $aSql a JOIN $bSql b " +
+          s"ON a.ga $op1 b.gb AND a.va $op2 b.vb " +
+          "ORDER BY 1 ASC NULLS FIRST, 2 ASC NULLS FIRST, " +
+          "3 ASC NULLS FIRST, 4 ASC NULLS FIRST"
+        def cmp(op: String)(x: Column, y: Column): Column = op match {
+          case "<" => x < y; case "<=" => x <= y
+          case ">" => x > y; case _ => x >= y
+        }
+        val q: util.Q = (s, d) => {
+          val a = mkA(s, d); val b = mkB(s, d)
+          LazyFrame(a).joinWhere(LazyFrame(b),
+              cmp(op1)(col("ga"), col("gb")) && cmp(op2)(col("va"), col("vb")))
+            .df.select(col("ga"), col("va"), col("gb"), col("vb"))
+            .orderBy(Seq("ga", "va", "gb", "vb").map(col(_).asc_nulls_first): _*)
+        }
+        FuzzCase(f"fuzz_q$idx%02d", sql, q)
+
+      // ---- correlated scalar subquery terminal (2/10) ----------------------
+      case 5 | 6 =>
+        val pred = if (rnd.nextBoolean()) Some(genBool(rnd, lineitem.cols, 1)) else None
+        val wPred = if (rnd.nextBoolean()) Some(genBool(rnd, orders.cols, 1)) else None
+        val pw = pred.map(p => s" AND ${p.sql}").getOrElse("")
+        val ww = wPred.map(p => s" WHERE ${p.sql}").getOrElse("")
+        // scalar aggregate over the correlated lineitem set
+        val (scalarSql, scalarCol, isCount) = rnd.nextInt(4) match {
+          case 0 => ("CAST(COUNT(*) AS BIGINT)", count(lit(1)), true)
+          case 1 =>
+            val e = genInt(rnd, lineitem.cols, 1)
+            (s"CAST(SUM(${e.sql}) AS BIGINT)", sum(e.col).cast("long"), false)
+          case 2 =>
+            val e = genInt(rnd, lineitem.cols, 1)
+            (s"MIN(${e.sql})", min(e.col), false)
+          case _ =>
+            val e = genInt(rnd, lineitem.cols, 1)
+            (s"MAX(${e.sql})", max(e.col), false)
+        }
+        val extra = genOut(rnd, orders.cols)
+        // scalar COUNT over an empty correlated set is 0, not NULL — the
+        // left join emits NULL there, hence the COALESCE pair
+        val sSel = s"(SELECT $scalarSql FROM lineitem " +
+          s"WHERE l_orderkey = o_orderkey$pw)"
+        val s0 = if (isCount) s"COALESCE($sSel, 0)" else sSel
+        val sql = s"SELECT o_orderkey, ${extra.sql} AS e0, $s0 AS s0 " +
+          s"FROM orders$ww ORDER BY 1 ASC NULLS FIRST, 2 ASC NULLS FIRST, " +
+          "3 ASC NULLS FIRST"
+        val q: util.Q = (s, d) => {
+          val sub = util.t(s, d, "lineitem")
+          val subF = pred.map(p => sub.filter(p.col)).getOrElse(sub)
+          val agg = subF.groupBy(col("l_orderkey").as("o_orderkey"))
+            .agg(scalarCol.as("__s"))
+          val o0 = util.t(s, d, "orders")
+          val oF = wPred.map(p => o0.filter(p.col)).getOrElse(o0)
+          val j = LazyFrame(oF).join(LazyFrame(agg), Seq("o_orderkey"), "left").df
+          val sOut = if (isCount) coalesce(col("__s"), lit(0L)) else col("__s")
+          j.select(col("o_orderkey"), extra.col.as("e0"), sOut.as("s0"))
+            .orderBy(Seq("o_orderkey", "e0", "s0").map(col(_).asc_nulls_first): _*)
+        }
+        FuzzCase(f"fuzz_q$idx%02d", sql, q)
+
+      // ---- group-agg v2 terminal (3/10) ------------------------------------
+      case _ =>
+        val (fromSql, cols, _, mkDf) = genSource(rnd)
+        val wherePred =
+          if (rnd.nextBoolean()) Some(genBool(rnd, cols, 2)) else None
+        val nk = 1 + rnd.nextInt(2)
+        val keys = (0 until nk).map { i =>
+          val e = rnd.nextInt(3) match {
+            case 0 => { val c = pick(rnd, strCols(cols)); FE(c.name, col(c.name)) }
+            case 1 =>
+              val c = pick(rnd, intCols(cols)); val m = 2 + rnd.nextInt(8)
+              FE(s"(${c.name} % $m)", col(c.name) % m)
+            case _ if tsCols(cols).nonEmpty =>
+              val c = pick(rnd, tsCols(cols))
+              FE(s"CAST(EXTRACT(YEAR FROM ${c.name}) AS BIGINT)",
+                year(col(c.name)).cast("long"))
+            case _ => { val c = pick(rnd, strCols(cols)); FE(c.name, col(c.name)) }
+          }
+          (s"g$i", e)
+        }
+        val nAgg = 1 + rnd.nextInt(3)
+        val aggs = (0 until nAgg).map(i => (s"a$i", genAggV2(rnd, cols)))
+        val sel = (keys.map { case (n, e) => s"${e.sql} AS $n" } ++
+          aggs.map { case (n, (e, _)) => s"${e.sql} AS $n" }).mkString(", ")
+        val grp = s" GROUP BY ${keys.indices.map(_ + 1).mkString(", ")}"
+        // HAVING now keys off the TYPED tag (VERDICT r16 task 4: MIN/MAX
+        // heads too), not the SQL spelling; the draw order is fixed within
+        // this v2 generator so the guard can look at the tag directly.
+        // Thresholds: group counts/sums compare against a small literal;
+        // integer MIN/MAX values are key-scaled, so draw a wider literal.
+        val headTag = aggs.head._2._2
+        val havingT =
+          if (rnd.nextBoolean() && (headTag == 'c' || headTag == 's' || headTag == 'm'))
+            Some(if (headTag == 'm') rnd.nextInt(2000).toLong
+                 else rnd.nextInt(40).toLong)
+          else None
+        val having = havingT
+          .map(t => s" HAVING ${aggs.head._2._1.sql} > $t").getOrElse("")
+        val ord = (1 to keys.size + aggs.size)
+          .map(i => s"$i ASC NULLS FIRST").mkString(", ")
+        val whereSql = wherePred.map(p => s" WHERE ${p.sql}").getOrElse("")
+        val sql = s"SELECT $sel FROM $fromSql$whereSql$grp$having ORDER BY $ord"
+        val q: util.Q = (s, d) => {
+          val src0 = mkDf(s, d)
+          val src = wherePred.map(p => src0.filter(p.col)).getOrElse(src0)
+          val base = src.groupBy(keys.map { case (n, e) => e.col.as(n) }: _*)
+            .agg(aggs.head._2._1.col.as(aggs.head._1),
+              aggs.tail.map { case (n, (e, _)) => e.col.as(n) }: _*)
+          val filtered = havingT match {
+            case Some(t) => base.filter(col(aggs.head._1) > t)
+            case None    => base
+          }
+          val outNames = keys.map(_._1) ++ aggs.map(_._1)
+          filtered.orderBy(outNames.map(n => col(n).asc_nulls_first): _*)
+        }
+        FuzzCase(f"fuzz_q$idx%02d", sql, q)
+    }
+
   private val cases: Seq[FuzzCase] = {
     val rnd = new Random(MasterSeed)
-    (0 until nCases).map(i => genFuzzCase(i, rnd))
+    val v1 = (0 until nCases).map(i => genFuzzCase(i, rnd))
+    val rnd2 = new Random(MasterSeedV2)
+    val v2 = (0 until nCasesV2).map(i => genFuzzCaseV2(nCases + i, rnd2))
+    v1 ++ v2
   }
 
   val queries: Map[String, util.Q] =
