@@ -37,8 +37,13 @@ import org.apache.spark.sql.types._
   *   projection) → [filter] → [join t1 (inner|left) on k0/k1] → [filter] →
   *   [window (partitioned running agg / row_number / lag / lead,
   *   unique-rid order)] → [explode(array col) — inner Generate] →
-  *   (project exprs | groupBy(keys).agg(aggs) | distinct(projection)
-  *    | ORDER BY rid LIMIT k)
+  *   (project exprs | groupBy(keys).agg(aggs) [HAVING agg0 > t when the
+  *    head agg is long-typed — r17] | distinct(projection)
+  *    | ORDER BY rid LIMIT k
+  *    | as-of terminal — LazyFrame.joinAsof keyless backward/forward vs a
+  *      non-equi correlated-scalar ANSI emulation (r17)
+  *    | inequality-join terminal — LazyFrame.joinWhere (grid IEJoin) vs
+  *      Spark SQL theta join (r17))
   * Expression grammar: column refs, literals, +,-,*, string concat/upper/
   * substring/length, date year/date_add, struct field access, array
   * size/try_element_at, comparisons over every orderable kind, IS NULL,
@@ -717,12 +722,95 @@ object PlanFuzz {
     }
 
     // terminal stage
-    rnd.nextInt(5) match {
+    rnd.nextInt(7) match {
       case 4 if hasRid && !joined => // deterministic sort + limit (rid unique)
         val k = 1 + rnd.nextInt(20)
         sql = s"SELECT * FROM ($sql) ORDER BY rid LIMIT $k"
         df = df.orderBy(col("rid")).limit(k)
         model = model.sortBy(_("rid").asInstanceOf[Long]).take(k)
+      case 5 if schema.exists(_.name == "rid") =>
+        // as-of terminal (r17, VERDICT r16 task 4): LazyFrame.joinAsof
+        // (keyless, the boundary-carry path) vs an ANSI emulation — a
+        // non-equi correlated scalar picks the matched key, a LEFT JOIN
+        // back fetches the payload (right is GROUP BY-unique on rk, so
+        // the re-join never multiplies) — vs the model's per-row scan.
+        // rid need not be unique here (post-join duplicates are fine);
+        // only PRESENCE is required, hence the gate above.
+        val backward = rnd.nextBoolean()
+        val rSql = "(SELECT k0 AS rk, CAST(COUNT(*) AS BIGINT) AS rv " +
+          "FROM fz_t1 WHERE k0 IS NOT NULL GROUP BY k0)"
+        val (aggF, cmpS) = if (backward) ("MAX", "<=") else ("MIN", ">=")
+        val sel = schema.map(c => s"X.${c.name}").mkString(", ")
+        sql = s"SELECT $sel, X.mk AS rk, RR.rv FROM (SELECT C.*, " +
+          s"(SELECT $aggF(R2.rk) FROM $rSql R2 WHERE R2.rk $cmpS C.rid) AS mk " +
+          s"FROM ($sql) C) X LEFT JOIN $rSql RR ON RR.rk = X.mk"
+        val right = f1.filter(col("k0").isNotNull)
+          .groupBy(col("k0").as("rk")).agg(count(lit(1)).as("rv"))
+        df = graft.dsl.LazyFrame(df).joinAsof(graft.dsl.LazyFrame(right),
+          "rid", "rk", Nil, if (backward) "backward" else "forward").df
+        val rmap: Map[Long, Long] = m1.filter(_("k0") != null)
+          .groupBy(_("k0").asInstanceOf[Long])
+          .map { case (k, g) => k -> g.size.toLong }
+        val rks = rmap.keys.toSeq
+        // rid here is only guaranteed PRESENT, not non-null: after a set-op
+        // source it can re-enter from the join's RIGHT side, where an
+        // unmatched left row leaves it NULL — and a null as-of key never
+        // matches (AsOf skips null left keys; SQL's NULL comparison makes
+        // the correlated set empty). Caught by pinned seed 176.
+        model = model.map { r =>
+          val cand = r("rid") match {
+            case null    => Nil
+            case k: Long => rks.filter(rk => if (backward) rk <= k else rk >= k)
+          }
+          if (cand.isEmpty) r ++ Map[String, Any]("rk" -> null, "rv" -> null)
+          else {
+            val mk = if (backward) cand.max else cand.min
+            r ++ Map[String, Any]("rk" -> mk, "rv" -> rmap(mk))
+          }
+        }
+        schema = schema ++ Seq(Col("rk", KLong), Col("rv", KLong))
+      case 6 =>
+        // inequality-join terminal (r17): LazyFrame.joinWhere — the grid
+        // IEJoin when both conjuncts are inequalities — vs Spark SQL's
+        // theta join vs the model's O(n·m) scan with null-never-matches.
+        // Every schema has ≥1 KLong at terminal time (k0 survives every
+        // source; projections only happen AT terminals).
+        val longsL = schema.filter(_.kind == KLong)
+        val rLongs = baseSchema.filter(_.kind == KLong)
+        val ops = Seq("<", "<=", ">", ">=")
+        val (a, c2) = (pick(rnd, longsL), pick(rnd, longsL))
+        val (b, d2) = (pick(rnd, rLongs), pick(rnd, rLongs))
+        val (op1, op2) = (pick(rnd, ops), pick(rnd, ops))
+        sql = s"SELECT L.${a.name} AS la, L.${c2.name} AS lc, " +
+          s"R.${b.name} AS rb, R.${d2.name} AS rd FROM ($sql) L " +
+          s"JOIN fz_t1 R ON L.${a.name} $op1 R.${b.name} " +
+          s"AND L.${c2.name} $op2 R.${d2.name}"
+        def cOp(op: String)(x: Column, y: Column): Column = op match {
+          case "<" => x < y; case "<=" => x <= y
+          case ">" => x > y; case _ => x >= y
+        }
+        val lSide = df.select(col(a.name).as("la"), col(c2.name).as("lc"))
+        val rSide = f1.select(col(b.name).as("rb"), col(d2.name).as("rd"))
+        df = graft.dsl.LazyFrame(lSide).joinWhere(graft.dsl.LazyFrame(rSide),
+          cOp(op1)(col("la"), col("rb")) && cOp(op2)(col("lc"), col("rd"))).df
+        def lCmp(op: String, x: Long, y: Long): Boolean = op match {
+          case "<" => x < y; case "<=" => x <= y
+          case ">" => x > y; case _ => x >= y
+        }
+        model = model.flatMap { l =>
+          val (lv1, lv2) = (l(a.name), l(c2.name))
+          m1.flatMap { r =>
+            val (rv1, rv2) = (r(b.name), r(d2.name))
+            if (lv1 != null && lv2 != null && rv1 != null && rv2 != null &&
+                lCmp(op1, lv1.asInstanceOf[Long], rv1.asInstanceOf[Long]) &&
+                lCmp(op2, lv2.asInstanceOf[Long], rv2.asInstanceOf[Long]))
+              Some(Map[String, Any]("la" -> lv1, "lc" -> lv2,
+                "rb" -> rv1, "rd" -> rv2))
+            else None
+          }
+        }
+        schema = Seq(Col("la", KLong), Col("lc", KLong),
+          Col("rb", KLong), Col("rd", KLong))
       case 0 | 1 => // project
         val n = 1 + rnd.nextInt(4)
         val exs = (0 until n).map(i => (s"e$i", genOut(rnd, schema)))
@@ -738,15 +826,32 @@ object PlanFuzz {
         val aggs = (0 until nAgg).map(i => (s"agg$i", genAgg(rnd, schema)))
         val keySql = keys.map(_.name)
         val aggSql = aggs.map { case (nm, (a, _)) => s"${a.sql} AS $nm" }
+        // HAVING (r17, VERDICT r16 task 4): when grouped and the first
+        // aggregate is long-typed (COUNT / SUM(long) / MIN / MAX(long) —
+        // so MIN/MAX heads are covered), half the cases append a HAVING.
+        // 3-valued: a NULL aggregate (empty SUM/MIN/MAX never occurs per
+        // group, but null-only inputs do) fails the predicate on all
+        // three paths.
+        val havingT =
+          if (keys.nonEmpty && aggs.head._2._2 == KLong && rnd.nextBoolean())
+            Some(rnd.nextLong(30) - 5L)
+          else None
+        val havingSql = havingT
+          .map(t => s" HAVING ${aggs.head._2._1.sql} > $t").getOrElse("")
         sql = s"SELECT ${(keySql ++ aggSql).mkString(", ")} FROM ($sql)" +
-          (if (keys.nonEmpty) s" GROUP BY ${keySql.mkString(", ")}" else "")
-        df =
+          (if (keys.nonEmpty) s" GROUP BY ${keySql.mkString(", ")}" else "") +
+          havingSql
+        val grouped0 =
           if (keys.isEmpty) df.agg(aggs.head._2._1.col.as(aggs.head._1),
             aggs.tail.map { case (nm, (a, _)) => a.col.as(nm) }: _*)
           else df.groupBy(keys.map(k => col(k.name)): _*)
             .agg(aggs.head._2._1.col.as(aggs.head._1),
               aggs.tail.map { case (nm, (a, _)) => a.col.as(nm) }: _*)
-        model = {
+        df = havingT match {
+          case Some(t) => grouped0.filter(col(aggs.head._1) > t)
+          case None    => grouped0
+        }
+        val modelGrouped = {
           if (keys.isEmpty)
             Seq(aggs.map { case (nm, (a, _)) => nm -> a.ev(model) }.toMap)
           else model.groupBy(r => keys.map(k => canon(r(k.name))))
@@ -754,6 +859,13 @@ object PlanFuzz {
               keys.map(k => k.name -> g.head(k.name)).toMap ++
                 aggs.map { case (nm, (a, _)) => nm -> a.ev(g) }.toMap
             }.toSeq
+        }
+        model = havingT match {
+          case Some(t) => modelGrouped.filter { r =>
+            val v = r(aggs.head._1)
+            v != null && v.asInstanceOf[Long] > t
+          }
+          case None => modelGrouped
         }
         schema = keys ++ aggs.map { case (nm, (_, k)) => Col(nm, k) }
       case _ => // distinct over a scalar projection
