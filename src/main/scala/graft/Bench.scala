@@ -74,6 +74,10 @@ object Bench {
     "text_quality", "dedup_near_pairs", "sim_bruteforce_topk")
 
   def main(args: Array[String]): Unit = {
+    // The record line is machine-parsed JSON and every float lands in it
+    // via f-interpolation, which formats in the JVM default locale — a
+    // comma-decimal locale would emit {"value":7,384} and break ingestion.
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     // optional args restrict the run to named queries (local iteration)
     val picked = if (args.nonEmpty) headline.filter(args.toSet) else headline
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

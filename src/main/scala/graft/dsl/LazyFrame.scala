@@ -1182,10 +1182,13 @@ object LazyFrame {
     * running the full optimizer per join call is O(N²) on an iteratively
     * built chain, so past [[PlanNodeBudget]] nodes this falls back to the
     * ALREADY-ANALYZED plan's stats: coarser (no pruning; with CBO off a
-    * join node estimates as the product of its children), but every error
-    * direction is conservative — the deep side only ever looks BIGGER, so
-    * it is never itself broadcast and it still clears the probe-side
-    * ratio guard, while shallow dims keep the precise optimized path. */
+    * join node estimates as the product of its children). The deep side
+    * only ever looks BIGGER, so it can never itself be broadcast by
+    * mistake; the residual error is one-sided and bounded — an inflated
+    * probe-side estimate can pass the [[BroadcastRatio]] guard for a
+    * ≤cap dim that a precise estimate would have declined, shipping that
+    * dim (itself bounded by the heap-derated cap) unnecessarily. Shallow
+    * dims keep the precise column-pruned optimized path. */
   private[graft] def estimatedBytes(df: DataFrame): BigInt = {
     val analyzed = df.queryExecution.analyzed
     var nodes = 0

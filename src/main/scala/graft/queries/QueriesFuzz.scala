@@ -514,8 +514,8 @@ object QueriesFuzz {
 
   /** A small GROUP BY-aggregated side for the IEJoin terminal: bounded to
     * ≤ `m` rows at any scale factor (the group key is `key % m`), with an
-    * integer aggregate payload. Returns (subquery SQL, group alias,
-    * payload alias, DSL builder). */
+    * integer aggregate payload. `g`/`v` are the group/payload output
+    * aliases; returns (subquery SQL, DSL builder). */
   private def genBoundedSide(rnd: Random, tbl: Tbl, g: String, v: String)
       : (String, (SparkSession, String) => DataFrame) = {
     val key = pick(rnd, intCols(tbl.cols))

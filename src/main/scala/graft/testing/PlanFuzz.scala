@@ -729,43 +729,66 @@ object PlanFuzz {
         df = df.orderBy(col("rid")).limit(k)
         model = model.sortBy(_("rid").asInstanceOf[Long]).take(k)
       case 5 if schema.exists(_.name == "rid") =>
-        // as-of terminal (r17, VERDICT r16 task 4): LazyFrame.joinAsof
-        // (keyless, the boundary-carry path) vs an ANSI emulation — a
-        // non-equi correlated scalar picks the matched key, a LEFT JOIN
-        // back fetches the payload (right is GROUP BY-unique on rk, so
-        // the re-join never multiplies) — vs the model's per-row scan.
-        // rid need not be unique here (post-join duplicates are fine);
-        // only PRESENCE is required, hence the gate above.
+        // as-of terminal (r17, VERDICT r16 task 4): LazyFrame.joinAsof vs
+        // an ANSI emulation — a non-equi correlated scalar picks the
+        // matched key, a LEFT JOIN back fetches the payload (right is
+        // GROUP BY-unique on (by, rk), so the re-join never multiplies) —
+        // vs the model's per-row scan. Three DSL variants share the one
+        // emulation: keyless (boundary-carry path), by-keyed on the
+        // collision-rich nullable k1 (keyed-window path; a NULL by-key
+        // forms a matchable group on all three paths — partitionBy groups
+        // nulls, SQL uses <=>, the model groups by canon), and by-keyed
+        // with rangedBy=true (the skew-proof range-partitioned carry,
+        // previously only property-spec'd — results must be identical to
+        // the keyed window's). rid need not be unique here (post-join
+        // duplicates are fine); only PRESENCE is required, hence the gate.
         val backward = rnd.nextBoolean()
-        val rSql = "(SELECT k0 AS rk, CAST(COUNT(*) AS BIGINT) AS rv " +
-          "FROM fz_t1 WHERE k0 IS NOT NULL GROUP BY k0)"
+        val useBy = schema.exists(_.name == "k1") && rnd.nextBoolean()
+        val rangedBy = useBy && rnd.nextBoolean()
+        val rSql =
+          if (useBy) "(SELECT k1, k0 AS rk, CAST(COUNT(*) AS BIGINT) AS rv " +
+            "FROM fz_t1 WHERE k0 IS NOT NULL GROUP BY k1, k0)"
+          else "(SELECT k0 AS rk, CAST(COUNT(*) AS BIGINT) AS rv " +
+            "FROM fz_t1 WHERE k0 IS NOT NULL GROUP BY k0)"
         val (aggF, cmpS) = if (backward) ("MAX", "<=") else ("MIN", ">=")
+        val byCorr = if (useBy) "R2.k1 <=> C.k1 AND " else ""
+        val byBack = if (useBy) "RR.k1 <=> X.k1 AND " else ""
         val sel = schema.map(c => s"X.${c.name}").mkString(", ")
         sql = s"SELECT $sel, X.mk AS rk, RR.rv FROM (SELECT C.*, " +
-          s"(SELECT $aggF(R2.rk) FROM $rSql R2 WHERE R2.rk $cmpS C.rid) AS mk " +
-          s"FROM ($sql) C) X LEFT JOIN $rSql RR ON RR.rk = X.mk"
-        val right = f1.filter(col("k0").isNotNull)
-          .groupBy(col("k0").as("rk")).agg(count(lit(1)).as("rv"))
+          s"(SELECT $aggF(R2.rk) FROM $rSql R2 WHERE $byCorr" +
+          s"R2.rk $cmpS C.rid) AS mk " +
+          s"FROM ($sql) C) X LEFT JOIN $rSql RR ON ${byBack}RR.rk = X.mk"
+        val right =
+          if (useBy) f1.filter(col("k0").isNotNull)
+            .groupBy(col("k1"), col("k0").as("rk")).agg(count(lit(1)).as("rv"))
+          else f1.filter(col("k0").isNotNull)
+            .groupBy(col("k0").as("rk")).agg(count(lit(1)).as("rv"))
         df = graft.dsl.LazyFrame(df).joinAsof(graft.dsl.LazyFrame(right),
-          "rid", "rk", Nil, if (backward) "backward" else "forward").df
-        val rmap: Map[Long, Long] = m1.filter(_("k0") != null)
-          .groupBy(_("k0").asInstanceOf[Long])
+          "rid", "rk", if (useBy) Seq("k1") else Nil,
+          if (backward) "backward" else "forward", None, rangedBy).df
+        // right lookup: (by-group canon, rk) -> count; keyless uses a
+        // single "" group
+        val rmap: Map[(Any, Long), Long] = m1.filter(_("k0") != null)
+          .groupBy(r => (if (useBy) canon(r("k1")) else "",
+            r("k0").asInstanceOf[Long]))
           .map { case (k, g) => k -> g.size.toLong }
-        val rks = rmap.keys.toSeq
         // rid here is only guaranteed PRESENT, not non-null: after a set-op
         // source it can re-enter from the join's RIGHT side, where an
         // unmatched left row leaves it NULL — and a null as-of key never
         // matches (AsOf skips null left keys; SQL's NULL comparison makes
         // the correlated set empty). Caught by pinned seed 176.
         model = model.map { r =>
+          val g = if (useBy) canon(r("k1")) else ""
           val cand = r("rid") match {
             case null    => Nil
-            case k: Long => rks.filter(rk => if (backward) rk <= k else rk >= k)
+            case k: Long => rmap.keys.collect {
+              case (gg, rk) if gg == g && (if (backward) rk <= k else rk >= k) => rk
+            }
           }
           if (cand.isEmpty) r ++ Map[String, Any]("rk" -> null, "rv" -> null)
           else {
             val mk = if (backward) cand.max else cand.min
-            r ++ Map[String, Any]("rk" -> mk, "rv" -> rmap(mk))
+            r ++ Map[String, Any]("rk" -> mk, "rv" -> rmap((g, mk)))
           }
         }
         schema = schema ++ Seq(Col("rk", KLong), Col("rv", KLong))

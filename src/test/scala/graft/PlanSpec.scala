@@ -451,15 +451,22 @@ class PlanSpec extends SparkSpec {
     val raw = planOf(fact.join(dim, "k"))
     assert(!raw.contains("BroadcastHashJoin"),
       s"control broken: Spark broadcast a >10MB dim at the default threshold?\n$raw")
-    // library join: the size-driven hint must fire
-    val auto = planOf(LazyFrame(fact).join(LazyFrame(dim), Seq("k")).df)
-    assert(auto.contains("BroadcastHashJoin"),
-      s"auto-broadcast did not fire for a ${dimBytes / 1048576}MB dim:\n$auto")
-    // and for the left-outer / semi / anti build-right family too
-    assert(planOf(LazyFrame(fact).join(LazyFrame(dim), Seq("k"), "left").df)
-      .contains("BroadcastHashJoin"), "left join should broadcast-hint the dim")
-    assert(planOf(LazyFrame(fact).semiJoin(LazyFrame(dim), Seq("k")).df)
-      .contains("BroadcastHashJoin"), "semi join should broadcast-hint the dim")
+    // This test pins the HINT MACHINERY, not the default cap (that has
+    // its own tests below), so pin the cap: since r17 the default is
+    // heap-derated and a small SPARK_DRIVER_MEM test JVM would otherwise
+    // put this dim over the session default and red the suite with no
+    // actual regression.
+    withSQLConf("spark.graft.broadcastThreshold" -> "256m") {
+      // library join: the size-driven hint must fire
+      val auto = planOf(LazyFrame(fact).join(LazyFrame(dim), Seq("k")).df)
+      assert(auto.contains("BroadcastHashJoin"),
+        s"auto-broadcast did not fire for a ${dimBytes / 1048576}MB dim:\n$auto")
+      // and for the left-outer / semi / anti build-right family too
+      assert(planOf(LazyFrame(fact).join(LazyFrame(dim), Seq("k"), "left").df)
+        .contains("BroadcastHashJoin"), "left join should broadcast-hint the dim")
+      assert(planOf(LazyFrame(fact).semiJoin(LazyFrame(dim), Seq("k")).df)
+        .contains("BroadcastHashJoin"), "semi join should broadcast-hint the dim")
+    }
   }
 
   test("auto-broadcast: cap=0 disables; full outer and similar-size sides never hint") {
@@ -515,10 +522,14 @@ class PlanSpec extends SparkSpec {
     assert(LazyFrame.derateCap(8L << 30) == 256 * mb)
     assert(LazyFrame.derateCap(96L << 30) == 256 * mb)
     // with no conf/env pin the session cap IS the derated value for this
-    // JVM's real heap (the default path, not a fixed constant)
+    // JVM's real heap (the default path, not a fixed constant). Skip the
+    // default-path assert when the env knob is set — broadcastCap
+    // consults SPARK_GRAFT_BCAST_THRESHOLD too, and a rig legitimately
+    // running with it pinned must not red this test.
     assert(spark.conf.getOption("spark.graft.broadcastThreshold").isEmpty)
-    assert(LazyFrame.broadcastCap(spark) ==
-      LazyFrame.derateCap(Runtime.getRuntime.maxMemory))
+    if (sys.env.get("SPARK_GRAFT_BCAST_THRESHOLD").isEmpty)
+      assert(LazyFrame.broadcastCap(spark) ==
+        LazyFrame.derateCap(Runtime.getRuntime.maxMemory))
   }
 
   test("auto-broadcast: hint does NOT fire when the in-memory estimate exceeds the derated cap") {
