@@ -65,6 +65,26 @@ object Bench {
     f"""{"cpu_spin_ms":$cpu%.1f,"par_spin_ms":$par%.1f,"scan_ms":$scan%.1f}"""
   }
 
+  /** Stream every input parquet for the battery's sf through a noop sink
+    * once so the timed passes start from a WARM page cache (r17 forensics:
+    * a cold cache turned a 130.7 s sf100 battery into 220 s with flat CPU
+    * probes, and BENCH_r17's 12.2 s sf0.1 record was pure I/O co-tenancy —
+    * records must not depend on page-cache luck). Opt out with
+    * SPARK_GRAFT_BENCH_WARM=0; the record carries `warmed` either way.
+    * Cost is one sequential read of the sf inputs (~seconds at sf0.1);
+    * on a real cluster the analogue is per-executor storage cache locality,
+    * so warm numbers are the ones comparable across rounds AND the ones
+    * representative of steady-state production scans. */
+  private def warmInputs(spark: SparkSession, sfDir: String): Unit = {
+    val dir = new java.io.File(sfDir)
+    val inputs = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath).sorted
+    inputs.foreach { p =>
+      spark.read.parquet(p).write.format("noop").mode("overwrite").save()
+    }
+  }
+
   /** Representative slice of the battery: scan+agg, shuffles, joins, windows,
     * asof, dedup/LSH, similarity, text scoring, explode, top-k. */
   val headline: Seq[String] = Seq(
@@ -140,6 +160,8 @@ object Bench {
       }
     }
     blackhole ^= spin(50000000L) // JIT-warm the probe loop itself
+    val warmed = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "1") != "0"
+    if (warmed) warmInputs(spark, sfDir)
     val calPre = calibrate(spark, sfDir, cpus.toInt)
     val runs = Seq.fill(passes)(pass())
     val calPost = calibrate(spark, sfDir, cpus.toInt)
@@ -159,7 +181,7 @@ object Bench {
     val errs = results.count(_._2.isLeft)
     val total = results.collect { case (_, Right((mn, _))) => mn }.sum
     val totalMed = results.collect { case (_, Right((_, md))) => md }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonOf(_._1)},"queries_median":${jsonOf(_._2)},"total_median":$totalMed%.3f,"sf":"$sfDir","passes":$passes,"errors":$errs,"calibration":{"pre":$calPre,"post":$calPost}}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonOf(_._1)},"queries_median":${jsonOf(_._2)},"total_median":$totalMed%.3f,"sf":"$sfDir","passes":$passes,"errors":$errs,"warmed":$warmed,"calibration":{"pre":$calPre,"post":$calPost}}""")
     spark.stop()
   }
 }

@@ -8,13 +8,20 @@ oracle SQL from <out>/oracle_sql.json in DuckDB over the sf parquet tables,
 and compares: schema (column names), row count, and exact values after
 sorting rows by all columns (mirrors a hash compare).
 """
-import json, os, sys, math
+import hashlib, json, os, sys, math
 import duckdb
 import pyarrow.parquet as pq
 import pyarrow.dataset as ds
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# Above this row count the in-memory rows_of() compare (both sides as
+# Python row lists) would exhaust memory — switch to a streaming
+# order-independent multiset digest instead (r17 verdict task 2: the
+# O(lineitem) as-of/correlated-scalar fuzz keys stop at sf0.1 on a
+# CHECKER bound, not an engine one). Override for tests/sweeps via env.
+DIGEST_ROWS = int(os.environ.get("CHECK_DIGEST_THRESHOLD", "1000000"))
 
 def norm(v):
     if isinstance(v, float):
@@ -32,6 +39,45 @@ def norm(v):
     if isinstance(v, dict):
         return tuple(sorted((k, norm(x)) for k, x in v.items()))
     return v
+
+def digest_batches(batches, cols, hazard_cols=None):
+    """Streaming canonical digest of a record-batch iterator.
+
+    Each row is normalized exactly like rows_of() (same norm()), rendered
+    with repr() — type-faithful: 12 vs 12.0 vs Decimal('12.00') all
+    differ, which is safe because the TYPES gate has already pinned both
+    sides to identical arrow types — hashed to 128 bits, and summed
+    mod 2^128. Addition is commutative, so the digest is order-independent
+    (a sorted-rows compare without the sort); equal multisets give equal
+    digests and a 1-row diff flips the sum (negative-tested by
+    tools/test_check_digest.py). Returns (row_count, digest, hazards)
+    where hazards counts decimal values whose digitstring != float64
+    shortest-repr in the columns named by hazard_cols (the same driver
+    canonicalization hazard the in-memory path gates on).
+    """
+    n = 0
+    h = 0
+    hazards = 0
+    for batch in batches:
+        data = batch.select(cols).to_pylist()
+        for r in data:
+            t = tuple(norm(r[c]) for c in cols)
+            d = hashlib.sha1(repr(t).encode()).digest()[:16]
+            h = (h + int.from_bytes(d, "big")) % (1 << 128)
+        n += len(data)
+        if hazard_cols:
+            import decimal
+            for c in hazard_cols:
+                for v in (r[c] for r in data):
+                    if not isinstance(v, decimal.Decimal):
+                        continue
+                    fr = repr(float(v))
+                    if fr.endswith(".0"):
+                        fr = fr[:-2]
+                    if str(v) != fr:
+                        hazards += 1
+    return n, h, hazards
+
 
 def rows_of(table):
     cols = sorted(table.column_names)
@@ -83,11 +129,55 @@ def main():
         if only and name not in only:
             continue
         try:
-            got_tbl = ds.dataset(f"{out}/{name}").to_table()
+            got_ds = ds.dataset(f"{out}/{name}")
+            got_count = got_ds.count_rows()
         except Exception as e:
             print(f"MISSING {name}: {e}")
             fail += 1
             continue
+
+        if got_count > DIGEST_ROWS:
+            # ---- streaming digest path (no in-memory row lists) ----------
+            try:
+                reader = con.execute(sql).fetch_record_batch(1 << 16)
+            except Exception as e:
+                print(f"ORACLE-ERR {name}: {str(e)[:300]}")
+                fail += 1
+                con = fresh_con()
+                continue
+            gt = {f.name: str(f.type) for f in got_ds.schema}
+            et = {f.name: str(f.type) for f in reader.schema}
+            tdiff = {k: (gt.get(k), et.get(k)) for k in set(gt) | set(et)
+                     if gt.get(k) != et.get(k)}
+            if tdiff:
+                print(f"TYPES {name}: {tdiff}")
+                fail += 1
+                continue
+            cols = sorted(gt)
+            dec_cols = [c for c in cols if gt[c].startswith("decimal")]
+            gn, gh, hazards = digest_batches(
+                got_ds.to_batches(), cols, hazard_cols=dec_cols)
+            en, eh, _ = digest_batches(iter(reader), cols)
+            if gn != en:
+                print(f"ROWS {name}: spark={gn} oracle={en}")
+                fail += 1
+                continue
+            if gh != eh:
+                print(f"DIGEST {name}: multiset digests differ over {gn} "
+                      f"rows (spark={gh:032x} oracle={eh:032x})")
+                fail += 1
+                continue
+            if hazards:
+                print(f"HAZARD {name}: {hazards} decimal value(s) whose "
+                      "digitstring != float64 shortest-repr — driver hash "
+                      "hazard; re-emit as a string digitstring")
+                fail += 1
+                continue
+            print(f"OK {name} ({gn} rows, digest)")
+            ok += 1
+            continue
+
+        got_tbl = got_ds.to_table()
         try:
             exp_tbl = con.execute(sql).fetch_arrow_table()
         except Exception as e:

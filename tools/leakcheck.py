@@ -1,0 +1,157 @@
+#!/usr/bin/env python3
+"""Self-audit probe for non-public references (NOT part of the library).
+
+Usage: python3 tools/leakcheck.py [round_number]
+
+Scans the tracked source surface (src/, tools/, build.sbt, project/) for
+seven classes of reference that must never appear in this repo: imports
+outside the public dependency set, non-public URLs, non-public build
+coordinates, cloud-bucket URIs that aren't obvious placeholders, chat/slack
+links, credential-shaped literals, and environment variables outside the
+documented SPARK_GRAFT_* surface. Writes LEAKCHECK.json with a run
+timestamp and the audited commit hash so each round's record is
+independently reproducible (ADVICE r17: a hand-bumped counter is
+indistinguishable from a stale record; a generator script + provenance
+fields are not).
+
+Exit code 1 on any hit.
+"""
+import datetime
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Public root packages this project may import (build.sbt's resolvable set
+# plus the JDK/Scala standard libraries and this library itself).
+IMPORT_ALLOW = (
+    "scala", "java", "javax", "graft", "org.apache", "org.scalatest",
+    "org.scalacheck", "org.slf4j", "com.fasterxml",
+    # shipped in /opt/spark/jars (Spark's own bundled dependency set)
+    "org.json4s",
+    # local-value / relative imports (`import spark.implicits._`,
+    # `import util._` within package graft.queries, `import df.sparkSession`)
+    "spark", "s", "session", "util", "df",
+)
+
+# Public hosts that legitimately appear in docs/comments.
+URL_ALLOW = (
+    "apache.org", "github.com", "duckdb.org", "pola.rs", "polars.rs",
+    "arxiv.org", "example.com", "localhost", "127.0.0.1", "w3.org",
+    "scala-lang.org", "scala-sbt.org", "h2o.ai", "wikipedia.org",
+    "delta.io", "iceberg.apache.org", "openjdk.org", "maven.org",
+)
+
+# Maven groupIds build.sbt may reference.
+GROUP_ALLOW = ("org.apache.spark", "org.apache.derby", "org.scalatest",
+               "org.scalacheck", "org.scala-lang", "org.scalatestplus")
+
+# Env vars the code may read (documented surface + standard JVM/OS ones).
+ENV_ALLOW_RE = re.compile(
+    r"^(SPARK_|GRAFT_|COURSIER_|JAVA_|SBT_|PATH$|HOME$|USER$|TZ$|TMPDIR$|"
+    r"LANG$|LC_)")
+
+# Placeholder bucket names allowed in examples/specs.
+BUCKET_PLACEHOLDER_RE = re.compile(
+    r"^(b|bkt|bucket|my-bucket|some-bucket|example[\w-]*|test[\w-]*|data|"
+    r"warehouse|container)$")
+
+SCAN_DIRS = ("src", "tools", "project")
+SCAN_FILES = ("build.sbt",)
+TEXT_EXT = (".scala", ".py", ".sbt", ".sh", ".sql", ".conf", ".properties")
+
+RE_IMPORT = re.compile(r"^\s*import\s+([A-Za-z_][\w.]*)")
+RE_URL = re.compile(r"https?://([\w.-]+)")
+RE_COORD = re.compile(r'"([a-zA-Z0-9_.-]+)"\s*%{1,2}\s*"')
+RE_BUCKET = re.compile(r"(?:s3a?|s3n|gs|abfss?|wasbs?)://([\w.-]+)")
+RE_SLACK = re.compile(r"slack\.com|app\.slack|hooks\.slack", re.I)
+RE_KEY = re.compile(
+    r"AKIA[0-9A-Z]{16}|ASIA[0-9A-Z]{16}|xox[baprs]-[\w-]{10,}|"
+    r"ghp_[A-Za-z0-9]{36}|github_pat_[A-Za-z0-9_]{22,}|"
+    r"sk-[A-Za-z0-9]{32,}|-----BEGIN (?:RSA |EC )?PRIVATE KEY-----")
+RE_ENV = re.compile(r"""(?:sys\.env(?:\.get(?:OrElse)?)?\s*\(\s*|"""
+                    r"""System\.getenv\s*\(\s*|os\.environ(?:\.get)?"""
+                    r"""(?:\[|\(\s*))['"]([A-Z][A-Z0-9_]*)['"]""")
+
+
+def files():
+    for d in SCAN_DIRS:
+        for root, _, names in os.walk(os.path.join(REPO, d)):
+            for n in names:
+                if n.endswith(TEXT_EXT):
+                    yield os.path.join(root, n)
+    for f in SCAN_FILES:
+        p = os.path.join(REPO, f)
+        if os.path.exists(p):
+            yield p
+
+
+def main():
+    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    hits = {k: [] for k in (
+        "internal-import", "internal-url", "internal-pkg2",
+        "internal-bucket", "slack-link", "api-key", "axon-env")}
+
+    for path in files():
+        rel = os.path.relpath(path, REPO)
+        is_build = rel == "build.sbt"
+        with open(path, errors="replace") as fh:
+            for i, line in enumerate(fh, 1):
+                loc = f"{rel}:{i}"
+                m = RE_IMPORT.match(line)
+                if m and rel.endswith(".scala"):
+                    pkg = m.group(1)
+                    # a capitalized root is a relative import of a local
+                    # object (Scala style), not an external package (Java
+                    # package convention is lowercase roots)
+                    if not pkg[0].isupper() and not any(
+                            pkg == a or pkg.startswith(a + ".")
+                            for a in IMPORT_ALLOW):
+                        hits["internal-import"].append(f"{loc} {pkg}")
+                for m in RE_URL.finditer(line):
+                    host = m.group(1).lower()
+                    placeholder = ("example" in host or
+                                   host.endswith(".test") or "." not in host)
+                    if not placeholder and not any(
+                            host == a or host.endswith("." + a)
+                            for a in URL_ALLOW):
+                        hits["internal-url"].append(f"{loc} {host}")
+                if is_build:
+                    for m in RE_COORD.finditer(line):
+                        g = m.group(1)
+                        if "." in g and g not in GROUP_ALLOW:
+                            hits["internal-pkg2"].append(f"{loc} {g}")
+                for m in RE_BUCKET.finditer(line):
+                    if not BUCKET_PLACEHOLDER_RE.match(m.group(1).lower()):
+                        hits["internal-bucket"].append(f"{loc} {m.group(1)}")
+                if RE_SLACK.search(line):
+                    hits["slack-link"].append(loc)
+                if RE_KEY.search(line):
+                    hits["api-key"].append(loc)
+                for m in RE_ENV.finditer(line):
+                    if not ENV_ALLOW_RE.match(m.group(1)):
+                        hits["axon-env"].append(f"{loc} {m.group(1)}")
+
+    commit = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
+                            capture_output=True, text=True).stdout.strip()
+    record = {
+        "round": rnd,
+        "generated_at": datetime.datetime.now(datetime.timezone.utc)
+            .isoformat(timespec="seconds"),
+        "commit": commit,
+        "generator": "tools/leakcheck.py",
+        "n_hits": sum(len(v) for v in hits.values()),
+        "hits": hits,
+    }
+    with open(os.path.join(REPO, "LEAKCHECK.json"), "w") as fh:
+        json.dump(record, fh, indent=2)
+        fh.write("\n")
+    print(json.dumps({k: len(v) for k, v in hits.items()}))
+    sys.exit(1 if record["n_hits"] else 0)
+
+
+if __name__ == "__main__":
+    main()
