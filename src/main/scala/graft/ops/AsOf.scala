@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DataType, DateType, TimestampNTZType, TimestampType}
 
 /** As-of join (polars join_asof, reference
   * crates/polars-ops/src/frame/join/asof/mod.rs:262-270 — strategies
@@ -122,6 +123,25 @@ object AsOf {
       rightCols.map(c => col(s"__m_$c").as(s"__m_$c$suffix")): _*)
   }
 
+  /** Signed key distance for nearest/tolerance math. Datetime keys subtract
+    * natively (timestamp/ntz/date differences are exact intervals — a
+    * TIMESTAMP_NTZ key cannot cast to double at all, which redded the r18
+    * nearest fuzz shape on o_orderdate); numeric keys go through double. */
+  private def keyDelta(a: Column, b: Column, dt: DataType): Column = dt match {
+    case TimestampType | TimestampNTZType | DateType => a - b
+    case _ => a.cast("double") - b.cast("double")
+  }
+
+  /** Key as an epoch-seconds double for the NUMERIC-tolerance contract
+    * (tolerance is given in the key's comparison units — seconds for
+    * datetime keys, as join_asof_tolerance documents). NTZ/date go through
+    * TimestampType first (double-cast is defined only there); the session
+    * runs UTC in every graft main, so the wall-clock mapping is exact. */
+  private def numKey(c: Column, dt: DataType): Column = dt match {
+    case TimestampNTZType | DateType => c.cast(TimestampType).cast("double")
+    case _ => c.cast("double")
+  }
+
   private def directional(left: DataFrame, right: DataFrame, leftOn: String,
                           rightOn: String, by: Seq[String], tolerance: Option[Column],
                           forward: Boolean, rangedBy: Boolean = false): DataFrame = {
@@ -131,8 +151,9 @@ object AsOf {
     val withinTol = tolerance match {
       case None => lit(true)
       case Some(tol) =>
-        val dist = if (forward) col("__mk").cast("double") - col("__k").cast("double")
-                   else col("__k").cast("double") - col("__mk").cast("double")
+        val kDt = matched.schema("__k").dataType
+        val dist = if (forward) numKey(col("__mk"), kDt) - numKey(col("__k"), kDt)
+                   else numKey(col("__k"), kDt) - numKey(col("__mk"), kDt)
         dist <= tol.cast("double")
     }
 
@@ -319,20 +340,25 @@ object AsOf {
       by, rightCols, forward = true, rangedBy, "__f")
     val out = both.filter(col("__tag") === 1)
 
-    val lk = col("__k").cast("double")
+    val kDt = out.schema("__k").dataType
     // null left keys never match (same gate as directional — the forward
     // pass's desc_nulls_last sort would otherwise hand them the minimum
     // right key)
     def ok(mk: Column, fwd: Boolean): Column = tolerance match {
       case None => col("__k").isNotNull && mk.isNotNull
       case Some(tol) =>
-        val dist = if (fwd) mk.cast("double") - lk else lk - mk.cast("double")
+        val dist = if (fwd) numKey(mk, kDt) - numKey(col("__k"), kDt)
+                   else numKey(col("__k"), kDt) - numKey(mk, kDt)
         col("__k").isNotNull && mk.isNotNull && dist <= tol.cast("double")
     }
     val okB = ok(col("__mk__b"), fwd = false)
     val okF = ok(col("__mk__f"), fwd = true)
-    val db = abs(lk - col("__mk__b").cast("double"))
-    val df_ = abs(col("__mk__f").cast("double") - lk)
+    // both distances are non-negative by construction (the backward match
+    // key is ≤ the left key, the forward match key ≥), so signed deltas
+    // suffice — which lets datetime keys subtract natively via keyDelta
+    // (interval results compare exactly; no double cast, no NTZ failure)
+    val db = keyDelta(col("__k"), col("__mk__b"), kDt)
+    val df_ = keyDelta(col("__mk__f"), col("__k"), kDt)
     val useB = okB && (!okF || db <= df_)
     val useF = okF && !useB
     val keyOut =

@@ -718,12 +718,92 @@ object QueriesFuzz {
         FuzzCase(f"fuzz_q$idx%02d", sql, q)
     }
 
+  // ---- v3 batch (r18, VERDICT r17 task 5): fuzz_q84.. -------------------------
+  //
+  // As-of NEAREST terminals — the one as-of strategy no fuzz reached (the
+  // v2 batch covers backward/forward only, because DuckDB has no native
+  // nearest). The oracle is the proven two-direction emulation from the
+  // curated join_asof_nearest key: a backward pass (ASOF ... >=) and a
+  // forward pass (ASOF ... <=) joined back on a UNIQUE left key
+  // (o_orderkey), nearest by distance, tie → backward — matching
+  // ops/AsOf.scala's `db <= df_` (polars prefers the earlier row on ties,
+  // asof/mod.rs:262-270). The right side is GROUP BY-unique on the as-of
+  // key (and the optional by-group), so within-direction tie-pinning
+  // never enters the differential. A third master seed keeps the 84
+  // frozen v1+v2 keys regenerating byte-identically.
+
+  private val MasterSeedV3 = 20260819L
+  private val nCasesV3 = 8
+
+  private def genFuzzCaseV3(idx: Int, rnd: Random): FuzzCase = {
+    val by = rnd.nextBoolean()
+    val m = 2 + rnd.nextInt(6)
+    val lPred = if (rnd.nextBoolean()) Some(genBool(rnd, orders.cols, 1)) else None
+    val rPred = if (rnd.nextBoolean()) Some(genBool(rnd, lineitem.cols, 1)) else None
+    // integer-typed right payload only (BIGINT in both engines): draw
+    // genAggV2 until the tag is comparable, as genBoundedSide does
+    val (agg, _) = {
+      var a = genAggV2(rnd, lineitem.cols)
+      while (a._2 == 'x') a = genAggV2(rnd, lineitem.cols)
+      a
+    }
+    val lw = lPred.map(p => s" WHERE ${p.sql}").getOrElse("")
+    val rw = rPred.map(p => s" WHERE ${p.sql}").getOrElse("")
+    val gSelL = if (by) s"(o_custkey % $m) AS g, " else ""
+    val gSelR = if (by) s"(l_suppkey % $m) AS g, " else ""
+    val gGrpR = if (by) "1, 2" else "1"
+    val gOn = if (by) "l.g = r.g AND " else ""
+    val outCols = (if (by) Seq("g") else Nil) ++
+      Seq("o_orderkey", "o_orderdate", "rts", "rv")
+    val nearer = "b_ts IS NOT NULL AND (f_ts IS NULL OR " +
+      "(l.o_orderdate - b_ts) <= (f_ts - l.o_orderdate))"
+    val ord = outCols.indices.map(i => s"${i + 1} ASC NULLS FIRST")
+      .mkString(", ")
+    val sql =
+      s"WITH l AS (SELECT $gSelL" + s"o_orderkey, o_orderdate FROM orders$lw), " +
+      s"r AS (SELECT $gSelR" + s"l_shipdate AS rts, ${agg.sql} AS rv " +
+      s"FROM lineitem$rw GROUP BY $gGrpR), " +
+      s"b AS (SELECT l.o_orderkey, r.rts AS b_ts, r.rv AS b_rv " +
+      s"FROM l ASOF LEFT JOIN r ON ${gOn}l.o_orderdate >= r.rts), " +
+      s"f AS (SELECT l.o_orderkey, r.rts AS f_ts, r.rv AS f_rv " +
+      s"FROM l ASOF LEFT JOIN r ON ${gOn}l.o_orderdate <= r.rts) " +
+      s"SELECT ${if (by) "l.g AS g, " else ""}l.o_orderkey, l.o_orderdate, " +
+      s"CASE WHEN $nearer THEN b_ts ELSE f_ts END AS rts, " +
+      s"CASE WHEN $nearer THEN b_rv ELSE f_rv END AS rv " +
+      "FROM l JOIN b ON l.o_orderkey = b.o_orderkey " +
+      "JOIN f ON l.o_orderkey = f.o_orderkey " +
+      s"ORDER BY $ord"
+    val q: util.Q = (s, d) => {
+      val o0 = util.t(s, d, "orders")
+      val oF = lPred.map(p => o0.filter(p.col)).getOrElse(o0)
+      val left = if (by)
+        oF.select((col("o_custkey") % m).as("g"), col("o_orderkey"),
+          col("o_orderdate"))
+      else oF.select(col("o_orderkey"), col("o_orderdate"))
+      val l0 = util.t(s, d, "lineitem")
+      val lF = rPred.map(p => l0.filter(p.col)).getOrElse(l0)
+      val right = if (by)
+        lF.groupBy((col("l_suppkey") % m).as("g"),
+            col("l_shipdate").as("rts"))
+          .agg(agg.col.as("rv"))
+      else lF.groupBy(col("l_shipdate").as("rts")).agg(agg.col.as("rv"))
+      LazyFrame(left).joinAsof(LazyFrame(right), "o_orderdate", "rts",
+          by = if (by) Seq("g") else Nil, strategy = "nearest")
+        .df.select(outCols.map(col): _*)
+        .orderBy(outCols.map(n => col(n).asc_nulls_first): _*)
+    }
+    FuzzCase(f"fuzz_q$idx%02d", sql, q)
+  }
+
   private val cases: Seq[FuzzCase] = {
     val rnd = new Random(MasterSeed)
     val v1 = (0 until nCases).map(i => genFuzzCase(i, rnd))
     val rnd2 = new Random(MasterSeedV2)
     val v2 = (0 until nCasesV2).map(i => genFuzzCaseV2(nCases + i, rnd2))
-    v1 ++ v2
+    val rnd3 = new Random(MasterSeedV3)
+    val v3 = (0 until nCasesV3).map(i =>
+      genFuzzCaseV3(nCases + nCasesV2 + i, rnd3))
+    v1 ++ v2 ++ v3
   }
 
   val queries: Map[String, util.Q] =

@@ -40,8 +40,10 @@ import org.apache.spark.sql.types._
   *   (project exprs | groupBy(keys).agg(aggs) [HAVING agg0 > t when the
   *    head agg is long-typed — r17] | distinct(projection)
   *    | ORDER BY rid LIMIT k
-  *    | as-of terminal — LazyFrame.joinAsof keyless backward/forward vs a
-  *      non-equi correlated-scalar ANSI emulation (r17)
+  *    | as-of terminal — LazyFrame.joinAsof keyless backward/forward/
+  *      nearest vs a non-equi correlated-scalar ANSI emulation (r17;
+  *      nearest added r18 — two directional scalars + distance CASE,
+  *      tie → backward, matching ops/AsOf.scala)
   *    | inequality-join terminal — LazyFrame.joinWhere (grid IEJoin) vs
   *      Spark SQL theta join (r17))
   * Expression grammar: column refs, literals, +,-,*, string concat/upper/
@@ -742,7 +744,9 @@ object PlanFuzz {
         // previously only property-spec'd — results must be identical to
         // the keyed window's). rid need not be unique here (post-join
         // duplicates are fine); only PRESENCE is required, hence the gate.
-        val backward = rnd.nextBoolean()
+        val strat = rnd.nextInt(3) // 0=backward, 1=forward, 2=nearest (r18)
+        val backward = strat == 0
+        val nearest = strat == 2
         val useBy = schema.exists(_.name == "k1") && rnd.nextBoolean()
         val rangedBy = useBy && rnd.nextBoolean()
         val rSql =
@@ -750,14 +754,29 @@ object PlanFuzz {
             "FROM fz_t1 WHERE k0 IS NOT NULL GROUP BY k1, k0)"
           else "(SELECT k0 AS rk, CAST(COUNT(*) AS BIGINT) AS rv " +
             "FROM fz_t1 WHERE k0 IS NOT NULL GROUP BY k0)"
-        val (aggF, cmpS) = if (backward) ("MAX", "<=") else ("MIN", ">=")
-        val byCorr = if (useBy) "R2.k1 <=> C.k1 AND " else ""
         val byBack = if (useBy) "RR.k1 <=> X.k1 AND " else ""
         val sel = schema.map(c => s"X.${c.name}").mkString(", ")
-        sql = s"SELECT $sel, X.mk AS rk, RR.rv FROM (SELECT C.*, " +
-          s"(SELECT $aggF(R2.rk) FROM $rSql R2 WHERE $byCorr" +
-          s"R2.rk $cmpS C.rid) AS mk " +
-          s"FROM ($sql) C) X LEFT JOIN $rSql RR ON ${byBack}RR.rk = X.mk"
+        sql = if (nearest) {
+          // nearest emulation: both directional scalars, then the distance
+          // CASE with tie → backward (the `db <= df_` rule in
+          // ops/AsOf.scala's nearest — polars prefers the earlier row)
+          val byB = if (useBy) "R2.k1 <=> C0.k1 AND " else ""
+          val byF = if (useBy) "R3.k1 <=> C0.k1 AND " else ""
+          s"SELECT $sel, X.mk AS rk, RR.rv FROM (SELECT C.*, " +
+            "CASE WHEN C.bk IS NOT NULL AND (C.fk IS NULL OR " +
+            "(C.rid - C.bk) <= (C.fk - C.rid)) THEN C.bk ELSE C.fk END AS mk " +
+            s"FROM (SELECT C0.*, " +
+            s"(SELECT MAX(R2.rk) FROM $rSql R2 WHERE ${byB}R2.rk <= C0.rid) AS bk, " +
+            s"(SELECT MIN(R3.rk) FROM $rSql R3 WHERE ${byF}R3.rk >= C0.rid) AS fk " +
+            s"FROM ($sql) C0) C) X LEFT JOIN $rSql RR ON ${byBack}RR.rk = X.mk"
+        } else {
+          val (aggF, cmpS) = if (backward) ("MAX", "<=") else ("MIN", ">=")
+          val byCorr = if (useBy) "R2.k1 <=> C.k1 AND " else ""
+          s"SELECT $sel, X.mk AS rk, RR.rv FROM (SELECT C.*, " +
+            s"(SELECT $aggF(R2.rk) FROM $rSql R2 WHERE $byCorr" +
+            s"R2.rk $cmpS C.rid) AS mk " +
+            s"FROM ($sql) C) X LEFT JOIN $rSql RR ON ${byBack}RR.rk = X.mk"
+        }
         val right =
           if (useBy) f1.filter(col("k0").isNotNull)
             .groupBy(col("k1"), col("k0").as("rk")).agg(count(lit(1)).as("rv"))
@@ -765,7 +784,8 @@ object PlanFuzz {
             .groupBy(col("k0").as("rk")).agg(count(lit(1)).as("rv"))
         df = graft.dsl.LazyFrame(df).joinAsof(graft.dsl.LazyFrame(right),
           "rid", "rk", if (useBy) Seq("k1") else Nil,
-          if (backward) "backward" else "forward", None, rangedBy).df
+          if (nearest) "nearest" else if (backward) "backward" else "forward",
+          None, rangedBy).df
         // right lookup: (by-group canon, rk) -> count; keyless uses a
         // single "" group
         val rmap: Map[(Any, Long), Long] = m1.filter(_("k0") != null)
@@ -779,16 +799,32 @@ object PlanFuzz {
         // the correlated set empty). Caught by pinned seed 176.
         model = model.map { r =>
           val g = if (useBy) canon(r("k1")) else ""
-          val cand = r("rid") match {
-            case null    => Nil
-            case k: Long => rmap.keys.collect {
-              case (gg, rk) if gg == g && (if (backward) rk <= k else rk >= k) => rk
-            }
+          val mkO: Option[Long] = r("rid") match {
+            case null => None
+            case k: Long =>
+              val ks = rmap.keys.collect { case (gg, rk) if gg == g => rk }
+              if (nearest) {
+                val bs = ks.filter(_ <= k)
+                val fs = ks.filter(_ >= k)
+                (bs.nonEmpty, fs.nonEmpty) match {
+                  case (true, true) =>
+                    val (b, f) = (bs.max, fs.min)
+                    // tie → backward, same rule as ops/AsOf.scala
+                    Some(if (k - b <= f - k) b else f)
+                  case (true, false) => Some(bs.max)
+                  case (false, true) => Some(fs.min)
+                  case _             => None
+                }
+              } else {
+                val cand = ks.filter(rk => if (backward) rk <= k else rk >= k)
+                if (cand.isEmpty) None
+                else Some(if (backward) cand.max else cand.min)
+              }
           }
-          if (cand.isEmpty) r ++ Map[String, Any]("rk" -> null, "rv" -> null)
-          else {
-            val mk = if (backward) cand.max else cand.min
-            r ++ Map[String, Any]("rk" -> mk, "rv" -> rmap((g, mk)))
+          mkO match {
+            case None => r ++ Map[String, Any]("rk" -> null, "rv" -> null)
+            case Some(mk) =>
+              r ++ Map[String, Any]("rk" -> mk, "rv" -> rmap((g, mk)))
           }
         }
         schema = schema ++ Seq(Col("rk", KLong), Col("rv", KLong))
