@@ -15,8 +15,15 @@ object DedupProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // mimic Bench: one unrelated warmup, then the query cold, then again warm
-    SparkEntry.queries("agg_sum_two_keys")(spark, sfDir)
+    // mimic Bench: one tiny synthetic dedup warmup (JIT/classloading), then
+    // the query cold, then again warm — synthetic, so the probe runs on
+    // documents-only replica dirs (a full-table warmup key would need
+    // lineitem at the replica SF)
+    val tinyDocs = spark.range(64).select(
+      col("id").as("doc_id"),
+      concat(lit("warm up text number "), col("id").cast("string"),
+        lit(" lorem ipsum dolor sit amet consectetur")).as("text"))
+    Dedup.nearDuplicates(tinyDocs, "doc_id", "text", 3, 4, 2, 0.5)
       .write.format("noop").mode("overwrite").save()
     def run(tag: String): Unit = {
       val t0 = System.nanoTime()

@@ -27,7 +27,10 @@ import org.apache.spark.sql.functions._
   *    (INT64 nanos read raw under nanosAsLong, or plain µs timestamps) —
   *    `graft.queries.util.t` adapts to either on read.
   *
-  * Usage: runMain graft.ScaleData <srcSfDir> <outDir> [factor=10]
+  * Usage: runMain graft.ScaleData <srcSfDir> <outDir> [factor=10] [table ...]
+  * Naming tables restricts the output (key strides still derive from every
+  * source table, so a partial replica stays FK-consistent with a full one
+  * generated at the same factor).
   */
 object ScaleData {
 
@@ -35,6 +38,8 @@ object ScaleData {
     val src = args(0)
     val out = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
+    val only = args.drop(3).toSet
+    def want(name: String): Boolean = only.isEmpty || only(name)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -81,61 +86,77 @@ object ScaleData {
     }
 
     // dims: fixed
-    write(read("region"), "region")
-    write(read("nation"), "nation")
+    if (want("region")) write(read("region"), "region")
+    if (want("nation")) write(read("nation"), "nation")
 
     val cust = read("customer"); val custS = stride(cust, "c_custkey")
-    write(copies(cust, (d, i) =>
-      d.withColumn("c_custkey", col("c_custkey") + lit(i * custS))), "customer")
-    check("customer", cust, "c_custkey")
+    if (want("customer")) {
+      write(copies(cust, (d, i) =>
+        d.withColumn("c_custkey", col("c_custkey") + lit(i * custS))), "customer")
+      check("customer", cust, "c_custkey")
+    }
 
     val supp = read("supplier"); val suppS = stride(supp, "s_suppkey")
-    write(copies(supp, (d, i) =>
-      d.withColumn("s_suppkey", col("s_suppkey") + lit(i * suppS))), "supplier")
-    check("supplier", supp, "s_suppkey")
+    if (want("supplier")) {
+      write(copies(supp, (d, i) =>
+        d.withColumn("s_suppkey", col("s_suppkey") + lit(i * suppS))), "supplier")
+      check("supplier", supp, "s_suppkey")
+    }
 
     val part = read("part"); val partS = stride(part, "p_partkey")
-    write(copies(part, (d, i) =>
-      d.withColumn("p_partkey", col("p_partkey") + lit(i * partS))), "part")
-    check("part", part, "p_partkey")
+    if (want("part")) {
+      write(copies(part, (d, i) =>
+        d.withColumn("p_partkey", col("p_partkey") + lit(i * partS))), "part")
+      check("part", part, "p_partkey")
+    }
 
     val ord = read("orders"); val ordS = stride(ord, "o_orderkey")
-    write(copies(ord, (d, i) => d
-      .withColumn("o_orderkey", col("o_orderkey") + lit(i * ordS))
-      .withColumn("o_custkey", col("o_custkey") + lit(i * custS))), "orders")
-    check("orders", ord, "o_orderkey")
+    if (want("orders")) {
+      write(copies(ord, (d, i) => d
+        .withColumn("o_orderkey", col("o_orderkey") + lit(i * ordS))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * custS))), "orders")
+      check("orders", ord, "o_orderkey")
+    }
 
-    val li = read("lineitem")
-    write(copies(li, (d, i) => d
-      .withColumn("l_orderkey", col("l_orderkey") + lit(i * ordS))
-      .withColumn("l_partkey", col("l_partkey") + lit(i * partS))
-      .withColumn("l_suppkey", col("l_suppkey") + lit(i * suppS))), "lineitem")
-    check("lineitem", li, "l_orderkey")
+    if (want("lineitem")) {
+      val li = read("lineitem")
+      write(copies(li, (d, i) => d
+        .withColumn("l_orderkey", col("l_orderkey") + lit(i * ordS))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * partS))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * suppS))), "lineitem")
+      check("lineitem", li, "l_orderkey")
+    }
 
-    val ev = read("events") // ts form preserved (raw i64 nanos or µs NTZ)
-    val evS = stride(ev, "event_id"); val usrS = stride(ev, "user_id")
-    write(copies(ev, (d, i) => d
-      .withColumn("event_id", col("event_id") + lit(i * evS))
-      .withColumn("user_id", col("user_id") + lit(i * usrS))), "events")
-    check("events", ev, "event_id")
+    if (want("events")) {
+      val ev = read("events") // ts form preserved (raw i64 nanos or µs NTZ)
+      val evS = stride(ev, "event_id"); val usrS = stride(ev, "user_id")
+      write(copies(ev, (d, i) => d
+        .withColumn("event_id", col("event_id") + lit(i * evS))
+        .withColumn("user_id", col("user_id") + lit(i * usrS))), "events")
+      check("events", ev, "event_id")
+    }
 
-    val docs = read("documents"); val docS = stride(docs, "doc_id")
-    write(copies(docs, (d, i) => d
-      .withColumn("doc_id", col("doc_id") + lit(i * docS))
-      .withColumn("text",
-        if (i == 0) col("text")
-        else regexp_replace(col("text"), lit("(\\S+)"), lit(s"$$1x$i")))
-      // the rewrite lengthens every word — keep the stored length column
-      // consistent with the text it describes
-      .withColumn("n_chars", length(col("text")).cast("long"))), "documents")
-    check("documents", docs, "doc_id")
+    if (want("documents")) {
+      val docs = read("documents"); val docS = stride(docs, "doc_id")
+      write(copies(docs, (d, i) => d
+        .withColumn("doc_id", col("doc_id") + lit(i * docS))
+        .withColumn("text",
+          if (i == 0) col("text")
+          else regexp_replace(col("text"), lit("(\\S+)"), lit(s"$$1x$i")))
+        // the rewrite lengthens every word — keep the stored length column
+        // consistent with the text it describes
+        .withColumn("n_chars", length(col("text")).cast("long"))), "documents")
+      check("documents", docs, "doc_id")
+    }
 
-    val emb = read("embeddings"); val embS = stride(emb, "vec_id")
-    write(copies(emb, (d, i) => d
-      .withColumn("vec_id", col("vec_id") + lit(i * embS))
-      .withColumn("embedding",
-        transform(col("embedding"), x => x + lit(i * 1e-3f)))), "embeddings")
-    check("embeddings", emb, "vec_id")
+    if (want("embeddings")) {
+      val emb = read("embeddings"); val embS = stride(emb, "vec_id")
+      write(copies(emb, (d, i) => d
+        .withColumn("vec_id", col("vec_id") + lit(i * embS))
+        .withColumn("embedding",
+          transform(col("embedding"), x => x + lit(i * 1e-3f)))), "embeddings")
+      check("embeddings", emb, "vec_id")
+    }
 
     println(s"""{"scaled":"$src","out":"$out","factor":$factor}""")
     spark.stop()
