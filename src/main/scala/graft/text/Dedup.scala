@@ -172,44 +172,70 @@ object Dedup {
     when(uni > 0, inter / uni).otherwise(lit(0.0))
   }
 
-  /** Handle to the one live shingle persist (see [[nearDuplicates]]).
+  /** Handle to the one live candidate-pair persist (see [[nearDuplicates]]).
     * A new call releases the previous call's blocks, so cached storage is
     * bounded by one pipeline regardless of how many times it runs; call
     * [[releaseCache]] after consuming a result to drop the last one too. */
-  private val liveShingleCache =
+  private val liveCandsCache =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
-  /** Unpersist the shingle frame cached by the most recent
+  /** Unpersist the candidate-pair frame cached by the most recent
     * [[nearDuplicates]] call. Safe to call at any time. */
   def releaseCache(): Unit = {
-    val prev = liveShingleCache.getAndSet(null)
+    val prev = liveCandsCache.getAndSet(null)
     if (prev != null) prev.unpersist(blocking = false)
   }
 
+  /** Candidate-id sets at or below this count get a broadcast hint on the
+    * verify-side semi join (ids are a narrow id column — 4M ids ≈ tens of
+    * MB hashed); above it the semi join falls back to a shuffle, which AQE
+    * may still convert at runtime. */
+  private val BroadcastIdCap = 4L * 1000 * 1000
+
   /** MinHash-LSH near-dup pairs verified by exact Jaccard ≥ threshold.
-    * Candidates come from LSH (shuffle-bounded); verification joins the
-    * already-shingled sides back — shingles are computed exactly once per
-    * document across the whole pipeline. `parallelism` > 0 fans an
-    * under-partitioned input out to that many tasks before the CPU-bound
-    * shingle/hash stage (see [[shingled]]); 0 respects input partitioning. */
+    *
+    * Scale shape (r18 — replaces the r12 "persist the corpus shingles"
+    * formulation): candidate generation streams the shingle/MinHash/band
+    * pipeline through ONE exchange and the resulting (id_a, id_b) pairs —
+    * bounded by LSH bucket collisions, orders of magnitude smaller than the
+    * corpus — are what gets persisted. Verification then re-derives shingle
+    * arrays ONLY for documents that appear in some candidate pair: a
+    * semi-join of the raw input on the candidate-id set (broadcast-hinted
+    * below [[BroadcastIdCap]] ids, shuffle otherwise) followed by a second
+    * shingle pass over that filtered slice. At sf100 candidates touch ~12%
+    * of documents, so the old corpus-wide MEMORY_AND_DISK shingle cache
+    * (28 GB memory + 10 GB spill at sf100, and its two full-corpus verify
+    * shuffles) becomes one cheap rescan + a candidate-sized recompute —
+    * measured 2.9× at sf100 documents (steady-state 67.1 → 23.1 s, cold
+    * 602.8 → 99.5 s; SCALE.md). At 100 TB the win is structural: the
+    * corpus-sized persist disappears entirely; state is bounded by the
+    * candidate set. The input is scanned twice, so pass a directly
+    * scannable frame (a file scan — the normal case); persist `df` first if
+    * it is itself an expensive derivation.
+    *
+    * The candidate persist is materialized eagerly (one `count`, which also
+    * drives the broadcast decision), so calling this method runs candidate
+    * generation at call time. `parallelism` > 0 fans an under-partitioned
+    * input out to that many tasks before the CPU-bound shingle/hash stages
+    * (see [[shingled]]); 0 respects input partitioning. */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      w: Int = 3, k: Int = 16, b: Int = 4,
                      threshold: Double = 0.8, maxBucket: Int = 0,
                      parallelism: Int = 0): DataFrame = {
-    // persist: the shingle arrays feed banding AND both verification joins —
-    // without it the tokenize+shingle+distinct pipeline runs 3×. MEMORY_AND_DISK
-    // so a 100 TB corpus spills instead of OOMing; at that scale prefer an
-    // explicit checkpoint to parquet. The previous call's persist is released
-    // here so blocks never accumulate across calls.
     releaseCache()
-    val sh = shingled(df, idCol, textCol, w, parallelism)
+    val cands = pairsFromBuckets(
+      bandedIds(shingled(df, idCol, textCol, w, parallelism), k, b), maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    liveShingleCache.set(sh)
-    val cands = pairsFromBuckets(bandedIds(sh, k, b), maxBucket)
-    val withSh = cands
-      .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sha")), Seq("id_a"))
-      .join(sh.select(col("__id").as("id_b"), col("__sh").as("__shb")), Seq("id_b"))
-    withSh
+    liveCandsCache.set(cands)
+    val nPairs = cands.count()
+    val ids = cands.select(explode(array(col("id_a"), col("id_b"))).as(idCol))
+      .distinct()
+    val idsHinted = if (2 * nPairs <= BroadcastIdCap) broadcast(ids) else ids
+    val shV = shingled(df.join(idsHinted, Seq(idCol), "left_semi"),
+      idCol, textCol, w, parallelism)
+    cands
+      .join(shV.select(col("__id").as("id_a"), col("__sh").as("__sha")), Seq("id_a"))
+      .join(shV.select(col("__id").as("id_b"), col("__sh").as("__shb")), Seq("id_b"))
       .withColumn("jaccard", round(jaccardFromShingles(col("__sha"), col("__shb")), 4))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
