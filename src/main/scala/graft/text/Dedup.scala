@@ -192,6 +192,27 @@ object Dedup {
     * may still convert at runtime. */
   private val BroadcastIdCap = 4L * 1000 * 1000
 
+  /** Shared verify-stage front end for [[nearDuplicates]] and
+    * [[fuzzyNearDuplicates]]: run LSH candidate generation, persist the
+    * (small) pair set eagerly — the one `count` both materializes it and
+    * drives the broadcast decision — and return it together with the
+    * distinct candidate-id set named `idCol` (broadcast-hinted at or below
+    * [[BroadcastIdCap]]) for semi-filtering the verify side. */
+  private def persistedCandidates(df: DataFrame, idCol: String,
+                                  textCol: String, w: Int, k: Int, b: Int,
+                                  maxBucket: Int, parallelism: Int)
+      : (DataFrame, DataFrame) = {
+    releaseCache()
+    val cands = pairsFromBuckets(
+      bandedIds(shingled(df, idCol, textCol, w, parallelism), k, b), maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    liveCandsCache.set(cands)
+    val nPairs = cands.count()
+    val ids = cands.select(explode(array(col("id_a"), col("id_b"))).as(idCol))
+      .distinct()
+    (cands, if (2 * nPairs <= BroadcastIdCap) broadcast(ids) else ids)
+  }
+
   /** MinHash-LSH near-dup pairs verified by exact Jaccard ≥ threshold.
     *
     * Scale shape (r18 — replaces the r12 "persist the corpus shingles"
@@ -222,15 +243,8 @@ object Dedup {
                      w: Int = 3, k: Int = 16, b: Int = 4,
                      threshold: Double = 0.8, maxBucket: Int = 0,
                      parallelism: Int = 0): DataFrame = {
-    releaseCache()
-    val cands = pairsFromBuckets(
-      bandedIds(shingled(df, idCol, textCol, w, parallelism), k, b), maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    liveCandsCache.set(cands)
-    val nPairs = cands.count()
-    val ids = cands.select(explode(array(col("id_a"), col("id_b"))).as(idCol))
-      .distinct()
-    val idsHinted = if (2 * nPairs <= BroadcastIdCap) broadcast(ids) else ids
+    val (cands, idsHinted) =
+      persistedCandidates(df, idCol, textCol, w, k, b, maxBucket, parallelism)
     val shV = shingled(df.join(idsHinted, Seq(idCol), "left_semi"),
       idCol, textCol, w, parallelism)
     cands
@@ -249,14 +263,18 @@ object Dedup {
     * distance is O(len²) per pair, so it only ever runs on LSH candidate
     * pairs (never all-pairs) and on a `capChars` prefix that bounds the
     * worst case; Spark's `levenshtein` is codegen'd. Pairs where both
-    * prefixes are empty have no defined similarity and are dropped. */
+    * prefixes are empty have no defined similarity and are dropped.
+    * The verify side is semi-filtered to candidate ids before the prefix
+    * joins (same r18 shape as [[nearDuplicates]]: persisted pairs + an
+    * eager count + broadcast-hinted id set), so the full corpus's text
+    * prefixes never shuffle. */
   def fuzzyNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                           w: Int = 3, k: Int = 16, b: Int = 4,
                           threshold: Double = 0.8, capChars: Int = 400,
                           maxBucket: Int = 0, parallelism: Int = 0): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, w, k, b, maxBucket,
-      parallelism)
-    val txt = df.select(col(idCol),
+    val (cands, idsHinted) =
+      persistedCandidates(df, idCol, textCol, w, k, b, maxBucket, parallelism)
+    val txt = df.join(idsHinted, Seq(idCol), "left_semi").select(col(idCol),
       substring(col(textCol), 1, capChars).as("__t"))
     val denom = greatest(length(col("__ta")), length(col("__tb")))
     cands

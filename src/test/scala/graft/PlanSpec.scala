@@ -235,6 +235,28 @@ class PlanSpec extends SparkSpec {
       s"cap should be an anti-join on the over-cap keys:\n$pc")
   }
 
+  test("near-dup verify caches the PAIRS and semi-filters the corpus (r18 shape)") {
+    // the r12 shape persisted the corpus-sized (id, shingles) projection
+    // (28 GB + 10 GB spill at sf100) and shuffled it through both verify
+    // joins; the r18 shape persists the candidate pairs and re-shingles
+    // only semi-filtered candidate docs (SCALE.md: 67.1 -> 23.1 s at sf100)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    graft.text.Dedup.releaseCache()
+    val out = graft.text.Dedup.nearDuplicates(
+      docs, "doc_id", "text", w = 3, k = 4, b = 2, threshold = 0.5)
+    val p = planOf(out)
+    // the only cache read is the pair frame: (id_a, id_b) columns, never
+    // a shingle-array column
+    assert(p.contains("InMemoryTableScan"),
+      s"expected the persisted candidate pairs in the verify plan:\n$p")
+    assert(!p.split("InMemoryTableScan").drop(1).exists(_.take(120).contains("__sh")),
+      s"a cache read carries shingle arrays — corpus-sized persist is back:\n$p")
+    // the verify side is candidate-filtered before re-shingling
+    assert(p.contains("LeftSemi"),
+      s"expected the candidate-id semi filter on the verify side:\n$p")
+    graft.text.Dedup.releaseCache()
+  }
+
   test("agg_count_distinct plans Expand-free: one-pass graft_ndv typed aggregate") {
     // two countDistinct in ONE groupBy would plan Catalyst's Expand — the
     // input triples before the first shuffle (19.5 s at sf100, r12 verdict
