@@ -172,17 +172,19 @@ object Dedup {
     when(uni > 0, inter / uni).otherwise(lit(0.0))
   }
 
-  /** Handle to the one live candidate-pair persist (see [[nearDuplicates]]).
-    * A new call releases the previous call's blocks, so cached storage is
-    * bounded by one pipeline regardless of how many times it runs; call
-    * [[releaseCache]] after consuming a result to drop the last one too. */
-  private val liveCandsCache =
+  /** Handle to the one live verify-stage persist: the candidate pairs in
+    * `rescan` mode, the shingle projection in `cached` mode (see
+    * [[nearDuplicates]]). A new call releases the previous call's blocks,
+    * so cached storage is bounded by one pipeline regardless of how many
+    * times it runs; call [[releaseCache]] after consuming a result to drop
+    * the last one too. */
+  private val livePersist =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
-  /** Unpersist the candidate-pair frame cached by the most recent
-    * [[nearDuplicates]] call. Safe to call at any time. */
+  /** Unpersist the frame cached by the most recent [[nearDuplicates]] /
+    * [[fuzzyNearDuplicates]] call. Safe to call at any time. */
   def releaseCache(): Unit = {
-    val prev = liveCandsCache.getAndSet(null)
+    val prev = livePersist.getAndSet(null)
     if (prev != null) prev.unpersist(blocking = false)
   }
 
@@ -192,12 +194,34 @@ object Dedup {
     * may still convert at runtime. */
   private val BroadcastIdCap = 4L * 1000 * 1000
 
-  /** Shared verify-stage front end for [[nearDuplicates]] and
-    * [[fuzzyNearDuplicates]]: run LSH candidate generation, persist the
-    * (small) pair set eagerly — the one `count` both materializes it and
-    * drives the broadcast decision — and return it together with the
-    * distinct candidate-id set named `idCol` (broadcast-hinted at or below
-    * [[BroadcastIdCap]]) for semi-filtering the verify side. */
+  /** Measured in-memory blow-up of the cached (id, shingles) projection
+    * over the input's compressed parquet bytes: 28 GB cache from 0.57 GB
+    * of documents at sf100 (SCALE.md) ≈ 49×. Rounded down to keep the
+    * auto-switch conservative about choosing `cached`. */
+  private val ShingleInflation = 48L
+
+  /** Resolve the verify strategy (see [[nearDuplicates]] for semantics):
+    * `auto` picks `rescan` when the estimated cached-shingle footprint
+    * (optimizer-stats input bytes × [[ShingleInflation]]) would exceed a
+    * quarter of the JVM heap — a local-mode proxy for executor storage;
+    * on a real cluster pass the mode explicitly. */
+  private def pickVerify(df: DataFrame, verify: String): String =
+    verify match {
+      case "auto" =>
+        val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        val budget = Runtime.getRuntime.maxMemory() / 4
+        if (est * ShingleInflation > budget) "rescan" else "cached"
+      case m @ ("rescan" | "cached") => m
+      case other => throw new IllegalArgumentException(
+        s"verify must be auto|rescan|cached, got '$other'")
+    }
+
+  /** Verify front end for the `rescan` strategy: run LSH candidate
+    * generation, persist the (small) pair set eagerly — the one `count`
+    * both materializes it and drives the broadcast decision — and return
+    * it together with the distinct candidate-id set named `idCol`
+    * (broadcast-hinted at or below [[BroadcastIdCap]]) for semi-filtering
+    * the verify side. */
   private def persistedCandidates(df: DataFrame, idCol: String,
                                   textCol: String, w: Int, k: Int, b: Int,
                                   maxBucket: Int, parallelism: Int)
@@ -206,54 +230,79 @@ object Dedup {
     val cands = pairsFromBuckets(
       bandedIds(shingled(df, idCol, textCol, w, parallelism), k, b), maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    liveCandsCache.set(cands)
+    livePersist.set(cands)
     val nPairs = cands.count()
     val ids = cands.select(explode(array(col("id_a"), col("id_b"))).as(idCol))
       .distinct()
     (cands, if (2 * nPairs <= BroadcastIdCap) broadcast(ids) else ids)
   }
 
-  /** MinHash-LSH near-dup pairs verified by exact Jaccard ≥ threshold.
-    *
-    * Scale shape (r18 — replaces the r12 "persist the corpus shingles"
-    * formulation): candidate generation streams the shingle/MinHash/band
-    * pipeline through ONE exchange and the resulting (id_a, id_b) pairs —
-    * bounded by LSH bucket collisions, orders of magnitude smaller than the
-    * corpus — are what gets persisted. Verification then re-derives shingle
-    * arrays ONLY for documents that appear in some candidate pair: a
-    * semi-join of the raw input on the candidate-id set (broadcast-hinted
-    * below [[BroadcastIdCap]] ids, shuffle otherwise) followed by a second
-    * shingle pass over that filtered slice. At sf100 candidates touch ~12%
-    * of documents, so the old corpus-wide MEMORY_AND_DISK shingle cache
-    * (28 GB memory + 10 GB spill at sf100, and its two full-corpus verify
-    * shuffles) becomes one cheap rescan + a candidate-sized recompute —
-    * measured 2.9× at sf100 documents (steady-state 67.1 → 23.1 s, cold
-    * 602.8 → 99.5 s; SCALE.md). At 100 TB the win is structural: the
-    * corpus-sized persist disappears entirely; state is bounded by the
-    * candidate set. The input is scanned twice, so pass a directly
-    * scannable frame (a file scan — the normal case); persist `df` first if
-    * it is itself an expensive derivation.
-    *
-    * The candidate persist is materialized eagerly (one `count`, which also
-    * drives the broadcast decision), so calling this method runs candidate
-    * generation at call time. `parallelism` > 0 fans an under-partitioned
-    * input out to that many tasks before the CPU-bound shingle/hash stages
-    * (see [[shingled]]); 0 respects input partitioning. */
-  def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
-                     w: Int = 3, k: Int = 16, b: Int = 4,
-                     threshold: Double = 0.8, maxBucket: Int = 0,
-                     parallelism: Int = 0): DataFrame = {
-    val (cands, idsHinted) =
-      persistedCandidates(df, idCol, textCol, w, k, b, maxBucket, parallelism)
-    val shV = shingled(df.join(idsHinted, Seq(idCol), "left_semi"),
-      idCol, textCol, w, parallelism)
+  /** Shared Jaccard verify tail: join the candidate pairs back to a
+    * (__id, __sh) shingle frame on both sides and keep pairs at or above
+    * the threshold. */
+  private def verifyJaccard(cands: DataFrame, sh: DataFrame,
+                            threshold: Double): DataFrame =
     cands
-      .join(shV.select(col("__id").as("id_a"), col("__sh").as("__sha")), Seq("id_a"))
-      .join(shV.select(col("__id").as("id_b"), col("__sh").as("__shb")), Seq("id_b"))
+      .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sha")), Seq("id_a"))
+      .join(sh.select(col("__id").as("id_b"), col("__sh").as("__shb")), Seq("id_b"))
       .withColumn("jaccard", round(jaccardFromShingles(col("__sha"), col("__shb")), 4))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-  }
+
+  /** MinHash-LSH near-dup pairs verified by exact Jaccard ≥ threshold.
+    * Result is identical under either verify strategy; the strategies
+    * trade fixed latency against bounded state:
+    *
+    *  - `verify = "rescan"` (r18, the corpus-scale shape): candidate
+    *    generation streams the shingle/MinHash/band pipeline through ONE
+    *    exchange and the resulting (id_a, id_b) pairs — bounded by LSH
+    *    bucket collisions, orders of magnitude smaller than the corpus —
+    *    are what gets persisted (eagerly: one `count` materializes them
+    *    and drives the broadcast decision). Verification re-derives
+    *    shingles ONLY for documents appearing in some pair: a semi-join of
+    *    the raw input on the candidate-id set (broadcast-hinted below
+    *    [[BroadcastIdCap]] ids, shuffle otherwise) + a second shingle pass
+    *    over that slice (~12% of docs at sf100). Replaces the corpus-wide
+    *    shingle cache (28 GB + 10 GB spill at sf100) and its two
+    *    full-corpus verify shuffles: 67.1 → 23.1 s steady-state at sf100
+    *    (SCALE.md). State is bounded by the candidate set at ANY corpus
+    *    size. The input is scanned twice — pass a directly scannable
+    *    frame, or persist `df` first if it is an expensive derivation.
+    *  - `verify = "cached"` (r12): persist the corpus (id, shingles)
+    *    projection MEMORY_AND_DISK and join the verify sides back to it —
+    *    a single action with no extra job launches, ~1.3 s faster at
+    *    sf0.1 where the cache is trivial, but the cache is ~50× the input
+    *    parquet bytes ([[ShingleInflation]]) and becomes the bottleneck
+    *    long before 100 TB.
+    *  - `verify = "auto"` (default): `rescan` when the estimated cache
+    *    footprint exceeds a quarter of the JVM heap ([[pickVerify]]),
+    *    `cached` otherwise. On a multi-executor cluster the heap probe
+    *    sees only the driver — pass the mode explicitly there.
+    *
+    * `parallelism` > 0 fans an under-partitioned input out to that many
+    * tasks before the CPU-bound shingle/hash stages (see [[shingled]]);
+    * 0 respects input partitioning. */
+  def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                     w: Int = 3, k: Int = 16, b: Int = 4,
+                     threshold: Double = 0.8, maxBucket: Int = 0,
+                     parallelism: Int = 0,
+                     verify: String = "auto"): DataFrame =
+    pickVerify(df, verify) match {
+      case "rescan" =>
+        val (cands, idsHinted) =
+          persistedCandidates(df, idCol, textCol, w, k, b, maxBucket,
+            parallelism)
+        val shV = shingled(df.join(idsHinted, Seq(idCol), "left_semi"),
+          idCol, textCol, w, parallelism)
+        verifyJaccard(cands, shV, threshold)
+      case _ =>
+        releaseCache()
+        val sh = shingled(df, idCol, textCol, w, parallelism)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        livePersist.set(sh)
+        verifyJaccard(pairsFromBuckets(bandedIds(sh, k, b), maxBucket), sh,
+          threshold)
+    }
 
   /** Fuzzy near-duplicates: the SAME banded-MinHash candidate generation
     * as [[nearDuplicates]], but verified by EDIT-distance similarity
@@ -264,17 +313,27 @@ object Dedup {
     * pairs (never all-pairs) and on a `capChars` prefix that bounds the
     * worst case; Spark's `levenshtein` is codegen'd. Pairs where both
     * prefixes are empty have no defined similarity and are dropped.
-    * The verify side is semi-filtered to candidate ids before the prefix
-    * joins (same r18 shape as [[nearDuplicates]]: persisted pairs + an
-    * eager count + broadcast-hinted id set), so the full corpus's text
-    * prefixes never shuffle. */
+    * `verify` behaves as on [[nearDuplicates]]: under `rescan` the prefix
+    * side is semi-filtered to candidate ids (persisted pairs + eager
+    * count + broadcast-hinted id set) so the full corpus's text prefixes
+    * never shuffle; under `cached` the prefixes join directly (no persist
+    * needed — prefixes are recomputed per side, a substring of a scan). */
   def fuzzyNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                           w: Int = 3, k: Int = 16, b: Int = 4,
                           threshold: Double = 0.8, capChars: Int = 400,
-                          maxBucket: Int = 0, parallelism: Int = 0): DataFrame = {
-    val (cands, idsHinted) =
-      persistedCandidates(df, idCol, textCol, w, k, b, maxBucket, parallelism)
-    val txt = df.join(idsHinted, Seq(idCol), "left_semi").select(col(idCol),
+                          maxBucket: Int = 0, parallelism: Int = 0,
+                          verify: String = "auto"): DataFrame = {
+    val (cands, txtSrc) = pickVerify(df, verify) match {
+      case "rescan" =>
+        val (c, idsHinted) =
+          persistedCandidates(df, idCol, textCol, w, k, b, maxBucket,
+            parallelism)
+        (c, df.join(idsHinted, Seq(idCol), "left_semi"))
+      case _ =>
+        (minhashCandidates(df, idCol, textCol, w, k, b, maxBucket,
+          parallelism), df)
+    }
+    val txt = txtSrc.select(col(idCol),
       substring(col(textCol), 1, capChars).as("__t"))
     val denom = greatest(length(col("__ta")), length(col("__tb")))
     cands
