@@ -21,7 +21,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # order-independent multiset digest instead (r17 verdict task 2: the
 # O(lineitem) as-of/correlated-scalar fuzz keys stop at sf0.1 on a
 # CHECKER bound, not an engine one). Override for tests/sweeps via env.
-DIGEST_ROWS = int(os.environ.get("CHECK_DIGEST_THRESHOLD", "1000000"))
+DIGEST_ROWS = int(os.environ.get("GRAFT_CHECK_DIGEST_THRESHOLD", "1000000"))
 
 def norm(v):
     if isinstance(v, float):

@@ -3,7 +3,7 @@
 library).
 
 The digest path replaces the in-memory sorted-rows compare above
-CHECK_DIGEST_THRESHOLD rows (r17 verdict task 2). A checker that can
+GRAFT_CHECK_DIGEST_THRESHOLD rows (r17 verdict task 2). A checker that can
 only say OK is worthless, so this pins all four behaviors:
   * digest_pass     — identical multisets in different row order → exit 0
                       and the OK line says "digest" (mode engaged).
@@ -36,7 +36,7 @@ def write_key(out, name, table):
 def run_check(out, key, threshold=None):
     env = dict(os.environ)
     if threshold is not None:
-        env["CHECK_DIGEST_THRESHOLD"] = str(threshold)
+        env["GRAFT_CHECK_DIGEST_THRESHOLD"] = str(threshold)
     p = subprocess.run([sys.executable, CHECK, out, "/root/testdata/sf0.01",
                         key], capture_output=True, text=True, env=env)
     return p.returncode, p.stdout + p.stderr
