@@ -2,16 +2,30 @@ package graft
 
 import graft.testing.StreamFuzz
 
-/** Streaming-vs-batch differential fuzzing (r17 verdict task 4): 220 seeded
-  * random streaming pipelines — watermarked tumbling/hopping aggregations in
-  * BOTH complete and append output modes, session windows, streaming dedup,
-  * and mapGroupsWithState folds — each replayed to completion over a
-  * multi-micro-batch file stream and compared as an exact multiset against
-  * the batch equivalent (append mode against the batch result filtered by
-  * the final-watermark emission rule). Grammar and determinism invariants
-  * are documented on [[graft.testing.StreamFuzz]]. A failing seed
-  * reproduces standalone:
-  * `StreamFuzz.runCase(spark, "/root/testdata/sf0.001", seed)`.
+/** Streaming-vs-batch differential fuzzing (r17 verdict task 4; late-data
+  * and join grammars r18 verdict tasks 1-2):
+  *
+  *  - v1 (seeds 1-220 here, 221-600 via StreamFuzzSoak): time-contiguous
+  *    replays of watermarked tumbling/hopping aggregations in complete and
+  *    append modes, session windows, streaming dedup and
+  *    mapGroupsWithState folds, compared as exact multisets against the
+  *    batch equivalent.
+  *  - LATE (seeds 1-200 here): a drawn fraction of rows is relocated into
+  *    later files so rows genuinely arrive behind the watermark; the
+  *    oracle models Spark's probe-verified drop/keep semantics (late
+  *    filter against the PREVIOUS batch's watermark, per (row, window)
+  *    instance; complete-mode time windows never drop; sessions filter on
+  *    proto-session end even in complete mode). The sweeps assert they are
+  *    not vacuous: a healthy share of seeds must actually DROP rows, and a
+  *    healthy share must carry late-but-kept rows.
+  *  - JOIN (seeds 1-150 here): stream-stream interval joins (buffered
+  *    two-sided state + watermark eviction) and stream-static broadcast
+  *    enrichment, against batch range-join / left-join oracles.
+  *
+  * Grammar and determinism invariants are documented on
+  * [[graft.testing.StreamFuzz]]. A failing seed reproduces standalone:
+  * `StreamFuzz.runCase(spark, "/root/testdata/sf0.001", seed)` (or
+  * `runLateCase` / `runJoinCase`).
   */
 class StreamFuzzSpec extends SparkSpec {
 
@@ -23,8 +37,52 @@ class StreamFuzzSpec extends SparkSpec {
       s"${failures.size} diverging seeds:\n${failures.take(3).mkString("\n\n")}")
   }
 
+  private def sweepLate(seeds: Range): Unit = {
+    val outcomes = seeds.map(s => StreamFuzz.runLateCase(spark, dir, s.toLong))
+    val failures = outcomes.flatMap(_.failure)
+    assert(failures.isEmpty,
+      s"${failures.size} diverging late seeds:\n${failures.take(3).mkString("\n\n")}")
+    // non-vacuity: the late grammar must exercise BOTH outcomes of the
+    // watermark late filter across the sweep
+    val dropShare = outcomes.count(_.dropped > 0).toDouble / outcomes.size
+    val keptShare = outcomes.count(_.keptLate > 0).toDouble / outcomes.size
+    assert(dropShare >= 0.3,
+      f"only $dropShare%.2f of late seeds dropped any row — sweep is vacuous")
+    assert(keptShare >= 0.3,
+      f"only $keptShare%.2f of late seeds kept a late row — sweep is vacuous")
+  }
+
+  private def sweepJoin(seeds: Range): Unit = {
+    val failures = seeds.flatMap(s => StreamFuzz.runJoinCase(spark, dir, s.toLong))
+    assert(failures.isEmpty,
+      s"${failures.size} diverging join seeds:\n${failures.take(3).mkString("\n\n")}")
+  }
+
   test("stream fuzz: seeds 1-55 match their batch oracle") { sweep(1 to 55) }
   test("stream fuzz: seeds 56-110 match their batch oracle") { sweep(56 to 110) }
   test("stream fuzz: seeds 111-165 match their batch oracle") { sweep(111 to 165) }
   test("stream fuzz: seeds 166-220 match their batch oracle") { sweep(166 to 220) }
+
+  test("stream fuzz LATE: seeds 1-50 match the drop-model oracle") {
+    sweepLate(1 to 50)
+  }
+  test("stream fuzz LATE: seeds 51-100 match the drop-model oracle") {
+    sweepLate(51 to 100)
+  }
+  test("stream fuzz LATE: seeds 101-150 match the drop-model oracle") {
+    sweepLate(101 to 150)
+  }
+  test("stream fuzz LATE: seeds 151-200 match the drop-model oracle") {
+    sweepLate(151 to 200)
+  }
+
+  test("stream fuzz JOIN: seeds 1-50 match their batch oracle") {
+    sweepJoin(1 to 50)
+  }
+  test("stream fuzz JOIN: seeds 51-100 match their batch oracle") {
+    sweepJoin(51 to 100)
+  }
+  test("stream fuzz JOIN: seeds 101-150 match their batch oracle") {
+    sweepJoin(101 to 150)
+  }
 }
