@@ -172,21 +172,37 @@ object Dedup {
     when(uni > 0, inter / uni).otherwise(lit(0.0))
   }
 
-  /** Handle to the one live verify-stage persist: the candidate pairs in
+  /** Live verify-stage persists, oldest first: the candidate pairs in
     * `rescan` mode, the shingle projection in `cached` mode (see
-    * [[nearDuplicates]]). A new call releases the previous call's blocks,
-    * so cached storage is bounded by one pipeline regardless of how many
-    * times it runs; call [[releaseCache]] after consuming a result to drop
-    * the last one too. */
-  private val livePersist =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+    * [[nearDuplicates]]). The registry holds at most [[MaxLivePersists]]
+    * frames — when a new call would exceed it, the OLDEST is unpersisted —
+    * so cached storage stays bounded under repeated calls while up to that
+    * many CONCURRENT or interleaved pipelines (e.g. a `nearDuplicates`
+    * and a `fuzzyNearDuplicates` whose results are both consumed later)
+    * each keep their cache live instead of silently unpersisting each
+    * other's mid-query (r18 verdict: the previous single slot did exactly
+    * that). Call [[releaseCache]] after consuming results to drop all. */
+  private val MaxLivePersists = 4
+  private val livePersists = new java.util.ArrayDeque[DataFrame]()
 
-  /** Unpersist the frame cached by the most recent [[nearDuplicates]] /
-    * [[fuzzyNearDuplicates]] call. Safe to call at any time. */
-  def releaseCache(): Unit = {
-    val prev = livePersist.getAndSet(null)
-    if (prev != null) prev.unpersist(blocking = false)
+  private def registerPersist(df: DataFrame): Unit =
+    livePersists.synchronized {
+      livePersists.addLast(df)
+      while (livePersists.size > MaxLivePersists)
+        livePersists.pollFirst().unpersist(blocking = false)
+    }
+
+  /** Unpersist every frame cached by [[nearDuplicates]] /
+    * [[fuzzyNearDuplicates]] calls still in the registry. Safe to call at
+    * any time. */
+  def releaseCache(): Unit = livePersists.synchronized {
+    while (!livePersists.isEmpty)
+      livePersists.pollFirst().unpersist(blocking = false)
   }
+
+  /** Test hook: number of verify-stage persists currently live. */
+  private[graft] def liveCacheCount: Int =
+    livePersists.synchronized(livePersists.size)
 
   /** Candidate-id sets at or below this count get a broadcast hint on the
     * verify-side semi join (ids are a narrow id column — 4M ids ≈ tens of
@@ -200,17 +216,54 @@ object Dedup {
     * auto-switch conservative about choosing `cached`. */
   private val ShingleInflation = 48L
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Missing-stats sentinel: Catalyst reports `spark.sql.defaultSizeInBytes`
+    * (Long.MaxValue by default) for plans it cannot size — e.g. RDD-backed
+    * frames or views without statistics. Anything above 1 PiB is a
+    * "don't know", not a measurement. */
+  private val StatsSentinel = BigInt(1L << 50)
+
+  /** Cache budget from executor confs when they are set: executor memory ×
+    * `spark.memory.fraction` (default 0.6) is the unified region a worker
+    * actually has for storage, quartered like the local-heap fallback. On
+    * clusters this is what the `auto` verify switch should see — the
+    * driver JVM's own heap says nothing about executor storage. */
+  private[graft] def budgetFromConfs(execMem: Option[String],
+                                     fraction: Option[Double]): Option[Long] =
+    execMem.map { m =>
+      val bytes =
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(m)
+      (bytes * fraction.getOrElse(0.6) / 4).toLong
+    }
+
   /** Resolve the verify strategy (see [[nearDuplicates]] for semantics):
     * `auto` picks `rescan` when the estimated cached-shingle footprint
     * (optimizer-stats input bytes × [[ShingleInflation]]) would exceed a
-    * quarter of the JVM heap — a local-mode proxy for executor storage;
-    * on a real cluster pass the mode explicitly. */
-  private def pickVerify(df: DataFrame, verify: String): String =
+    * quarter of the storage budget — derived from
+    * `spark.executor.memory` × `spark.memory.fraction` when those confs
+    * are set, else from the local JVM heap — or when the input has no
+    * usable stats at all (the sentinel default would otherwise silently
+    * force `rescan` as if it were a measurement; it still resolves to
+    * `rescan` — the bounded-state shape is the safe call for an
+    * unknown-size input — but the choice is logged). */
+  private[graft] def pickVerify(df: DataFrame, verify: String,
+                                what: String): String =
     verify match {
       case "auto" =>
         val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-        val budget = Runtime.getRuntime.maxMemory() / 4
-        if (est * ShingleInflation > budget) "rescan" else "cached"
+        val conf = df.sparkSession.conf
+        val budget = budgetFromConfs(
+          conf.getOption("spark.executor.memory"),
+          conf.getOption("spark.memory.fraction").map(_.toDouble))
+          .getOrElse(Runtime.getRuntime.maxMemory() / 4)
+        if (est >= StatsSentinel) {
+          log.info(s"$what: input stats unavailable (sizeInBytes=$est); " +
+            "auto-picking the bounded-state 'rescan' verify — pass " +
+            "verify=\"cached\" explicitly if the input is known-small")
+          "rescan"
+        } else if (est * ShingleInflation > budget) "rescan"
+        else "cached"
       case m @ ("rescan" | "cached") => m
       case other => throw new IllegalArgumentException(
         s"verify must be auto|rescan|cached, got '$other'")
@@ -226,11 +279,10 @@ object Dedup {
                                   textCol: String, w: Int, k: Int, b: Int,
                                   maxBucket: Int, parallelism: Int)
       : (DataFrame, DataFrame) = {
-    releaseCache()
     val cands = pairsFromBuckets(
       bandedIds(shingled(df, idCol, textCol, w, parallelism), k, b), maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    livePersist.set(cands)
+    registerPersist(cands)
     val nPairs = cands.count()
     val ids = cands.select(explode(array(col("id_a"), col("id_b"))).as(idCol))
       .distinct()
@@ -275,9 +327,11 @@ object Dedup {
     *    parquet bytes ([[ShingleInflation]]) and becomes the bottleneck
     *    long before 100 TB.
     *  - `verify = "auto"` (default): `rescan` when the estimated cache
-    *    footprint exceeds a quarter of the JVM heap ([[pickVerify]]),
-    *    `cached` otherwise. On a multi-executor cluster the heap probe
-    *    sees only the driver — pass the mode explicitly there.
+    *    footprint exceeds a quarter of the storage budget ([[pickVerify]]:
+    *    `spark.executor.memory` × `spark.memory.fraction` when set — the
+    *    conf-driven cluster path — else the local JVM heap), or when the
+    *    input has no usable optimizer stats (logged; pass the mode
+    *    explicitly for known-small derived inputs).
     *
     * `parallelism` > 0 fans an under-partitioned input out to that many
     * tasks before the CPU-bound shingle/hash stages (see [[shingled]]);
@@ -287,7 +341,7 @@ object Dedup {
                      threshold: Double = 0.8, maxBucket: Int = 0,
                      parallelism: Int = 0,
                      verify: String = "auto"): DataFrame =
-    pickVerify(df, verify) match {
+    pickVerify(df, verify, "nearDuplicates") match {
       case "rescan" =>
         val (cands, idsHinted) =
           persistedCandidates(df, idCol, textCol, w, k, b, maxBucket,
@@ -296,10 +350,9 @@ object Dedup {
           idCol, textCol, w, parallelism)
         verifyJaccard(cands, shV, threshold)
       case _ =>
-        releaseCache()
         val sh = shingled(df, idCol, textCol, w, parallelism)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        livePersist.set(sh)
+        registerPersist(sh)
         verifyJaccard(pairsFromBuckets(bandedIds(sh, k, b), maxBucket), sh,
           threshold)
     }
@@ -317,13 +370,20 @@ object Dedup {
     * side is semi-filtered to candidate ids (persisted pairs + eager
     * count + broadcast-hinted id set) so the full corpus's text prefixes
     * never shuffle; under `cached` the prefixes join directly (no persist
-    * needed — prefixes are recomputed per side, a substring of a scan). */
+    * needed — prefixes are recomputed per side, a substring of a scan).
+    * NOTE the `auto` tradeoff differs here: `cached` caches NOTHING for
+    * the fuzzy verify, so the shingle-inflation heap rationale does not
+    * apply — what `auto`'s `rescan` buys instead is shuffle volume (the
+    * capChars-bounded corpus prefixes, ~`capChars` bytes/doc, never
+    * shuffle; only the candidate slice does), paid for with the extra
+    * candidate-count job and a second input scan. At corpus scale that is
+    * still the right default; for small inputs pass `verify="cached"`. */
   def fuzzyNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                           w: Int = 3, k: Int = 16, b: Int = 4,
                           threshold: Double = 0.8, capChars: Int = 400,
                           maxBucket: Int = 0, parallelism: Int = 0,
                           verify: String = "auto"): DataFrame = {
-    val (cands, txtSrc) = pickVerify(df, verify) match {
+    val (cands, txtSrc) = pickVerify(df, verify, "fuzzyNearDuplicates") match {
       case "rescan" =>
         val (c, idsHinted) =
           persistedCandidates(df, idCol, textCol, w, k, b, maxBucket,
