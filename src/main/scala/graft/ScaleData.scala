@@ -39,6 +39,12 @@ object ScaleData {
     val out = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
     val only = args.drop(3).toSet
+    val known = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val unknown = only -- known
+    require(unknown.isEmpty,
+      s"unknown table name(s) ${unknown.mkString(", ")} — valid: " +
+        known.toSeq.sorted.mkString(", "))
     def want(name: String): Boolean = only.isEmpty || only(name)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -137,17 +137,25 @@ def main():
 
     commit = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
                             capture_output=True, text=True).stdout.strip()
-    record = {
+    n_hits = sum(len(v) for v in hits.values())
+    # LEAKCHECK.json keeps the driver's own record shape (the driver
+    # regenerates it each round with just these fields); provenance lives
+    # in a sibling file only this generator writes, so it survives the
+    # driver's rewrite (r18 verdict item 5).
+    record = {"round": rnd, "n_hits": n_hits, "hits": hits}
+    with open(os.path.join(REPO, "LEAKCHECK.json"), "w") as fh:
+        json.dump(record, fh, indent=2)
+        fh.write("\n")
+    provenance = {
         "round": rnd,
         "generated_at": datetime.datetime.now(datetime.timezone.utc)
             .isoformat(timespec="seconds"),
         "commit": commit,
         "generator": "tools/leakcheck.py",
-        "n_hits": sum(len(v) for v in hits.values()),
-        "hits": hits,
+        "n_hits": n_hits,
     }
-    with open(os.path.join(REPO, "LEAKCHECK.json"), "w") as fh:
-        json.dump(record, fh, indent=2)
+    with open(os.path.join(REPO, "LEAKCHECK_PROVENANCE.json"), "w") as fh:
+        json.dump(provenance, fh, indent=2)
         fh.write("\n")
     print(json.dumps({k: len(v) for k, v in hits.items()}))
     sys.exit(1 if record["n_hits"] else 0)
