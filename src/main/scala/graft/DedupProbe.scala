@@ -13,6 +13,10 @@ object DedupProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // at replica SFs a verify shuffle is tens of GB; make the context
+      // cleaner reclaim finished shuffles promptly so back-to-back runs
+      // don't accumulate past the disk (default periodic GC is 30 min)
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // mimic Bench: one tiny synthetic dedup warmup (JIT/classloading), then
@@ -30,8 +34,14 @@ object DedupProbe {
       SparkEntry.queries("dedup_near_pairs")(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       println(f"[probe] $tag ${(System.nanoTime()-t0)/1e9}%.2f s")
+      System.gc() // release the finished run's shuffle files (see above)
     }
     run("cold"); run("warm"); run("warm2")
+    // GRAFT_PROBE_POISON=0 skips the degenerate-bucket probe (e.g. at
+    // replica SFs where its two extra full-corpus scans aren't the point)
+    if (sys.env.get("GRAFT_PROBE_POISON").contains("0")) {
+      spark.stop(); return
+    }
 
     // Degenerate-bucket probe: plant 10^4 byte-identical docs (one LSH bucket
     // of 10k ids → 5·10^7 pairs if expanded). With maxBucket the bucket is
