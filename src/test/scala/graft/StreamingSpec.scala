@@ -139,4 +139,57 @@ class StreamingSpec extends SparkSpec {
         "ts", "1 hour", Seq("k")), "dedup_out")
     assert(out.count() == 2)
   }
+
+  test("append-mode sessions RE-OPEN on a kept late row (why no batch oracle)") {
+    // Pins the asymmetry that keeps session·append OUT of the late-data
+    // fuzz grammar (StreamFuzz scaladoc): once a session is emitted, a
+    // late row that survives the proto-end filter (ts+gap > previous
+    // watermark) but overlaps the emitted interval starts a NEW session —
+    // the emitted multiset is a function of ARRIVAL ORDER, so no batch
+    // frame can be its oracle. Timeline (gap 5m, delay 31m):
+    //   b0: A=10:00:00, driver 10:37:10          -> wm(b1) = 10:06:10
+    //   b1: driver 10:50:10 — eviction with wm(b1) emits A's session
+    //       [10:00,10:05) n=1                    -> wm(b2) = 10:19:10
+    //   b2: L=10:04:00 — late (raw ts behind both watermarks) but kept
+    //       (proto end 10:09 > thr = wm(b1) = 10:06:10); it overlaps the
+    //       EMITTED session yet cannot rejoin it; driver 10:55:10
+    //       -> final wm 10:24:10 emits L's session [10:04,10:09) n=1.
+    // A batch session_window over the kept rows would merge A and L into
+    // ONE session [10:00,10:09) n=2 — the stream instead emits two
+    // overlapping sessions.
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val files = Seq(
+      Seq((ts("2024-01-01 10:00:00"), "A", 1L), (ts("2024-01-01 10:37:10"), "d0", 1L)),
+      Seq((ts("2024-01-01 10:50:10"), "d1", 1L)),
+      Seq((ts("2024-01-01 10:04:00"), "L", 1L), (ts("2024-01-01 10:55:10"), "d2", 1L)))
+    val out = java.nio.file.Files.createTempDirectory("graft-sess-reopen")
+    files.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sess-part")
+      rows.toDF("ts", "k", "v").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val src = tmp.toFile.listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      val dst = out.resolve(f"chunk_$i%04d.parquet")
+      java.nio.file.Files.move(src, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val schema = Seq((ts("2024-01-01 00:00:00"), "x", 1L))
+      .toDF("ts", "k", "v").schema
+    val stream = Streams.readParquetStream(spark, out.toString, schema,
+      maxFilesPerTrigger = 1)
+    val agg = Streams.sessionAgg(stream, "ts", "5 minutes", "31 minutes",
+      Seq(col("v")), Seq(count(lit(1)).as("n"), collect_set(col("k")).as("ks")))
+    val got = Streams.replayToTable(agg, "sess_reopen", outputMode = "append")
+      .select(col("_session_start"), col("_session_end"), col("n"),
+        array_join(col("ks"), ",").as("ks"))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getTimestamp(1).toString,
+        r.getLong(2), r.getString(3))).toSet
+    assert(got == Set(
+      ("2024-01-01 10:00:00.0", "2024-01-01 10:05:00.0", 1L, "A"),
+      ("2024-01-01 10:04:00.0", "2024-01-01 10:09:00.0", 1L, "L")),
+      s"expected two OVERLAPPING single-row sessions, got $got")
+  }
 }
