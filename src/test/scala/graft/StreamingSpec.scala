@@ -140,6 +140,71 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  test("mapGroupsWithState EventTimeTimeout: watermark fires the timeout, state resets") {
+    // The one stateful surface the fuzz grammars don't reach: event-time
+    // TIMEOUTS. Timeline (delay 31m; timeout = group max ts + 10m):
+    //   b0: A@10:00, A@10:02 (A: n=2, timeout 10:12), D@10:50 (timeout
+    //       11:00)                                  -> wm(b1) = 10:19:00
+    //   b1: D@11:10 (D: n=2, timeout 11:20); wm 10:19 > A's 10:12 fires
+    //       A's timeout -> (A, 2, timeout), state removed -> wm(b2) = 10:39
+    //   b2: A@10:52 — fresh (not late), and A's state must be GONE: the
+    //       fold restarts at n=1. Final wm stays 10:39 < every live
+    //       timeout, so nothing else fires.
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val files = Seq(
+      Seq((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:02:00"), 1L),
+          (ts("2024-01-01 10:50:00"), 4L)),
+      Seq((ts("2024-01-01 11:10:00"), 4L)),
+      Seq((ts("2024-01-01 10:52:00"), 1L)))
+    val out = java.nio.file.Files.createTempDirectory("graft-mgs-timeout")
+    files.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-mgs-part")
+      rows.toDF("ts", "k").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val src = tmp.toFile.listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      val dst = out.resolve(f"chunk_$i%04d.parquet")
+      java.nio.file.Files.move(src, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val schema = Seq((ts("2024-01-01 00:00:00"), 1L)).toDF("ts", "k").schema
+    val stream = Streams.readParquetStream(spark, out.toString, schema,
+      maxFilesPerTrigger = 1)
+      .withWatermark("ts", "31 minutes")
+    val folded = stream.as[(java.sql.Timestamp, Long)]
+      .groupByKey(_._2)
+      .mapGroupsWithState(
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[(java.sql.Timestamp, Long)],
+         st: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          if (st.hasTimedOut) {
+            val n = st.get
+            st.remove()
+            (key, n, "timeout")
+          } else {
+            val batch = rows.toSeq
+            val n = st.getOption.getOrElse(0L) + batch.size
+            st.update(n)
+            st.setTimeoutTimestamp(
+              batch.map(_._1.getTime).max + 10L * 60000L)
+            (key, n, "update")
+          }
+      }
+    val got = Streams.replayDatasetToTable(folded, "mgs_timeout",
+      outputMode = "update")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set(
+      (1L, 2L, "update"),   // b0: A folds both rows
+      (4L, 1L, "update"),   // b0: D
+      (4L, 2L, "update"),   // b1: D folds its second row
+      (1L, 2L, "timeout"),  // b1: watermark 10:19 passes A's 10:12
+      (1L, 1L, "update")),  // b2: A restarts from empty state
+      s"unexpected timeout/update sequence: $got")
+  }
+
   test("append-mode sessions RE-OPEN on a kept late row (why no batch oracle)") {
     // Pins the asymmetry that keeps session·append OUT of the late-data
     // fuzz grammar (StreamFuzz scaladoc): once a session is emitted, a
