@@ -93,7 +93,15 @@ final class LazyFrame(val df: DataFrame) {
 
   /** Time-bucketed group-by (polars group_by_dynamic,
     * crates/polars-time/src/group_by/dynamic.rs). every==period → tumbling;
-    * every<period → hopping. Returns keys `_window_start`/`_window_end`. */
+    * every<period → hopping. Returns keys `_window_start`/`_window_end`.
+    *
+    * Hopping ratios: each row expands into period/every window instances
+    * via Catalyst's Expand; past ~100 instances per row (e.g. a 1-day
+    * period sliding every 7 minutes) the generated switch outgrows janino
+    * method limits and Spark falls back to interpreted Expand — results
+    * stay correct, but the fan-out leaves whole-stage codegen, which at
+    * cluster scale is a real per-row cost. Headline ratios (1h/20m = 3
+    * instances) stay comfortably inside codegen; see SCALE.md. */
   def groupByDynamic(ts: Column, every: String, period: Option[String] = None,
                      extraKeys: Seq[Column] = Nil): GroupBy = {
     val win = period match {

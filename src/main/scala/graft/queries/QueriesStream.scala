@@ -153,6 +153,37 @@ object QueriesStream {
         .orderBy(col("click_id"), col("buy_id"))
     }),
 
+    // OUTER stream-stream interval join (Streams.intervalJoin with
+    // joinType=leftOuter): every purchase within [0, 2 h] AFTER a click,
+    // PLUS the clicks that never converted — emitted null-padded once the
+    // global watermark proves no purchase can still arrive. The emission
+    // cutoff is Spark's state-value watermark, pinned by
+    // graft.testing.StreamJoinProbe: an unmatched click pads iff
+    // click_ts_us <= (wmF_ms - upper_ms - 1) * 1000, where wmF =
+    // min(floor_ms(max click ts), floor_ms(max purchase ts)) - delay —
+    // the oracle models exactly that, so the key pins both the pair set
+    // AND the watermark-driven null emission. Clicks still inside the
+    // horizon when the replay ends stay buffered (not emitted) — at scale
+    // they'd emit as the live watermark advances.
+    "stream_outer_join" -> ((s, d) => {
+      val ev = eventsStream(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("r_user_id"),
+          col("event_id").as("buy_id"), col("ts").as("buy_ts"))
+      val joined = Streams.intervalJoin(clicks, buys,
+        "click_ts", "buy_ts", watermark = "1 hour",
+        keyEq = col("user_id") === col("r_user_id"),
+        lower = "0 seconds", upper = "2 hours", joinType = "leftOuter")
+      replay(joined, "stream_outer", "append")
+        .select(col("user_id"), col("click_id"), col("buy_id"),
+          date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("cts"),
+          date_format(col("buy_ts"), "yyyy-MM-dd HH:mm:ss").as("bts"))
+        .orderBy(col("click_id"), col("buy_id"))
+    }),
+
     // Arbitrary keyed state via mapGroupsWithState (Streams.runningTotals)
     // — the custom-state surface the reference engine has no analogue
     // for. Values are pre-scaled to exact integer cents (doubles sum
@@ -261,6 +292,34 @@ object QueriesStream {
         |  ON c.user_id = b.user_id
         | AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 2 HOUR
         |WHERE c.event_type = 'click' AND b.event_type = 'purchase'
+        |ORDER BY click_id, buy_id""".stripMargin,
+
+    // Pads: unmatched clicks close at the probed state-value-watermark
+    // cutoff (wmF_ms - upper_ms - 1) * 1000 us, inclusive; wmF =
+    // min(per-side floor-ms maxima) - delay. epoch_ms truncates like
+    // Spark's EventTimeStats (us div 1000).
+    "stream_outer_join" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id AS click_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'),
+        |b AS (
+        |  SELECT user_id AS r_user_id, event_id AS buy_id, ts AS buy_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |wm AS (
+        |  SELECT least((SELECT max(epoch_ms(ts)) FROM events
+        |                WHERE event_type = 'click'),
+        |               (SELECT max(epoch_ms(ts)) FROM events
+        |                WHERE event_type = 'purchase')) - 3600000 AS w)
+        |SELECT c.user_id, c.click_id, b.buy_id,
+        | strftime(c.click_ts, '%Y-%m-%d %H:%M:%S') AS cts,
+        | strftime(b.buy_ts, '%Y-%m-%d %H:%M:%S') AS bts
+        |FROM c LEFT JOIN b
+        |  ON c.user_id = b.r_user_id
+        | AND b.buy_ts >= c.click_ts
+        | AND b.buy_ts <= c.click_ts + INTERVAL 2 HOUR
+        |WHERE b.buy_id IS NOT NULL
+        |   OR epoch_us(c.click_ts) <=
+        |      ((SELECT w FROM wm) - 7200000 - 1) * 1000
         |ORDER BY click_id, buy_id""".stripMargin,
 
     "stream_running_totals" ->

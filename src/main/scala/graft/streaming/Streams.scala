@@ -83,16 +83,28 @@ object Streams {
     * other. Both sides carry watermarks so the join state is evicted once
     * no counterpart can still arrive — state ∝ (watermark horizon ×
     * arrival rate), never the stream length. Column names on `right` must
-    * be pre-suffixed by the caller to avoid ambiguity. */
+    * be pre-suffixed by the caller to avoid ambiguity.
+    *
+    * `joinType` supports inner (default) plus leftOuter / rightOuter /
+    * fullOuter: an unmatched row is emitted null-padded once the global
+    * watermark proves no counterpart can still arrive — for a left row
+    * when `wm` passes `ts + upper` (for a right row: `ts + lower`).
+    * Spark's exact emission cutoff is `ts_us <= (wm_ms - bound_ms - 1ms)`
+    * (StreamingJoinHelper computes the state value watermark in whole ms
+    * minus a 1 ms safety margin; pinned by graft.testing.StreamJoinProbe
+    * on this build), so rows still inside the horizon when the stream
+    * idles stay buffered rather than emitting — the semantics a click-
+    * without-purchase / impressions-without-clicks pipeline relies on. */
   def intervalJoin(left: DataFrame, right: DataFrame,
                    leftTs: String, rightTs: String, watermark: String,
                    keyEq: org.apache.spark.sql.Column,
-                   lower: String, upper: String): DataFrame = {
+                   lower: String, upper: String,
+                   joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark)
     l.join(r, keyEq &&
       col(rightTs) >= col(leftTs) - expr(s"interval $lower") &&
-      col(rightTs) <= col(leftTs) + expr(s"interval $upper"))
+      col(rightTs) <= col(leftTs) + expr(s"interval $upper"), joinType)
   }
 
   /** Per-key running totals via mapGroupsWithState — the general custom-

@@ -120,9 +120,58 @@ import graft.streaming.Streams
   * unmatched rows exercise the null path); stateless, batch left join is
   * the oracle.
   *
+  * == v4: [[runJoinV2Case]] — OUTER join types + one-sided LATE data (r20) ==
+  *
+  * Extends v3 with a drawn joinType ∈ {inner, leftOuter, rightOuter,
+  * fullOuter} and a drawn fraction of ONE side's rows relocated 1–3 files
+  * forward (v2-style), so the interval join sees genuinely late rows. The
+  * oracle models the semantics pinned by [[StreamJoinProbe]] on this
+  * build (each clause probe-verified before the grammar was written):
+  *
+  *  - LATE FILTER (both input sides): a row in batch b is dropped iff
+  *    ts_us <= wm(b−1)_ms · 1000 (raw event time, INCLUSIVE; the same
+  *    one-batch chaining lag as v2: wm(b) = displayed watermark of batch
+  *    b = max(0, min over sides of floor_ms(per-side prefix max over
+  *    files <= b−1) − delay)). The filter is RAW-ts form — NOT adjusted
+  *    by the join bounds (probes P-C/P-D/P-J: a row with ts+upper ahead
+  *    of the threshold still drops when its raw ts is behind).
+  *  - PAIRS: the batch range join over KEPT rows exactly. A late-but-kept
+  *    row always finds surviving counterpart state: eviction of the other
+  *    side at wm implies any row it could match is itself filter-dropped
+  *    (cutoffs below + the raw filter make the two regions disjoint;
+  *    probe P-J shows the late-kept match emitting).
+  *  - OUTER PADS: an unmatched kept row is null-padded iff
+  *    ts_us <= (wmF_ms − bound_ms − 1) · 1000, INCLUSIVE, where bound =
+  *    upper for the left side, lower for the right, and wmF is the final
+  *    displayed watermark (StreamingJoinHelper computes the state value
+  *    watermark in whole ms via (wm_ms·1000 − bound_us)/1000 and then
+  *    subtracts the 1 ms safety margin; WatermarkSupport compares the µs
+  *    event time ≤ value·1000 — probes P-A/P-B/P-E/P-F/P-G/P-G2 pin the
+  *    boundary to the microsecond at both whole-ms and fractional-ms
+  *    watermarks). Unmatched rows still inside the horizon when the
+  *    replay ends stay buffered and never emit — the oracle keeps them
+  *    out the same way. "Unmatched" means matched by no KEPT row: a
+  *    dropped late row produces neither a pair nor a pad (probe P-J).
+  *
+  * == v5: [[runRecoveryCase]] — seeded restart/recovery (r20) ==
+  *
+  * Exactly-once across restart, the production claim: a drawn shape
+  * (tumble/hop append, dedup, session append, interval join incl. outer)
+  * replays over CONTIGUOUS chunked files revealed in 2–3 phases; between
+  * phases the query is stopped and restarted from its checkpoint, writing
+  * to a parquet FILE SINK (whose manifest is the exactly-once mechanism
+  * being tested). The oracle is the UNINTERRUPTED run of the same plan
+  * over the same files into a fresh sink/checkpoint: under per-side
+  * contiguity the phase-boundary no-data batches emit only state no
+  * future row can touch, so the two runs' multisets are identical — any
+  * divergence is a restart bug (lost/duplicated state, watermark regress,
+  * sink manifest replay). Session·append — excluded from the v2 late
+  * grammar because arrival order changes its emitted multiset — is IN
+  * here, because both runs see the identical arrival order.
+  *
   * A failing seed reproduces standalone:
   * `StreamFuzz.runCase(spark, "/root/testdata/sf0.001", seed)` (or
-  * `runLateCase` / `runJoinCase`).
+  * `runLateCase` / `runJoinCase` / `runJoinV2Case` / `runRecoveryCase`).
   */
 object StreamFuzz {
 
@@ -132,6 +181,15 @@ object StreamFuzz {
 
   private val inputCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Input]()
+
+  // the v1/v3 input dirs are cached for seed reuse, so they can't be
+  // deleted per-case like the late/join-v2/recovery dirs — reclaim them at
+  // JVM exit instead (ADVICE r19: long-lived test/soak JVMs otherwise
+  // accumulate temp dirs)
+  sys.addShutdownHook {
+    inputCache.values.forEach(i =>
+      try deleteRec(java.nio.file.Paths.get(i.dir)) catch { case _: Throwable => () })
+  }
 
   private val filterPool: Vector[(String, DataFrame => DataFrame)] = Vector(
     ("all", identity[DataFrame] _),
@@ -449,9 +507,14 @@ object StreamFuzz {
     * file; of their per-state-key instances, `dropped` fell behind the
     * late filter and `keptLate` arrived behind their natural position but
     * ahead of the filter (both from the oracle model — the spec asserts
-    * the sweep exercises both outcomes). */
+    * the sweep exercises both outcomes). `filterApplies` is false for the
+    * shapes whose operator never applies the drop/keep filter
+    * (complete-mode time windows, the unwatermarked mgs fold) — their
+    * relocated rows are trivially kept, so the spec's kept-share
+    * non-vacuity assertion counts only filterApplies seeds (ADVICE r19). */
   case class LateOutcome(failure: Option[String], relocated: Long,
-                         dropped: Long, keptLate: Long)
+                         dropped: Long, keptLate: Long,
+                         filterApplies: Boolean = true)
 
   private val lateDelayPool = delayPool.take(3) // 31m / 2h / 7h
   private val latePPool = Vector(0.08, 0.15, 0.25)
@@ -526,7 +589,7 @@ object StreamFuzz {
   private def thrCol(thr: Array[Long]): Column =
     element_at(typedLit(thr.toSeq), col("__file") + 1)
 
-  private def deleteRec(p: Path): Unit = {
+  private[graft] def deleteRec(p: Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (Files.exists(p))
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
@@ -614,7 +677,7 @@ object StreamFuzz {
     LateOutcome(diff(got, want).map(d =>
       s"window hop=$hop mode=$mode every=$every slide=$slide delay=$delayStr " +
         s"nFiles=${in.nFiles} relocated=${in.relocated} dropped=$dropped: $d"),
-      in.relocated, dropped, keptLate)
+      in.relocated, dropped, keptLate, filterApplies = append)
   }
 
   private def lateDedupCase(spark: SparkSession, in: LateInput,
@@ -694,7 +757,7 @@ object StreamFuzz {
     LateOutcome(mgsDiff(updates, in.rowsF, kExpr, vExpr, op).map(d =>
       s"mgs key=$kName val=$vName op=$op nFiles=${in.nFiles} " +
         s"relocated=${in.relocated}: $d"),
-      in.relocated, 0L, in.relocated)
+      in.relocated, 0L, in.relocated, filterApplies = false)
   }
 
   // ---- v3: join grammar ----------------------------------------------------
@@ -785,6 +848,305 @@ object StreamFuzz {
     diff(got, want).map(d =>
       s"enrich key=$keyName keep=1/$keep filter=${filterPool(filterIdx)._1} " +
         s"nFiles=$nFiles: $d")
+  }
+
+  // ---- v4: outer join types + one-sided late data --------------------------
+
+  /** Outcome of one v4 join seed. `nullPadded` counts the null-padded rows
+    * the STREAM actually emitted (outer types only); `dropped`/`keptLate`
+    * are the relocated late side's filter outcomes, as in [[LateOutcome]].
+    * The spec asserts all three are exercised across a sweep. */
+  case class JoinOutcome(failure: Option[String], relocated: Long,
+                         dropped: Long, keptLate: Long, nullPadded: Long)
+
+  private case class SideInput(dir: Path, schema: StructType, rowsF: DataFrame,
+                               tsUsAndFile: Array[(Long, Int)], nFiles: Int,
+                               relocated: Long)
+
+  private def tsUs(t: java.sql.Timestamp): Long =
+    t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+
+  /** v2-style seeded side builder with explicit nFiles/pLate (pLate = 0 →
+    * contiguous). Not cached: dirs are per-seed and deleted by the case. */
+  private def prepareSide(spark: SparkSession, sfDir: String,
+                          rnd: scala.util.Random, nFiles: Int,
+                          pLate: Double): SideInput = {
+    val filterIdx = rnd.nextInt(filterPool.length)
+    val (rows, schema) = sourceRows(spark, sfDir, filterIdx)
+    val n = rows.length
+    val chunk = math.max(1, math.ceil(n.toDouble / nFiles).toInt)
+    val natural = Array.tabulate(n)(i => math.min(i / chunk, nFiles - 1))
+    val assign = natural.clone()
+    val retained = Array.tabulate(nFiles)(f => natural.count(_ == f))
+    var relocated = 0L
+    var i = 0
+    while (i < n) {
+      val c = natural(i)
+      if (pLate > 0 && c < nFiles - 1 && rnd.nextDouble() < pLate &&
+          retained(c) > 1) {
+        assign(i) = math.min(nFiles - 1, c + 1 + rnd.nextInt(3))
+        retained(c) -= 1
+        relocated += 1
+      }
+      i += 1
+    }
+    val chunks = (0 until nFiles).map(f =>
+      (0 until n).filter(assign(_) == f).map(rows(_)))
+    val dir = writeChunks(spark, schema, chunks)
+    val tsIdx = schema.fieldIndex("ts")
+    val schemaF = schema.add("__file", IntegerType).add("__late", BooleanType)
+    val rowsF = spark.createDataFrame(
+      java.util.Arrays.asList((0 until n).map(j => Row.fromSeq(
+        rows(j).toSeq :+ assign(j) :+ (assign(j) != natural(j)))): _*),
+      schemaF)
+    val us = (0 until n).map(j =>
+      (tsUs(rows(j).getTimestamp(tsIdx)), assign(j))).toArray
+    SideInput(dir, schema, rowsF, us, nFiles, relocated)
+  }
+
+  /** Per-batch late-filter thresholds (µs) and the final watermark (ms)
+    * for a two-source join: wm(b) = displayed watermark of batch b =
+    * max(0, min over sides of (per-side prefix-max floor-ms over files
+    * <= b−1) − delay); the filter for batch b uses wm(b−1) (the chaining
+    * lag pinned by probes P-C/P-H/P-I2). */
+  private def joinThresholds(l: Array[(Long, Int)], nL: Int,
+                             r: Array[(Long, Int)], nR: Int,
+                             delayMs: Long): (Array[Long], Long) = {
+    def prefixMaxMs(a: Array[(Long, Int)], n: Int): Array[Long] = {
+      val m = new Array[Long](n)
+      a.foreach { case (us, f) => val ms = us / 1000L; if (ms > m(f)) m(f) = ms }
+      var i = 1
+      while (i < n) { if (m(i - 1) > m(i)) m(i) = m(i - 1); i += 1 }
+      m
+    }
+    val mL = prefixMaxMs(l, nL)
+    val mR = prefixMaxMs(r, nR)
+    val nB = math.max(nL, nR)
+    def wmAt(b: Int): Long =
+      if (b <= 0) 0L
+      else math.max(0L, math.min(mL(math.min(b - 1, nL - 1)),
+        mR(math.min(b - 1, nR - 1))) - delayMs)
+    (Array.tabulate(nB)(b => wmAt(b - 1) * 1000L), wmAt(nB))
+  }
+
+  /** Run one seeded v4 case: drawn joinType over two replays, one side
+    * carrying relocated (late) rows; oracle = kept-row batch join + the
+    * probe-pinned pad cutoffs (object scaladoc). */
+  def runJoinV2Case(spark: SparkSession, sfDir: String,
+                    seed: Long): JoinOutcome = {
+    val rnd = new scala.util.Random(seed)
+    val joinType = Vector("inner", "leftOuter", "rightOuter",
+      "fullOuter")(rnd.nextInt(4))
+    val pLate = Vector(0.0, 0.12, 0.25)(rnd.nextInt(3))
+    val lateLeft = rnd.nextBoolean()
+    // the late side needs >= 3 files so a +2/+3 hop can land behind the
+    // two-batch-lagged filter; the contiguous side stays 1-3
+    val (nFilesL, nFilesR) =
+      if (lateLeft) (3 + rnd.nextInt(3), 1 + rnd.nextInt(3))
+      else (1 + rnd.nextInt(3), 3 + rnd.nextInt(3))
+    val inL = prepareSide(spark, sfDir, rnd, nFilesL,
+      if (lateLeft) pLate else 0.0)
+    val inR = prepareSide(spark, sfDir, rnd, nFilesR,
+      if (lateLeft) 0.0 else pLate)
+    try {
+      val (keyName, lKey, rKey) = joinKeyPool(rnd.nextInt(joinKeyPool.length))
+      val lower = boundPool(rnd.nextInt(boundPool.length))
+      val upper = boundPool(rnd.nextInt(boundPool.length))
+      val (delayStr, delayMs) = lateDelayPool(rnd.nextInt(lateDelayPool.length))
+      val lowerMs = minutesOf(lower) * 60000L
+      val upperMs = minutesOf(upper) * 60000L
+
+      val sl = Streams.readParquetStream(spark, inL.dir.toString, inL.schema,
+        maxFilesPerTrigger = 1)
+      val sr = rSuffixed(Streams.readParquetStream(spark, inR.dir.toString,
+        inR.schema, maxFilesPerTrigger = 1))
+      val joined = Streams.intervalJoin(sl, sr, "ts", "r_ts", delayStr,
+        lKey === rKey, lower, upper, joinType)
+        .select(col("event_id").as("l_eid"), col("r_event_id").as("r_eid"))
+      val name = s"sfz_j2_${rnd.nextInt(Int.MaxValue)}"
+      val got = Streams.replayToTable(joined, name, outputMode = "append")
+      val nullPadded =
+        got.filter(col("l_eid").isNull || col("r_eid").isNull).count()
+
+      val (thrUs, wmF) = joinThresholds(inL.tsUsAndFile, inL.nFiles,
+        inR.tsUsAndFile, inR.nFiles, delayMs)
+      val keep = unix_micros(col("ts")) > thrCol(thrUs)
+      val keptL = inL.rowsF.filter(keep)
+      val keptR = rSuffixed(inR.rowsF.filter(keep))
+      val lateIn = if (lateLeft) inL else inR
+      val (dropped, keptLate) = lateCounts(lateIn.rowsF, keep)
+
+      val cond = lKey === rKey &&
+        col("r_ts") >= col("ts") - expr(s"interval $lower") &&
+        col("r_ts") <= col("ts") + expr(s"interval $upper")
+      val padL = if (wmF > 0) (wmF - upperMs - 1) * 1000L else Long.MinValue
+      val padR = if (wmF > 0) (wmF - lowerMs - 1) * 1000L else Long.MinValue
+      val keepRow = (col("event_id").isNotNull && col("r_event_id").isNotNull) ||
+        (col("r_event_id").isNull && unix_micros(col("ts")) <= padL) ||
+        (col("event_id").isNull && unix_micros(col("r_ts")) <= padR)
+      val want = keptL.join(keptR, cond, joinType)
+        .filter(keepRow)
+        .select(col("event_id").as("l_eid"), col("r_event_id").as("r_eid"))
+
+      JoinOutcome(diff(got, want).map(d =>
+        s"joinv2 seed $seed: type=$joinType key=$keyName lower=$lower " +
+          s"upper=$upper delay=$delayStr lateLeft=$lateLeft pLate=$pLate " +
+          s"nFiles=$nFilesL/$nFilesR relocated=${lateIn.relocated} " +
+          s"dropped=$dropped padded=$nullPadded: $d"),
+        lateIn.relocated, dropped, keptLate, nullPadded)
+    } finally {
+      deleteRec(inL.dir)
+      deleteRec(inR.dir)
+    }
+  }
+
+  // ---- v5: seeded restart/recovery -----------------------------------------
+
+  /** Outcome of one recovery seed: `emittedBeforeKill` rows were in the
+    * file sink when the FIRST kill happened; `emittedAfterRestart` arrived
+    * across the restarted phases. The spec asserts both are frequently
+    * non-zero (state and sink genuinely span the kill). */
+  case class RecoveryOutcome(failure: Option[String], emittedBeforeKill: Long,
+                             emittedAfterRestart: Long)
+
+  /** Move staged chunk files [from, until) into the live source dir,
+    * preserving names and mtimes (Files.move keeps both). */
+  private def reveal(staged: Path, live: Path, from: Int, until: Int): Unit =
+    (from until until).foreach { i =>
+      val f = f"chunk_$i%04d.parquet"
+      Files.move(staged.resolve(f), live.resolve(f),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+
+  /** Read a streaming parquet sink's output (via its _spark_metadata
+    * manifest — the exactly-once view); empty/never-committed sinks read
+    * as an empty frame of the sink's schema. */
+  private def readSink(spark: SparkSession, out: Path,
+                       schema: StructType): DataFrame =
+    if (Files.exists(out.resolve("_spark_metadata")))
+      spark.read.schema(schema).parquet(out.toString)
+    else spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+
+  /** Run one seeded recovery case (grammar in the object scaladoc). */
+  def runRecoveryCase(spark: SparkSession, sfDir: String,
+                      seed: Long): RecoveryOutcome = {
+    val rnd = new scala.util.Random(seed)
+    val shape = rnd.nextInt(8)
+    val root = Files.createTempDirectory("graft-streamfuzz-rec")
+    try {
+      val twoSources = shape >= 6
+      val nFilesL = 3 + rnd.nextInt(3)
+      val nFilesR = if (twoSources) 2 + rnd.nextInt(3) else 0
+      val inL = prepareSide(spark, sfDir, rnd, nFilesL, 0.0)
+      val inR = if (twoSources) prepareSide(spark, sfDir, rnd, nFilesR, 0.0)
+                else null
+      try {
+        // the prepared dirs become the STAGING dirs; live dirs start empty
+        val liveL = Files.createDirectory(root.resolve("srcL"))
+        val liveR = Files.createDirectory(root.resolve("srcR"))
+        val streamL = Streams.readParquetStream(spark, liveL.toString,
+          inL.schema, maxFilesPerTrigger = 1)
+        val streamR = if (twoSources)
+          rSuffixed(Streams.readParquetStream(spark, liveR.toString,
+            inR.schema, maxFilesPerTrigger = 1))
+        else null
+
+        val (df, label) = shape match {
+          case 0 | 1 | 2 =>
+            val hop = shape == 2
+            val every = everyPool(rnd.nextInt(everyPool.length))
+            val slide = if (hop) {
+              val cands = slidePool.filter(s => minutesOf(s) < minutesOf(every))
+              Some(cands(rnd.nextInt(cands.length)))
+            } else None
+            val (delayStr, _) = delayPool(rnd.nextInt(delayPool.length))
+            val keys = drawDistinct(rnd, keyPool, rnd.nextInt(3)).map(_._2)
+            val aggs = drawDistinct(rnd, aggPool, 1 + rnd.nextInt(3)).map(_.c)
+            (Streams.windowedAgg(streamL, "ts", every, delayStr, aggs,
+              extraKeys = keys, slide = slide),
+              s"window hop=$hop every=$every slide=$slide delay=$delayStr")
+          case 3 =>
+            val unit = if (rnd.nextBoolean()) "hour" else "minute"
+            val (delayStr, _) = delayPool(1 + rnd.nextInt(delayPool.length - 1))
+            val keyNames = drawDistinct(rnd,
+              Vector("user_id", "event_type"), 1 + rnd.nextInt(2))
+            val keyed = streamL
+              .withColumn("tsh", date_trunc(unit, col("ts")))
+              .select(("tsh" +: keyNames).map(col): _*)
+            (Streams.dedupStream(keyed, "tsh", delayStr, keyNames),
+              s"dedup unit=$unit keys=$keyNames delay=$delayStr")
+          case 4 | 5 =>
+            val gap = gapPool(rnd.nextInt(gapPool.length))
+            val (delayStr, _) = delayPool(rnd.nextInt(delayPool.length))
+            val keys = drawDistinct(rnd, keyPool, 1 + rnd.nextInt(2)).map(_._2)
+            val aggs = drawDistinct(rnd, aggPool, 1 + rnd.nextInt(3)).map(_.c)
+            (Streams.sessionAgg(streamL, "ts", gap, delayStr, keys, aggs),
+              s"session gap=$gap delay=$delayStr")
+          case _ =>
+            val joinType = Vector("inner", "leftOuter", "rightOuter",
+              "fullOuter")(rnd.nextInt(4))
+            val (keyName, lKey, rKey) =
+              joinKeyPool(rnd.nextInt(joinKeyPool.length))
+            val lower = boundPool(rnd.nextInt(boundPool.length))
+            val upper = boundPool(rnd.nextInt(boundPool.length))
+            val (delayStr, _) =
+              lateDelayPool(rnd.nextInt(lateDelayPool.length))
+            (Streams.intervalJoin(streamL, streamR, "ts", "r_ts", delayStr,
+              lKey === rKey, lower, upper, joinType)
+              .select(col("event_id").as("l_eid"),
+                col("r_event_id").as("r_eid")),
+              s"join type=$joinType key=$keyName lower=$lower upper=$upper " +
+                s"delay=$delayStr")
+        }
+
+        // 2-3 phases; each phase boundary is a clean kill + restart from
+        // the checkpoint
+        val nPhases = 2 + rnd.nextInt(2)
+        val cutsL = (rnd.shuffle((1 until nFilesL).toVector)
+          .take(nPhases - 1).sorted :+ nFilesL).toVector
+        val cutsR = if (twoSources)
+          (0 until nPhases - 1).map(p =>
+            math.min(nFilesR, 1 + rnd.nextInt(nFilesR))).sorted.toVector :+ nFilesR
+        else Vector.fill(nPhases)(0)
+
+        val out = root.resolve("out")
+        val ckpt = root.resolve("ckpt")
+        var prevL = 0
+        var prevR = 0
+        var emittedBeforeKill = -1L
+        (0 until nPhases).foreach { p =>
+          reveal(inL.dir, liveL, prevL, cutsL(p)); prevL = cutsL(p)
+          if (twoSources) { reveal(inR.dir, liveR, prevR, cutsR(p)); prevR = cutsR(p) }
+          val q = df.writeStream.format("parquet")
+            .option("path", out.toString)
+            .option("checkpointLocation", ckpt.toString)
+            .outputMode("append").start()
+          q.processAllAvailable()
+          q.stop()
+          if (p == 0) emittedBeforeKill = readSink(spark, out, df.schema).count()
+        }
+
+        // uninterrupted oracle: same plan over the now fully-revealed
+        // sources, fresh sink + checkpoint
+        val out2 = root.resolve("out2")
+        val q2 = df.writeStream.format("parquet")
+          .option("path", out2.toString)
+          .option("checkpointLocation", root.resolve("ckpt2").toString)
+          .outputMode("append").start()
+        q2.processAllAvailable()
+        q2.stop()
+
+        val gotF = readSink(spark, out, df.schema)
+        val total = gotF.count()
+        RecoveryOutcome(diff(gotF, readSink(spark, out2, df.schema)).map(d =>
+          s"recovery seed $seed: shape=$shape $label nFiles=$nFilesL/$nFilesR " +
+            s"phases=$nPhases cuts=$cutsL/$cutsR: $d"),
+          emittedBeforeKill, total - emittedBeforeKill)
+      } finally {
+        deleteRec(inL.dir)
+        if (inR != null) deleteRec(inR.dir)
+      }
+    } finally deleteRec(root)
   }
 }
 

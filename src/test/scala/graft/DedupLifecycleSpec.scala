@@ -50,6 +50,32 @@ class DedupLifecycleSpec extends SparkSpec {
     Dedup.releaseCache()
   }
 
+  test("persist registry cap is configurable (ADVICE r19)") {
+    Dedup.releaseCache()
+    withSQLConf("spark.graft.dedup.maxLivePersists" -> "2") {
+      (1 to 4).foreach { i =>
+        Dedup.nearDuplicates(docs(s"cap$i"), "doc_id", "text",
+          w = 2, k = 8, b = 4, threshold = 0.5, verify = "cached").count()
+      }
+      assert(Dedup.liveCacheCount == 2,
+        s"registry must cap at the configured 2, got ${Dedup.liveCacheCount}")
+    }
+    Dedup.releaseCache()
+  }
+
+  test("local mode ignores cluster executor confs for the auto budget") {
+    // spark.executor.memory is ignored by a local master at runtime (the
+    // driver heap is the only storage), so a local session carrying
+    // cluster defaults must not derive the verify budget from it
+    // (ADVICE r19); a cluster master keeps the conf-derived budget.
+    assert(Dedup.autoBudget("local[4]", Some("1k"), None) ==
+      Runtime.getRuntime.maxMemory() / 4)
+    assert(Dedup.autoBudget("spark://host:7077", Some("4g"), Some(0.5)) ==
+      4L * 1024 * 1024 * 1024 / 2 / 4)
+    assert(Dedup.autoBudget("yarn", None, None) ==
+      Runtime.getRuntime.maxMemory() / 4)
+  }
+
   test("auto budget honors executor confs when set") {
     assert(Dedup.budgetFromConfs(None, None).isEmpty)
     assert(Dedup.budgetFromConfs(Some("4g"), Some(0.5))

@@ -43,9 +43,14 @@ class StreamFuzzSpec extends SparkSpec {
     assert(failures.isEmpty,
       s"${failures.size} diverging late seeds:\n${failures.take(3).mkString("\n\n")}")
     // non-vacuity: the late grammar must exercise BOTH outcomes of the
-    // watermark late filter across the sweep
-    val dropShare = outcomes.count(_.dropped > 0).toDouble / outcomes.size
-    val keptShare = outcomes.count(_.keptLate > 0).toDouble / outcomes.size
+    // watermark late filter across the sweep — measured over the seeds
+    // whose shape actually APPLIES the filter (complete-mode windows and
+    // the unwatermarked mgs fold keep every late row trivially and would
+    // otherwise satisfy the kept assertion for free; ADVICE r19)
+    val applies = outcomes.filter(_.filterApplies)
+    assert(applies.size >= outcomes.size / 2, "late sweep shape mix skewed")
+    val dropShare = applies.count(_.dropped > 0).toDouble / applies.size
+    val keptShare = applies.count(_.keptLate > 0).toDouble / applies.size
     assert(dropShare >= 0.3,
       f"only $dropShare%.2f of late seeds dropped any row — sweep is vacuous")
     assert(keptShare >= 0.3,
@@ -76,6 +81,42 @@ class StreamFuzzSpec extends SparkSpec {
     sweepLate(151 to 200)
   }
 
+  private def sweepJoinV2(seeds: Range): Unit = {
+    val outcomes = seeds.map(s => StreamFuzz.runJoinV2Case(spark, dir, s.toLong))
+    val failures = outcomes.flatMap(_.failure)
+    assert(failures.isEmpty,
+      s"${failures.size} diverging joinv2 seeds:\n${failures.take(3).mkString("\n\n")}")
+    // non-vacuity: across the sweep the grammar must emit null-padded
+    // outer rows, drop genuinely-late rows, and keep late-but-admissible
+    // rows — otherwise the outer/late arms aren't being exercised
+    val padShare = outcomes.count(_.nullPadded > 0).toDouble / outcomes.size
+    val dropShare = outcomes.count(_.dropped > 0).toDouble / outcomes.size
+    val keptShare = outcomes.count(_.keptLate > 0).toDouble / outcomes.size
+    assert(padShare >= 0.3,
+      f"only $padShare%.2f of joinv2 seeds emitted a null-padded row — vacuous")
+    assert(dropShare >= 0.25,
+      f"only $dropShare%.2f of joinv2 seeds dropped a late row — vacuous")
+    assert(keptShare >= 0.3,
+      f"only $keptShare%.2f of joinv2 seeds kept a late row — vacuous")
+  }
+
+  private def sweepRecovery(seeds: Range): Unit = {
+    val outcomes = seeds.map(s => StreamFuzz.runRecoveryCase(spark, dir, s.toLong))
+    val failures = outcomes.flatMap(_.failure)
+    assert(failures.isEmpty,
+      s"${failures.size} diverging recovery seeds:\n${failures.take(3).mkString("\n\n")}")
+    // non-vacuity: the kill must frequently land with output already
+    // committed AND output still to come — both sides of the restart
+    val beforeShare =
+      outcomes.count(_.emittedBeforeKill > 0).toDouble / outcomes.size
+    val afterShare =
+      outcomes.count(_.emittedAfterRestart > 0).toDouble / outcomes.size
+    assert(beforeShare >= 0.3,
+      f"only $beforeShare%.2f of recovery seeds emitted before the kill — vacuous")
+    assert(afterShare >= 0.3,
+      f"only $afterShare%.2f of recovery seeds emitted after restart — vacuous")
+  }
+
   test("stream fuzz JOIN: seeds 1-50 match their batch oracle") {
     sweepJoin(1 to 50)
   }
@@ -84,5 +125,22 @@ class StreamFuzzSpec extends SparkSpec {
   }
   test("stream fuzz JOIN: seeds 101-150 match their batch oracle") {
     sweepJoin(101 to 150)
+  }
+
+  test("stream fuzz JOIN v2 (outer + late): seeds 1-50 match the oracle") {
+    sweepJoinV2(1 to 50)
+  }
+  test("stream fuzz JOIN v2 (outer + late): seeds 51-100 match the oracle") {
+    sweepJoinV2(51 to 100)
+  }
+  test("stream fuzz JOIN v2 (outer + late): seeds 101-150 match the oracle") {
+    sweepJoinV2(101 to 150)
+  }
+
+  test("stream fuzz RECOVERY: seeds 1-20 match the uninterrupted run") {
+    sweepRecovery(1 to 20)
+  }
+  test("stream fuzz RECOVERY: seeds 21-40 match the uninterrupted run") {
+    sweepRecovery(21 to 40)
   }
 }

@@ -158,6 +158,7 @@ class StreamingSpec extends SparkSpec {
       Seq((ts("2024-01-01 11:10:00"), 4L)),
       Seq((ts("2024-01-01 10:52:00"), 1L)))
     val out = java.nio.file.Files.createTempDirectory("graft-mgs-timeout")
+    try {
     files.zipWithIndex.foreach { case (rows, i) =>
       val tmp = java.nio.file.Files.createTempDirectory("graft-mgs-part")
       rows.toDF("ts", "k").coalesce(1)
@@ -169,6 +170,7 @@ class StreamingSpec extends SparkSpec {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       java.nio.file.Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+      graft.testing.StreamFuzz.deleteRec(tmp)
     }
     val schema = Seq((ts("2024-01-01 00:00:00"), 1L)).toDF("ts", "k").schema
     val stream = Streams.readParquetStream(spark, out.toString, schema,
@@ -203,6 +205,7 @@ class StreamingSpec extends SparkSpec {
       (1L, 2L, "timeout"),  // b1: watermark 10:19 passes A's 10:12
       (1L, 1L, "update")),  // b2: A restarts from empty state
       s"unexpected timeout/update sequence: $got")
+    } finally graft.testing.StreamFuzz.deleteRec(out)
   }
 
   test("append-mode sessions RE-OPEN on a kept late row (why no batch oracle)") {
@@ -229,6 +232,7 @@ class StreamingSpec extends SparkSpec {
       Seq((ts("2024-01-01 10:50:10"), "d1", 1L)),
       Seq((ts("2024-01-01 10:04:00"), "L", 1L), (ts("2024-01-01 10:55:10"), "d2", 1L)))
     val out = java.nio.file.Files.createTempDirectory("graft-sess-reopen")
+    try {
     files.zipWithIndex.foreach { case (rows, i) =>
       val tmp = java.nio.file.Files.createTempDirectory("graft-sess-part")
       rows.toDF("ts", "k", "v").coalesce(1)
@@ -240,6 +244,7 @@ class StreamingSpec extends SparkSpec {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       java.nio.file.Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+      graft.testing.StreamFuzz.deleteRec(tmp)
     }
     val schema = Seq((ts("2024-01-01 00:00:00"), "x", 1L))
       .toDF("ts", "k", "v").schema
@@ -256,5 +261,6 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 10:00:00.0", "2024-01-01 10:05:00.0", 1L, "A"),
       ("2024-01-01 10:04:00.0", "2024-01-01 10:09:00.0", 1L, "L")),
       s"expected two OVERLAPPING single-row sessions, got $got")
+    } finally graft.testing.StreamFuzz.deleteRec(out)
   }
 }
