@@ -184,6 +184,31 @@ object QueriesStream {
         .orderBy(col("click_id"), col("buy_id"))
     }),
 
+    // FULL outer stream-stream interval join: pads on BOTH sides — clicks
+    // that never converted (closed at the upper-bound cutoff) AND
+    // purchases with no preceding click (closed at the lower-bound cutoff,
+    // here wmF - 1 ms since lower = 0). Gates the two-sided emission rule
+    // the leftOuter key can't see.
+    "stream_full_outer_join" -> ((s, d) => {
+      val ev = eventsStream(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("r_user_id"),
+          col("event_id").as("buy_id"), col("ts").as("buy_ts"))
+      val joined = Streams.intervalJoin(clicks, buys,
+        "click_ts", "buy_ts", watermark = "1 hour",
+        keyEq = col("user_id") === col("r_user_id"),
+        lower = "0 seconds", upper = "2 hours", joinType = "fullOuter")
+      replay(joined, "stream_fullouter", "append")
+        .select(col("user_id").as("c_uid"), col("click_id"),
+          col("r_user_id").as("b_uid"), col("buy_id"),
+          date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("cts"),
+          date_format(col("buy_ts"), "yyyy-MM-dd HH:mm:ss").as("bts"))
+        .orderBy(col("click_id"), col("buy_id"))
+    }),
+
     // Arbitrary keyed state via mapGroupsWithState (Streams.runningTotals)
     // — the custom-state surface the reference engine has no analogue
     // for. Values are pre-scaled to exact integer cents (doubles sum
@@ -320,6 +345,33 @@ object QueriesStream {
         |WHERE b.buy_id IS NOT NULL
         |   OR epoch_us(c.click_ts) <=
         |      ((SELECT w FROM wm) - 7200000 - 1) * 1000
+        |ORDER BY click_id, buy_id""".stripMargin,
+
+    "stream_full_outer_join" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id AS click_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'),
+        |b AS (
+        |  SELECT user_id AS r_user_id, event_id AS buy_id, ts AS buy_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |wm AS (
+        |  SELECT least((SELECT max(epoch_ms(ts)) FROM events
+        |                WHERE event_type = 'click'),
+        |               (SELECT max(epoch_ms(ts)) FROM events
+        |                WHERE event_type = 'purchase')) - 3600000 AS w)
+        |SELECT c.user_id AS c_uid, c.click_id,
+        | b.r_user_id AS b_uid, b.buy_id,
+        | strftime(c.click_ts, '%Y-%m-%d %H:%M:%S') AS cts,
+        | strftime(b.buy_ts, '%Y-%m-%d %H:%M:%S') AS bts
+        |FROM c FULL JOIN b
+        |  ON c.user_id = b.r_user_id
+        | AND b.buy_ts >= c.click_ts
+        | AND b.buy_ts <= c.click_ts + INTERVAL 2 HOUR
+        |WHERE (c.click_id IS NOT NULL AND b.buy_id IS NOT NULL)
+        |   OR (b.buy_id IS NULL AND epoch_us(c.click_ts) <=
+        |       ((SELECT w FROM wm) - 7200000 - 1) * 1000)
+        |   OR (c.click_id IS NULL AND epoch_us(b.buy_ts) <=
+        |       ((SELECT w FROM wm) - 1) * 1000)
         |ORDER BY click_id, buy_id""".stripMargin,
 
     "stream_running_totals" ->
