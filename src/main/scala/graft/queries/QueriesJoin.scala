@@ -26,13 +26,30 @@ object QueriesJoin {
           round(col("o_totalprice"), 2).as("o_totalprice"))
         .sort(col("o_orderkey")).collect()),
 
-    "join_left_agg" -> ((s, d) =>
+    // r21 (opt guide §2.3 "aggregate before you shuffle"): pre-aggregate
+    // the fact side per o_custkey BEFORE the join instead of aggregating
+    // the joined rows. Same result (c_custkey is unique, a customer's
+    // orders form exactly one pre-agg group, customers without orders get
+    // NULL → coalesce 0, and unmatched/null o_custkey groups are dropped
+    // by the left join in both shapes — oracle hash unchanged, the
+    // rewrite was proven against DuckDB at sf0.001/0.01/0.1), but above
+    // the broadcast cap the join now matches 1 aggregated row per
+    // customer instead of every order row: the join build/probe work and
+    // the joined-row materialization shrink by the orders-per-customer
+    // factor, and the post-join 15M-group hash aggregate disappears (the
+    // agg exchange on o_custkey doubles as the join exchange).
+    "join_left_agg" -> ((s, d) => {
+      val perCust = lf(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(col("o_orderkey")).as("__n"),
+          sum(col("o_totalprice")).as("__rev"))
       lf(s, d, "customer")
-        .joinOn(lf(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
-        .groupBy(col("c_custkey"))
-        .agg(count(col("o_orderkey")).as("n_orders"),
-          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("revenue"))
-        .sort(col("c_custkey")).collect()),
+        .joinOn(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("__n"), lit(0L)).as("n_orders"),
+          round(coalesce(col("__rev"), lit(0.0)), 2).as("revenue"))
+        .sort(col("c_custkey")).collect()
+    }),
 
     "join_semi" -> ((s, d) =>
       lf(s, d, "orders")
