@@ -26,6 +26,10 @@ object StreamFuzzSoak {
     require(Set("v1", "late", "join", "joinv2", "recovery")(grammar),
       s"grammar must be v1|late|join|joinv2|recovery, got '$grammar'")
     val provider = sys.env.getOrElse("SPARK_GRAFT_STATE_PROVIDER", "default")
+    require(Set("default", "rocksdb")(provider),
+      s"SPARK_GRAFT_STATE_PROVIDER must be default|rocksdb, got '$provider' " +
+        "— a typo here would silently soak the default provider while the " +
+        "evidence line records the misspelled name")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -193,13 +193,24 @@ object Dedup {
     * mode persists only candidate PAIRS (metadata-scale). Call
     * [[releaseCache]] after consuming results to drop all. */
   private val DefaultMaxLivePersists = 4
+  // The registry is process-global while the cap is read from the
+  // REGISTERING frame's session, so in a multi-session JVM the effective
+  // cap is last-writer-wins across sessions (ADVICE r20 — documented
+  // tradeoff; concurrent pipelines in one JVM share one storage pool, so a
+  // per-session registry would not bound the actual resource any better).
   private val livePersists = new java.util.ArrayDeque[DataFrame]()
 
   private def registerPersist(df: DataFrame): Unit =
     livePersists.synchronized {
       val cap = df.sparkSession.conf
         .getOption("spark.graft.dedup.maxLivePersists")
-        .map(_.toInt).getOrElse(DefaultMaxLivePersists)
+        .flatMap { v =>
+          val parsed = scala.util.Try(v.trim.toInt).toOption
+          if (parsed.isEmpty)
+            log.warn(s"spark.graft.dedup.maxLivePersists='$v' is not an " +
+              s"integer; falling back to the default $DefaultMaxLivePersists")
+          parsed
+        }.getOrElse(DefaultMaxLivePersists)
       livePersists.addLast(df)
       while (livePersists.size > math.max(1, cap)) {
         log.warn(s"dedup persist registry over its cap ($cap): evicting the " +
