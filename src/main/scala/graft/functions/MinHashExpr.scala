@@ -111,12 +111,20 @@ object MinHashUtil {
   /** min over shingles of md5(prefix_i ++ shingle), per band i.
     * Null shingles are skipped (md5(concat(null)) is null and array_min
     * ignores nulls); a null/empty/all-null input yields k nulls, matching
-    * the HOF composition. */
+    * the HOF composition.
+    *
+    * r21 (opt guide §4, per-task work): the k·n digests in this loop are
+    * the dedup pipeline's CPU center at every scale, so the inner loop is
+    * allocation-free — one scratch 16-byte buffer receives each digest
+    * (`md.digest(buf, 0, 16)`) and SWAPS with the band's current minimum
+    * when it wins, instead of allocating a fresh array per digest. Same
+    * md5 values, same comparisons, same result. */
   def signature(arr: ArrayData, prefixes: Array[Array[Byte]]): ArrayData = {
     val k = prefixes.length
     val n = if (arr == null) 0 else arr.numElements()
     val mins = new Array[Array[Byte]](k)
     val md = digests.get()
+    var cur = new Array[Byte](16)
     var j = 0
     while (j < n) {
       if (!arr.isNullAt(j)) {
@@ -126,8 +134,13 @@ object MinHashUtil {
           md.reset()
           md.update(prefixes(i))
           md.update(sb)
-          val d = md.digest()
-          if (mins(i) == null || less(d, mins(i))) mins(i) = d
+          md.digest(cur, 0, 16)
+          if (mins(i) == null) {
+            mins(i) = cur
+            cur = new Array[Byte](16)
+          } else if (less(cur, mins(i))) {
+            val t = mins(i); mins(i) = cur; cur = t
+          }
           i += 1
         }
       }

@@ -95,9 +95,11 @@ object ShingleUtil {
       return new GenericArrayData(Array[Any](UTF8String.concatWs(SPACE, toks: _*)))
     }
     val out = new Array[Any](n - w + 1)
+    // r21: one window buffer reused across shingles — concatWs copies the
+    // bytes out immediately, so the buffer never escapes the iteration
+    val win = new Array[UTF8String](w)
     var i = 0
     while (i <= n - w) {
-      val win = new Array[UTF8String](w)
       System.arraycopy(toks, i, win, 0, w)
       out(i) = UTF8String.concatWs(SPACE, win: _*)
       i += 1
