@@ -62,13 +62,16 @@ object SimHashUtil {
     val seen = new java.util.HashSet[UTF8String](toks.length * 2)
     val votes = new Array[Long](bits)
     val md = digests.get()
+    // r21: digest into one reused buffer — same per-token md5 bytes, no
+    // 16-byte allocation per distinct token (mirrors MinHashUtil)
+    val d = new Array[Byte](16)
     var i = 0
     while (i < toks.length) {
       val t = toks(i)
       if (seen.add(t)) {
         md.reset()
         md.update(t.getBytes)
-        val d = md.digest()
+        md.digest(d, 0, 16)
         // first 8 hex chars == first 4 digest bytes, unsigned 32-bit value
         val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
           ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
