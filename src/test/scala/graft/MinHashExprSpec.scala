@@ -53,6 +53,27 @@ class MinHashExprSpec extends SparkSpec {
     }
   }
 
+  test("r21 buffer-swap minimum: large shingle arrays still equal the HOF") {
+    // The r21 allocation-free inner loop receives every digest into one
+    // scratch buffer and pointer-swaps it with the band's running minimum.
+    // Stress the swap bookkeeping with arrays large enough that each
+    // band's minimum updates many times, plus interleaved nulls and
+    // duplicate shingles (a duplicate must never displace the minimum).
+    import spark.implicits._
+    val big = (0 until 500).map(i => s"shingle token number $i")
+    val withDups = big ++ big.take(50)
+    val withNulls: Seq[String] = (null: String) +: big.take(100) :+ (null: String)
+    val df = Seq((1L, big), (2L, withDups), (3L, withNulls))
+      .toDF("id", "sh")
+    val both = df.select(col("id"),
+      Dedup.signatureFromShingles(col("sh"), 8).as("native"),
+      Dedup.signatureFromShinglesHof(col("sh"), 8).as("hof"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"mismatch for id=${r.getLong(0)}")
+    }
+  }
+
   test("signature supports codegen (does not break the WholeStageCodegen span)") {
     // spark.range source (not a local relation) so ConvertToLocalRelation
     // can't constant-fold the projection away. Input built with split()
