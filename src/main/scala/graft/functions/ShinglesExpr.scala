@@ -60,27 +60,47 @@ case class ShinglesExpr(child: Expression, w: Int) extends UnaryExpression {
 
 object ShingleUtil {
 
-  private val WS: UTF8String = UTF8String.fromString("\\s+")
   private val SPACE: UTF8String = UTF8String.fromString(" ")
 
+  @inline private def isJavaWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
   /** Tokens after trim/lower/split-on-whitespace/drop-empties; null text →
-    * null (mirrors `filter(split(lower(trim(null))), …)`). */
+    * null (mirrors `filter(split(lower(trim(null))), …)`).
+    *
+    * r21 (opt guide §4): the previous `split("\\s+", -1)` went through
+    * `UTF8String.split` → `toString().split(regex)` — a full UTF-16
+    * decode, a `Pattern.compile` PER ROW (String.split only fast-paths
+    * single-literal-char patterns), and a String→UTF8String re-encode per
+    * token. Java's `\s` without UNICODE_CHARACTER_CLASS is exactly the
+    * ASCII set [ \t\n\x0B\f\r]; none of those bytes can occur inside a
+    * UTF-8 multi-byte sequence, so the regex split's NON-EMPTY regions
+    * are exactly the maximal non-whitespace byte runs — and every caller
+    * here drops the empty regions (trim() only ever changed which empties
+    * appeared). Scan the lowercased bytes once and emit zero-copy views.
+    * Identical results, pinned by the HOF-equivalence specs. */
   def tokens(text: UTF8String): Array[UTF8String] = {
     if (text == null) return null
-    val parts = text.trim().toLowerCase().split(WS, -1)
-    var n = 0
+    val bytes = text.toLowerCase().getBytes
+    val n = bytes.length
+    var count = 0
+    var inRun = false
     var i = 0
-    while (i < parts.length) {
-      if (parts(i).numBytes() > 0) n += 1
+    while (i < n) {
+      if (!isJavaWs(bytes(i))) { if (!inRun) { count += 1; inRun = true } }
+      else inRun = false
       i += 1
     }
-    if (n == parts.length) return parts
-    val out = new Array[UTF8String](n)
-    i = 0
+    val out = new Array[UTF8String](count)
     var j = 0
-    while (i < parts.length) {
-      if (parts(i).numBytes() > 0) { out(j) = parts(i); j += 1 }
-      i += 1
+    i = 0
+    while (i < n) {
+      if (!isJavaWs(bytes(i))) {
+        val start = i
+        while (i < n && !isJavaWs(bytes(i))) i += 1
+        out(j) = UTF8String.fromBytes(bytes, start, i - start)
+        j += 1
+      } else i += 1
     }
     out
   }
