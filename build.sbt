@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver machine-parses the one-line JSON records printed by the
+// bench/verify mains. sbt's default output strategy pipes a forked
+// process's stdout through its logger, decorating every line with
+// "[info] " — which has made BENCH_r*.json.parsed null since r01 (the
+// driver never saw an undecorated JSON line). StdoutOutput inherits the
+// parent's stdout instead, so the record line arrives exactly as printed.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
