@@ -78,7 +78,16 @@ object ShingleUtil {
     * are exactly the maximal non-whitespace byte runs — and every caller
     * here drops the empty regions (trim() only ever changed which empties
     * appeared). Scan the lowercased bytes once and emit zero-copy views.
-    * Identical results, pinned by the HOF-equivalence specs. */
+    * Identical results, pinned by the HOF-equivalence specs.
+    *
+    * VALID-UTF-8 ASSUMPTION (ADVICE r21): the equivalence holds for valid
+    * UTF-8 input — the old `toString().split` path normalized malformed
+    * byte sequences to U+FFFD during the UTF-16 decode, while this scanner
+    * emits the raw bytes unchanged, so tokens (and everything downstream:
+    * shingles, minhash, simhash) can diverge on non-UTF-8-clean input.
+    * Parquet/ORC/Avro string columns are valid UTF-8 by format contract,
+    * which is every input graft reads; the raw-byte behavior is the
+    * intended one for such inputs (no silent lossy re-encode). */
   def tokens(text: UTF8String): Array[UTF8String] = {
     if (text == null) return null
     val bytes = text.toLowerCase().getBytes

@@ -507,6 +507,15 @@ package object functions {
     Bridge.column(TextStatsExpr(Bridge.expression(text)))
   }
 
+  /** The shared whitespace token convention as a native one-pass kernel
+    * (lowercase → split on `\s+` → drop empties; [[TokensExpr]]).
+    * Byte-identical to [[graft.text.TextAnalysis.tokensHof]], which is the
+    * reference formulation the equivalence spec pins. */
+  def tokens(text: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(TokensExpr(Bridge.expression(text)))
+  }
+
   /** polars list.eval(expr) — general per-element expression. */
   def listEval(c: Column, f: Column => Column): Column = transform(c, f)
 

@@ -57,7 +57,9 @@ object QueriesMisc3 {
     "explode_pos" -> ((s, d) =>
       t(s, d, "documents").filter(col("doc_id") < 20)
         .select(col("doc_id"),
-          posexplode(filter(split(lower(col("text")), "\\s+"), t => t =!= "")))
+          // r22: native tokens() — identical rows (trim only changes which
+          // EMPTY split regions appear, and the filter drops all empties)
+          posexplode(graft.functions.tokens(col("text"))))
         .select(col("doc_id"), (col("pos") + 1).as("word_idx"), col("col").as("word"))
         .orderBy(col("doc_id"), col("word_idx"))),
 

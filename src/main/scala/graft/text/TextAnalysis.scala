@@ -11,8 +11,21 @@ object TextAnalysis {
 
   /** THE whitespace token convention every text op in graft shares:
     * lowercase, trim, split on \s+, drop empties. The SQL oracles mirror
-    * it as `QueriesText.tokensSql`; change both together or nowhere. */
-  def tokens(text: Column): Column =
+    * it as `QueriesText.tokensSql`; change both together or nowhere.
+    *
+    * r22 (opt guide §4): native one-pass byte-run kernel
+    * ([[graft.functions.TokensExpr]] over the same scanner the shingle
+    * path adopted in r21) — the Column composition went through Spark's
+    * `StringSplit`, which pays a full UTF-16 decode and a `Pattern.compile`
+    * PER ROW. Byte-identical to [[tokensHof]] for valid UTF-8 input (the
+    * scanner's `\s` ≡ ASCII-whitespace argument is on
+    * [[graft.functions.ShingleUtil.tokens]]); pinned by TokensExprSpec. */
+  def tokens(text: Column): Column = graft.functions.tokens(text)
+
+  /** Reference formulation of [[tokens]] as pure Column composition —
+    * kept for the equivalence spec and as documentation of the exact
+    * split semantics. */
+  def tokensHof(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
 
   /** Whitespace token count. Empty/blank text → 0. Native one-pass
@@ -35,8 +48,15 @@ object TextAnalysis {
 
   /** Stopword hit ratio over a given stopword list — building block for
     * language-ID and quality scoring. */
+  // r22: tokens() (empties dropped) replaces the bare split (empties kept).
+  // Ratio-identical: an empty string is never a stopword, so hits agree; the
+  // only input where the two token counts differ is blank/whitespace-only
+  // text (split gives [""] = size 1, tokens gives size 0) and there
+  // greatest(_, 1) pins both denominators to 1 with hits 0. Null text stays
+  // null through both (split/tokens of null are null). Removes 4 per-row
+  // Pattern.compiles from langId.
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
+    val toks = tokens(text)
     val hits = size(filter(toks, t => t.isin(stopwords.map(lit(_).cast("string")): _*)))
     hits.cast("double") / greatest(size(toks), lit(1)).cast("double")
   }
@@ -110,17 +130,23 @@ object TextAnalysis {
     * lowercase → tokenize → distinct → sort → md5. Deterministic and
     * oracle-reproducible; used for near-exact dedup of reordered text. */
   def fingerprint(text: Column): Column =
-    md5(array_join(array_sort(array_distinct(
-      filter(split(lower(trim(text)), "\\s+"), t => t =!= ""))), " "))
+    // the inner filter(split(lower(trim(..)))) IS tokens() verbatim — r22
+    // routes it through the native kernel; distinct/sort/join/md5 stay the
+    // same codegen builtins
+    md5(array_join(array_sort(array_distinct(tokens(text))), " "))
 
   /** Rolling-hash shingle fingerprints: md5 per w-token shingle, minimum
     * kept — a cheap content-defined signature. */
   def minShingleHash(text: Column, w: Int): Column = {
-    val toks = filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
-    val n = size(toks)
-    val shingles = transform(sequence(lit(0), greatest(n - w, lit(0))),
-      i => array_join(slice(toks, i + 1, lit(w)), " "))
-    array_min(transform(shingles, s => md5(s)))
+    // r22: the transform/sequence/slice ladder was element-for-element the
+    // shingle contract ([[graft.functions.ShinglesExpr]]): n ≥ w gives the
+    // n-w+1 w-windows, n < w (including 0 tokens → [""] and null text →
+    // [null] → array_min null) gives the one degenerate all-token join —
+    // so derive from the native kernel and keep only the md5/array_min.
+    import org.apache.spark.sql.graft.Bridge
+    val sh = Bridge.column(
+      graft.functions.ShinglesExpr(Bridge.expression(text), w))
+    array_min(transform(sh, s => md5(s)))
   }
 
   // ---- PII redaction ------------------------------------------------------
