@@ -21,7 +21,10 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  private def tokens(text: Column): Column = TextAnalysis.tokens(text)
+  // the HOF split, NOT the native kernel: this feeds only the *Hof
+  // reference formulations below, whose whole point is to pin the native
+  // expressions against an independently-evaluated Column composition
+  private def tokens(text: Column): Column = TextAnalysis.tokensHof(text)
 
   /** w-token shingles of a text column — native one-pass expression
     * ([[graft.functions.ShinglesExpr]]); byte-identical to [[shinglesHof]]. */
@@ -286,7 +289,13 @@ object Dedup {
     * usable stats at all (the sentinel default would otherwise silently
     * force `rescan` as if it were a measurement; it still resolves to
     * `rescan` — the bounded-state shape is the safe call for an
-    * unknown-size input — but the choice is logged). */
+    * unknown-size input — but the choice is logged). Below the budget,
+    * `auto` resolves to `recompute` since r22: DedupVerifyProbe measured
+    * recompute faster than the `cached` persist at BOTH sf0.1 (0.795 vs
+    * 0.821 s) and sf10 (4.91 vs 6.40 s, 1.30×) — the corpus-shingle
+    * persist costs more to build and hold than the shingle kernels cost
+    * to re-run now that they are allocation-free byte loops (r21), and
+    * it pressures exactly the storage the budget is guarding. */
   private[graft] def pickVerify(df: DataFrame, verify: String,
                                 what: String): String =
     verify match {
@@ -299,13 +308,13 @@ object Dedup {
         if (est >= StatsSentinel) {
           log.info(s"$what: input stats unavailable (sizeInBytes=$est); " +
             "auto-picking the bounded-state 'rescan' verify — pass " +
-            "verify=\"cached\" explicitly if the input is known-small")
+            "verify=\"recompute\" explicitly if the input is known-small")
           "rescan"
         } else if (est * ShingleInflation > budget) "rescan"
-        else "cached"
-      case m @ ("rescan" | "cached") => m
+        else "recompute"
+      case m @ ("rescan" | "cached" | "recompute") => m
       case other => throw new IllegalArgumentException(
-        s"verify must be auto|rescan|cached, got '$other'")
+        s"verify must be auto|rescan|cached|recompute, got '$other'")
     }
 
   /** Verify front end for the `rescan` strategy: run LSH candidate
@@ -359,18 +368,31 @@ object Dedup {
     *    (SCALE.md). State is bounded by the candidate set at ANY corpus
     *    size. The input is scanned twice — pass a directly scannable
     *    frame, or persist `df` first if it is an expensive derivation.
+    *  - `verify = "recompute"` (r22, the small-input shape): no persist
+    *    anywhere — candidate generation and both verify sides each derive
+    *    the shingle projection from the input directly, one action, zero
+    *    extra jobs, zero storage footprint. Since the shingle/minhash
+    *    kernels became allocation-free byte loops (r21), re-running them
+    *    is cheaper than building + holding the corpus-shingle cache:
+    *    DedupVerifyProbe measured recompute vs cached 0.795 vs 0.821 s at
+    *    sf0.1 and 4.91 vs 6.40 s (1.30×) at sf10. The input is scanned
+    *    three times — pass a directly scannable frame, or persist `df`
+    *    yourself if it is an expensive derivation.
     *  - `verify = "cached"` (r12): persist the corpus (id, shingles)
     *    projection MEMORY_AND_DISK and join the verify sides back to it —
-    *    a single action with no extra job launches, ~1.3 s faster at
-    *    sf0.1 where the cache is trivial, but the cache is ~50× the input
-    *    parquet bytes ([[ShingleInflation]]) and becomes the bottleneck
-    *    long before 100 TB.
+    *    a single action with no extra job launches, but the cache is ~50×
+    *    the input parquet bytes ([[ShingleInflation]]), becomes the
+    *    bottleneck long before 100 TB, and measured SLOWER than
+    *    `recompute` even where it fits (the build + memory pressure cost
+    *    more than the re-derivation). Kept for callers whose input frame
+    *    is itself expensive to recompute.
     *  - `verify = "auto"` (default): `rescan` when the estimated cache
     *    footprint exceeds a quarter of the storage budget ([[pickVerify]]:
     *    `spark.executor.memory` × `spark.memory.fraction` when set — the
     *    conf-driven cluster path — else the local JVM heap), or when the
     *    input has no usable optimizer stats (logged; pass the mode
-    *    explicitly for known-small derived inputs).
+    *    explicitly for known-small derived inputs); `recompute` below it
+    *    (r22 — previously `cached`; same results, measured faster).
     *
     * `parallelism` > 0 fans an under-partitioned input out to that many
     * tasks before the CPU-bound shingle/hash stages (see [[shingled]]);
@@ -388,6 +410,13 @@ object Dedup {
         val shV = shingled(df.join(idsHinted, Seq(idCol), "left_semi"),
           idCol, textCol, w, parallelism)
         verifyJaccard(cands, shV, threshold)
+      case "recompute" =>
+        // no persist: the same deterministic shingle subtree is planted in
+        // candidate generation and in each verify side — three derivations
+        // from the input, zero cached state (see strategy docs above)
+        val sh = shingled(df, idCol, textCol, w, parallelism)
+        verifyJaccard(pairsFromBuckets(bandedIds(sh, k, b), maxBucket), sh,
+          threshold)
       case _ =>
         val sh = shingled(df, idCol, textCol, w, parallelism)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -410,8 +439,9 @@ object Dedup {
     * count + broadcast-hinted id set) so the full corpus's text prefixes
     * never shuffle; under `cached` the prefixes join directly (no persist
     * needed — prefixes are recomputed per side, a substring of a scan).
-    * NOTE the `auto` tradeoff differs here: `cached` caches NOTHING for
-    * the fuzzy verify, so the shingle-inflation heap rationale does not
+    * NOTE the `auto` tradeoff differs here: `cached` and `recompute` are
+    * the SAME pipeline for the fuzzy verify (nothing is ever persisted on
+    * this path), so the shingle-inflation heap rationale does not
     * apply — what `auto`'s `rescan` buys instead is shuffle volume (the
     * capChars-bounded corpus prefixes, ~`capChars` bytes/doc, never
     * shuffle; only the candidate slice does), paid for with the extra

@@ -63,6 +63,21 @@ class DedupLifecycleSpec extends SparkSpec {
     Dedup.releaseCache()
   }
 
+  test("recompute verify persists nothing and matches the other strategies") {
+    Dedup.releaseCache()
+    val base = docs("rcmp")
+    def run(mode: String) =
+      Dedup.nearDuplicates(base, "doc_id", "text",
+        w = 2, k = 8, b = 4, threshold = 0.5, verify = mode)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val rc = run("recompute")
+    assert(Dedup.liveCacheCount == 0,
+      s"recompute must not register persists, got ${Dedup.liveCacheCount}")
+    assert(rc == run("cached") && rc == run("rescan"),
+      s"strategies disagree: recompute=$rc")
+    Dedup.releaseCache()
+  }
+
   test("local mode ignores cluster executor confs for the auto budget") {
     // spark.executor.memory is ignored by a local master at runtime (the
     // driver heap is the only storage), so a local session carrying
@@ -90,7 +105,11 @@ class DedupLifecycleSpec extends SparkSpec {
     // RDD-backed frames report the defaultSizeInBytes sentinel
     val noStats = spark.createDataFrame(d.rdd, d.schema)
     assert(Dedup.pickVerify(noStats, "auto", "spec") == "rescan")
-    // a tiny local frame with real stats keeps the cheap cached shape
-    assert(Dedup.pickVerify(d, "auto", "spec") == "cached")
+    // a tiny local frame with real stats takes the cheap no-persist shape
+    // (r22: recompute replaced cached as the below-budget resolution)
+    assert(Dedup.pickVerify(d, "auto", "spec") == "recompute")
+    // the persist strategies stay explicitly selectable
+    assert(Dedup.pickVerify(d, "cached", "spec") == "cached")
+    assert(Dedup.pickVerify(d, "recompute", "spec") == "recompute")
   }
 }
