@@ -31,10 +31,47 @@ object AsOf {
   def join(left: DataFrame, right: DataFrame, leftOn: String, rightOn: String,
            by: Seq[String], strategy: String, tolerance: Option[Column],
            rangedBy: Boolean = false): DataFrame =
+    dispatch(prepUnion(left, right, leftOn, rightOn, by),
+      leftOn, rightOn, by, strategy, tolerance, rangedBy)
+
+  /** As-of join where BOTH sides are row-slices of ONE frame, discriminated
+    * by two disjoint predicates — the "events split into streams" pattern
+    * (left = src where leftWhen, right = src where rightWhen). `join` on
+    * two filtered reads of the same table plans two full scans of it (the
+    * union's branches cannot be fused by Catalyst); this builds the tagged
+    * union in a single conditional projection over ONE scan, so the input
+    * is read once (opt guide §6 — at scale the as-of's dominant I/O).
+    *
+    * `leftCols` / `rightCols` define each side's frame as (name, expr over
+    * `src`) pairs, exactly the `.select` the caller would have passed to
+    * `join`; `leftWhen` / `rightWhen` MUST be disjoint (a row satisfying
+    * both would need to appear on both sides — use `join` for that) and
+    * rows satisfying neither are dropped. Row-for-row equal to
+    * {{{
+    *   join(src.filter(leftWhen).select(leftCols...),
+    *        src.filter(rightWhen).select(rightCols...), ...)
+    * }}}
+    * — the union rows are the same multiset with the same types, and every
+    * downstream step is the shared matcher code. (Equality of the declared
+    * as-of query results under this rewrite is additionally pinned by the
+    * DuckDB oracle at three SFs.) */
+  def joinSliced(src: DataFrame,
+                 leftWhen: Column, leftCols: Seq[(String, Column)],
+                 rightWhen: Column, rightCols: Seq[(String, Column)],
+                 leftOn: String, rightOn: String, by: Seq[String],
+                 strategy: String, tolerance: Option[Column],
+                 rangedBy: Boolean = false): DataFrame =
+    dispatch(prepUnionSliced(src, leftWhen, leftCols, rightWhen, rightCols,
+      leftOn, rightOn, by), leftOn, rightOn, by, strategy, tolerance, rangedBy)
+
+  private def dispatch(prepared: (DataFrame, Seq[String], Seq[String]),
+                       leftOn: String, rightOn: String, by: Seq[String],
+                       strategy: String, tolerance: Option[Column],
+                       rangedBy: Boolean): DataFrame =
     strategy match {
-      case "backward" => directional(left, right, leftOn, rightOn, by, tolerance, forward = false, rangedBy)
-      case "forward"  => directional(left, right, leftOn, rightOn, by, tolerance, forward = true, rangedBy)
-      case "nearest"  => nearest(left, right, leftOn, rightOn, by, tolerance, rangedBy)
+      case "backward" => directional(prepared, leftOn, rightOn, by, tolerance, forward = false, rangedBy)
+      case "forward"  => directional(prepared, leftOn, rightOn, by, tolerance, forward = true, rangedBy)
+      case "nearest"  => nearest(prepared, leftOn, rightOn, by, tolerance, rangedBy)
       case other      => throw new IllegalArgumentException(s"unknown asof strategy: $other")
     }
 
@@ -66,6 +103,52 @@ object AsOf {
     // their values while the keyless boundary-carry (min_by/max_by on __k)
     // skips them — the two paths must agree
     val unioned = l.select(cols: _*).unionByName(r.select(cols: _*))
+      .filter(col("__tag") === 1 || col("__k").isNotNull)
+    (unioned, leftCols, rightCols)
+  }
+
+  /** [[prepUnion]] for [[joinSliced]]: the same tagged-union columns, built
+    * as ONE conditional projection over a single pass of `src` instead of a
+    * union of two filtered branches. Column-for-column mirror of
+    * [[prepUnion]]'s output — same names, same order, same types (left
+    * payload nulls typed by the left side's schema, `__r_*` nulls by the
+    * right side's), same trailing null-right-key filter — so the matchers
+    * downstream see an identical frame. */
+  private def prepUnionSliced(src: DataFrame,
+                              leftWhen: Column, leftSel: Seq[(String, Column)],
+                              rightWhen: Column, rightSel: Seq[(String, Column)],
+                              leftOn: String, rightOn: String, by: Seq[String])
+      : (DataFrame, Seq[String], Seq[String]) = {
+    val lMap = leftSel.toMap
+    val rMap = rightSel.toMap
+    require(by.forall(b => lMap.contains(b) && rMap.contains(b)),
+      s"joinSliced: by columns $by must appear in both sides' projections")
+    // each side's schema, derived from exactly the projection `join` would
+    // have been handed
+    val lSchema = src.select(leftSel.map { case (n, c) => c.as(n) }: _*).schema
+    val rSchema = src.select(rightSel.map { case (n, c) => c.as(n) }: _*).schema
+    val keyT = lSchema(leftOn).dataType
+    require(rSchema(rightOn).dataType == keyT,
+      s"joinSliced requires equal key types, got $keyT vs " +
+        s"${rSchema(rightOn).dataType} — cast in the side projections")
+    val leftCols = leftSel.map(_._1).filterNot(by.contains)
+    val rightCols = rightSel.map(_._1)
+      .filterNot(c => c == rightOn || by.contains(c))
+    val isL = leftWhen
+    val cols: Seq[Column] =
+      by.map(b => when(isL, lMap(b)).otherwise(rMap(b)).as(b)) ++
+      leftCols.map(c => when(isL, lMap(c))
+        .otherwise(lit(null).cast(lSchema(c).dataType)).as(c)) ++
+      Seq(
+        when(isL, lMap(leftOn)).otherwise(rMap(rightOn)).cast(keyT).as("__k"),
+        when(isL, lit(1)).otherwise(lit(0)).as("__tag"),
+        when(isL, lit(null).cast(keyT)).otherwise(rMap(rightOn)).as("__rk")) ++
+      rightCols.map(c => when(isL, lit(null).cast(rSchema(c).dataType))
+        .otherwise(rMap(c)).as(s"__r_$c"))
+    // rows on neither side drop here (a null predicate is false on both
+    // paths, same as the two filters it replaces); the __k null gate is
+    // prepUnion's verbatim
+    val unioned = src.filter(leftWhen || rightWhen).select(cols: _*)
       .filter(col("__tag") === 1 || col("__k").isNotNull)
     (unioned, leftCols, rightCols)
   }
@@ -142,10 +225,11 @@ object AsOf {
     case _ => c.cast("double")
   }
 
-  private def directional(left: DataFrame, right: DataFrame, leftOn: String,
-                          rightOn: String, by: Seq[String], tolerance: Option[Column],
-                          forward: Boolean, rangedBy: Boolean = false): DataFrame = {
-    val (unioned, leftCols, rightCols) = prepUnion(left, right, leftOn, rightOn, by)
+  private def directional(prepared: (DataFrame, Seq[String], Seq[String]),
+                          leftOn: String, rightOn: String, by: Seq[String],
+                          tolerance: Option[Column],
+                          forward: Boolean, rangedBy: Boolean): DataFrame = {
+    val (unioned, leftCols, rightCols) = prepared
     val matched = matchOnce(unioned, by, rightCols, forward, rangedBy)
 
     val withinTol = tolerance match {
@@ -323,9 +407,10 @@ object AsOf {
     ) { (d, c) => d.withColumn(s"__m_$c", coalesce(col(s"__m_$c"), col(s"__in_$c"))) }
   }
 
-  private def nearest(left: DataFrame, right: DataFrame, leftOn: String,
-                      rightOn: String, by: Seq[String], tolerance: Option[Column],
-                      rangedBy: Boolean = false): DataFrame = {
+  private def nearest(prepared: (DataFrame, Seq[String], Seq[String]),
+                      leftOn: String, rightOn: String, by: Seq[String],
+                      tolerance: Option[Column],
+                      rangedBy: Boolean): DataFrame = {
     // Both directions over ONE union, as two chained match passes — never a
     // self-join on a synthetic row id. (The previous formulation ran two
     // directional joins and aligned them on monotonically_increasing_id;
@@ -334,7 +419,7 @@ object AsOf {
     // repartition upstream could silently misalign the two passes — caught
     // by the rangedBy equivalence spec. Tie → backward, matching polars'
     // preference for the earlier row.)
-    val (unioned, leftCols, rightCols) = prepUnion(left, right, leftOn, rightOn, by)
+    val (unioned, leftCols, rightCols) = prepared
     val both = matchOnce(
       matchOnce(unioned, by, rightCols, forward = false, rangedBy, "__b"),
       by, rightCols, forward = true, rangedBy, "__f")

@@ -11,12 +11,28 @@ object QueriesJoin {
 
   // events split into two streams so as-of has interleaved timestamps:
   // clicks (left side) match the most recent error (right side) per user.
-  private def clicks(s: org.apache.spark.sql.SparkSession, d: String) =
-    t(s, d, "events").filter(col("event_type") === "click")
-      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
-  private def errors(s: org.apache.spark.sql.SparkSession, d: String) =
-    t(s, d, "events").filter(col("event_type") === "error")
-      .select(col("user_id"), col("ts").as("err_ts"), col("value").as("err_value"))
+  //
+  // r22 (opt guide §6): both sides are row-slices of ONE events scan, so
+  // the as-of goes through AsOf.joinSliced — the tagged union is a single
+  // conditional projection over one scan instead of a union of two filtered
+  // scans of the same parquet (each of which read every row group; the
+  // event_type values interleave, so row-group pruning never helped).
+  // Row-identical to joinAsof over the two filtered frames (the slice
+  // predicates are disjoint values of one column); oracle-proven at
+  // sf0.001/0.01/0.1 for all four strategies — oracle SQL unchanged.
+  private def asofSliced(s: org.apache.spark.sql.SparkSession, d: String,
+                         strategy: String,
+                         tolerance: Option[org.apache.spark.sql.Column]) =
+    LazyFrame(graft.ops.AsOf.joinSliced(
+      t(s, d, "events"),
+      col("event_type") === "click",
+      Seq("event_id" -> col("event_id"), "user_id" -> col("user_id"),
+        "ts" -> col("ts"), "value" -> col("value")),
+      col("event_type") === "error",
+      Seq("user_id" -> col("user_id"), "err_ts" -> col("ts"),
+        "err_value" -> col("value")),
+      "ts", "err_ts", by = Seq("user_id"), strategy = strategy,
+      tolerance = tolerance))
 
   val queries: Map[String, Q] = Map(
     "join_inner" -> ((s, d) =>
@@ -101,34 +117,27 @@ object QueriesJoin {
         .sort(col("r_name")).collect()),
 
     "join_asof_backward" -> ((s, d) =>
-      LazyFrame(clicks(s, d))
-        .joinAsof(LazyFrame(errors(s, d)), "ts", "err_ts", by = Seq("user_id"))
+      asofSliced(s, d, "backward", None)
         .select(col("event_id"), col("user_id"), col("ts"),
           col("err_ts"), round(col("err_value"), 4).as("err_value"))
         .sort(col("event_id")).collect()),
 
     "join_asof_forward" -> ((s, d) =>
-      LazyFrame(clicks(s, d))
-        .joinAsof(LazyFrame(errors(s, d)), "ts", "err_ts", by = Seq("user_id"),
-          strategy = "forward")
+      asofSliced(s, d, "forward", None)
         .select(col("event_id"), col("user_id"), col("ts"),
           col("err_ts"), round(col("err_value"), 4).as("err_value"))
         .sort(col("event_id")).collect()),
 
     "join_asof_tolerance" -> ((s, d) =>
-      LazyFrame(clicks(s, d))
-        // tolerance is in the key's natural comparison units — epoch seconds
-        // for timestamps (2 hours = 7200 s)
-        .joinAsof(LazyFrame(errors(s, d)), "ts", "err_ts", by = Seq("user_id"),
-          tolerance = Some(lit(7200.0)))
+      // tolerance is in the key's natural comparison units — epoch seconds
+      // for timestamps (2 hours = 7200 s)
+      asofSliced(s, d, "backward", Some(lit(7200.0)))
         .select(col("event_id"), col("user_id"), col("ts"),
           col("err_ts"), round(col("err_value"), 4).as("err_value"))
         .sort(col("event_id")).collect()),
 
     "join_asof_nearest" -> ((s, d) =>
-      LazyFrame(clicks(s, d))
-        .joinAsof(LazyFrame(errors(s, d)), "ts", "err_ts", by = Seq("user_id"),
-          strategy = "nearest")
+      asofSliced(s, d, "nearest", None)
         .select(col("event_id"), col("user_id"), col("ts"),
           col("err_ts"), round(col("err_value"), 4).as("err_value"))
         .sort(col("event_id")).collect()),

@@ -171,6 +171,47 @@ class AsOfSpec extends SparkSpec {
     }
   }
 
+  test("joinSliced (one-scan tagged union) equals join over filtered frames") {
+    for (seed <- 0 until 4) {
+      val rnd = new scala.util.Random(seed ^ 0x51ce)
+      // one source frame whose rows split into left/right/neither slices,
+      // with null groups, null keys on both sides, and duplicate right keys
+      val rows = (0 until 400).map { i =>
+        val kind = rnd.nextInt(5) match {
+          case 0 | 1 => "click"
+          case 2 | 3 => "error"
+          case _     => "other"
+        }
+        val g: java.lang.Long = if (rnd.nextInt(8) == 0) null else rnd.nextInt(4).toLong
+        val k: java.lang.Long = if (rnd.nextInt(12) == 0) null else rnd.nextInt(60).toLong
+        (i.toLong, kind, g, k, rnd.nextInt(100))
+      }
+      val src = rows.toDF("id", "kind", "g", "k", "v").repartition(5)
+      val lSel = Seq("id" -> col("id"), "g" -> col("g"),
+        "k" -> col("k"), "v" -> col("v"))
+      val rSel = Seq("g" -> col("g"), "rk" -> col("k"),
+        "rv" -> (col("v") * 10))
+      for (strategy <- Seq("backward", "forward", "nearest");
+           tol <- Seq(None, Some(lit(5.0)))) {
+        def canon(df: org.apache.spark.sql.DataFrame) =
+          df.select("id", "g", "k", "v", "rk", "rv").collect()
+            .map(r => (0 until 6).map(i =>
+              if (r.isNullAt(i)) null else r.get(i)).toList)
+            .groupBy(identity).view.mapValues(_.size).toMap
+        val sliced = canon(AsOf.joinSliced(src,
+          col("kind") === "click", lSel, col("kind") === "error", rSel,
+          "k", "rk", Seq("g"), strategy, tol))
+        val twoFrame = canon(AsOf.join(
+          src.filter(col("kind") === "click")
+            .select(lSel.map { case (n, c) => c.as(n) }: _*),
+          src.filter(col("kind") === "error")
+            .select(rSel.map { case (n, c) => c.as(n) }: _*),
+          "k", "rk", Seq("g"), strategy, tol))
+        assert(sliced == twoFrame, s"seed=$seed strategy=$strategy tol=$tol")
+      }
+    }
+  }
+
   test("duplicate right keys carry a deterministic value (r14 tie-break contract)") {
     // three right rows share (g, rk) and differ only in payload: the
     // contract pins the carried value to the GREATEST payload (backward) /
