@@ -25,8 +25,24 @@ object TestSpark {
   }
 }
 
+/** Env gate for the soak portion of the suite (r21 verdict item 2: the
+  * full fuzz-seed sweeps put `sbt test` at 1h15m, which no CI window fits
+  * — the default suite must complete in minutes). `SPARK_GRAFT_SOAK=1`
+  * runs everything; the default keeps the FIRST seed block of every fuzz
+  * family (each family's grammar, oracle, and non-vacuity assertions all
+  * execute) and marks the deeper blocks ignored, so coverage loss is
+  * visible in the run summary rather than silent. */
+object Soak {
+  val on: Boolean = sys.env.get("SPARK_GRAFT_SOAK").exists(_.trim == "1")
+}
+
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
+
+  /** Register `name` as a live test when `SPARK_GRAFT_SOAK=1`, as an
+    * ignored test otherwise. */
+  def soakTest(name: String)(body: => Any): Unit =
+    if (Soak.on) test(name)(body) else ignore(name)(body)
 
   /** Run `body` with the given SQL confs set, restoring prior values after. */
   def withSQLConf[T](pairs: (String, String)*)(body: => T): T = {
