@@ -49,27 +49,73 @@ object JoinStrategyProbe {
         "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
         if (prefer) "0" else "256m")
     }
+    // spill instrumentation (r21 verdict item 8): sum task-level memory /
+    // disk spill bytes between marks, so each strategy's runs carry their
+    // own spill evidence — the r21 A/B flip-flop could not distinguish
+    // host noise from memory pressure.
+    val spillMem = new java.util.concurrent.atomic.AtomicLong
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            spillMem.addAndGet(m.memoryBytesSpilled)
+            spillDisk.addAndGet(m.diskBytesSpilled)
+          }
+        }
+      })
     def time(): Double = {
       val t0 = System.nanoTime()
       q.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    def timedWithSpill(label: String, i: Int): (Double, Long, Long) = {
+      spark.sparkContext.setJobDescription(s"join-strategy $label pass $i")
+      val (m0, d0) = (spillMem.get, spillDisk.get)
+      val dt = time()
+      // listener events drain asynchronously (the bus-drain API is
+      // private[spark]); poll until the counters settle
+      var last = (spillMem.get, spillDisk.get)
+      var settled = false
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (!settled && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        val now = (spillMem.get, spillDisk.get)
+        settled = now == last
+        last = now
+      }
+      (dt, spillMem.get - m0, spillDisk.get - d0)
+    }
+    // ADVICE r21: the planned-strategy flag must come from an EXECUTED
+    // query's final adaptive plan — the un-executed AdaptiveSparkPlan
+    // (isFinalPlan=false) shows the static SMJ shape, and with broadcast
+    // disabled the static planner can never pick SHJ, so the old flag
+    // could read false even when AQE converted the timed runs.
+    def finalPlanOf(): String = {
+      val probe = q
+      probe.write.format("noop").mode("overwrite").save()
+      probe.queryExecution.executedPlan.toString
+    }
     setSmj(true); time(); setSmj(false); time() // warm both
-    val (smj, shj) = (1 to passes).map { i =>
+    val runs = (1 to passes).map { i =>
       setSmj(true)
-      spark.sparkContext.setJobDescription(s"join-strategy SMJ pass $i")
-      val a = time()
+      val a = timedWithSpill("SMJ", i)
       setSmj(false)
-      spark.sparkContext.setJobDescription(s"join-strategy SHJ pass $i")
-      val b = time()
+      val b = timedWithSpill("SHJ", i)
       (a, b)
-    }.unzip
+    }
+    val (smjR, shjR) = runs.unzip
     setSmj(false)
-    val shjPlan = q.queryExecution.executedPlan.toString
-    val gotShj = shjPlan.contains("ShuffledHashJoin")
+    val gotShj = finalPlanOf().contains("ShuffledHashJoin")
+    setSmj(true)
+    val smjInSmjMode = finalPlanOf().contains("SortMergeJoin")
     def mm(v: Seq[Double]) = { val s = v.sorted; (s.head, s(s.size / 2)) }
-    val ((aMin, aMed), (bMin, bMed)) = (mm(smj), mm(shj))
-    println(f"""{"metric":"join_strategy_probe","sf":"$sfDir","passes":$passes,"smj":{"min":$aMin%.3f,"median":$aMed%.3f},"shj":{"min":$bMin%.3f,"median":$bMed%.3f},"shj_planned":$gotShj,"speedup_min":${aMin / bMin}%.2f}""")
+    val ((aMin, aMed), (bMin, bMed)) = (mm(smjR.map(_._1)), mm(shjR.map(_._1)))
+    def spillStr(r: Seq[(Double, Long, Long)]) =
+      s"""{"mem_mb":${r.map(_._2).sum / (1 << 20)},"disk_mb":${r.map(_._3).sum / (1 << 20)}}"""
+    println(f"""{"metric":"join_strategy_probe","sf":"$sfDir","passes":$passes,"smj":{"min":$aMin%.3f,"median":$aMed%.3f,"spill":${spillStr(smjR)},"planned_smj":$smjInSmjMode},"shj":{"min":$bMin%.3f,"median":$bMed%.3f,"spill":${spillStr(shjR)},"planned_shj":$gotShj},"speedup_min":${aMin / bMin}%.2f}""")
     spark.stop()
   }
 }

@@ -48,12 +48,17 @@ object PlanSweep {
         val lines = plan.linesIterator.toSeq
         def c(p: String) = lines.count(_.contains(p))
         // scans that push nothing while the plan filters somewhere —
-        // candidate missed pushdowns, reviewed by hand from the CSV
+        // candidate missed pushdowns, reviewed by hand from the CSV.
+        // ADVICE r21: count Filter OPERATORS, not lines containing the
+        // substring "Filter" (every scan line carries "PushedFilters: ...",
+        // which made the old guard always-true).
         val scans = c("FileScan parquet")
         val pushedScans = lines.count(l =>
           l.contains("PushedFilters: [") && !l.contains("PushedFilters: []"))
+        val filterOps = lines.count(
+          _.matches("""\s*(?:[+:]- )?(?:\*\(\d+\) )?Filter .*"""))
         val unpushed =
-          if (c("Filter") > 0 && scans > 0) scans - pushedScans else 0
+          if (filterOps > 0 && scans > 0) scans - pushedScans else 0
         val wideScans = lines.count { l =>
           l.contains("ReadSchema: struct<") &&
             l.substring(l.indexOf("ReadSchema")).count(_ == ',') >= 12
