@@ -248,6 +248,18 @@ object Dedup {
     * auto-switch conservative about choosing `cached`. */
   private val ShingleInflation = 48L
 
+  /** How many multiples of the storage budget the estimated corpus-shingle
+    * footprint may reach before `auto` abandons `recompute` for `rescan`.
+    * `recompute` persists nothing, so the budget is a proxy for the real
+    * limit — the verify joins carry the FULL corpus-shingle projection,
+    * and once it dwarfs execution memory those joins spill while
+    * `rescan`'s candidate-semi-filtered verify touches only ~12% of docs.
+    * Bracketing measurements (DedupVerifyProbe, this host, 2 GB budget):
+    * at 1.3× budget (sf10) recompute beat rescan 4.91 vs 6.29 s; at 13×
+    * (sf100) it lost 35.2 vs 28.1 s. The switch sits at the geometric
+    * midpoint 4× — re-probe to narrow it if a workload lands between. */
+  private val RecomputeBudgetFactor = 4L
+
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Missing-stats sentinel: Catalyst reports `spark.sql.defaultSizeInBytes`
@@ -281,21 +293,22 @@ object Dedup {
       .getOrElse(Runtime.getRuntime.maxMemory() / 4)
 
   /** Resolve the verify strategy (see [[nearDuplicates]] for semantics):
-    * `auto` picks `rescan` when the estimated cached-shingle footprint
-    * (optimizer-stats input bytes × [[ShingleInflation]]) would exceed a
-    * quarter of the storage budget — derived from
+    * `auto` picks `rescan` when the estimated corpus-shingle footprint
+    * (optimizer-stats input bytes × [[ShingleInflation]]) exceeds
+    * [[RecomputeBudgetFactor]] × the storage budget — derived from
     * `spark.executor.memory` × `spark.memory.fraction` when those confs
     * are set, else from the local JVM heap — or when the input has no
     * usable stats at all (the sentinel default would otherwise silently
     * force `rescan` as if it were a measurement; it still resolves to
     * `rescan` — the bounded-state shape is the safe call for an
-    * unknown-size input — but the choice is logged). Below the budget,
+    * unknown-size input — but the choice is logged). Below the line,
     * `auto` resolves to `recompute` since r22: DedupVerifyProbe measured
-    * recompute faster than the `cached` persist at BOTH sf0.1 (0.795 vs
-    * 0.821 s) and sf10 (4.91 vs 6.40 s, 1.30×) — the corpus-shingle
-    * persist costs more to build and hold than the shingle kernels cost
-    * to re-run now that they are allocation-free byte loops (r21), and
-    * it pressures exactly the storage the budget is guarding. */
+    * recompute faster than the `cached` persist it replaced at every SF
+    * where either fits (sf0.1: 0.795 vs 0.821 s; sf10: 4.91 vs 6.40 s,
+    * 1.30×) — the corpus-shingle persist costs more to build and hold
+    * than the shingle kernels cost to re-run now that they are
+    * allocation-free byte loops (r21). The recompute↔rescan crossover is
+    * measured on [[RecomputeBudgetFactor]]. */
   private[graft] def pickVerify(df: DataFrame, verify: String,
                                 what: String): String =
     verify match {
@@ -310,7 +323,8 @@ object Dedup {
             "auto-picking the bounded-state 'rescan' verify — pass " +
             "verify=\"recompute\" explicitly if the input is known-small")
           "rescan"
-        } else if (est * ShingleInflation > budget) "rescan"
+        } else if (est * ShingleInflation >
+                     BigInt(RecomputeBudgetFactor) * budget) "rescan"
         else "recompute"
       case m @ ("rescan" | "cached" | "recompute") => m
       case other => throw new IllegalArgumentException(

@@ -68,6 +68,26 @@ class PlanSpec extends SparkSpec {
       s"expected partial+final aggregate around the shuffle:\n$p")
   }
 
+  test("join-then-aggregate shape still plans a post-join aggregate (ADVICE r21)") {
+    // join_left_agg was rewritten to pre-aggregate-then-join in r21, so the
+    // bench key no longer exercises the join-then-agg plan shape; this pins
+    // the engine's handling of the ORIGINAL formulation (aggregate above
+    // the join, partial+final pair) so that coverage doesn't silently lapse.
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val joined = cust.join(orders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("revenue"))
+    val p = planOf(joined)
+    val joinAt = p.linesIterator.indexWhere(_.contains("Join"))
+    val aggAt = p.linesIterator.indexWhere(_.contains("HashAggregate"))
+    assert(joinAt >= 0 && aggAt >= 0 && aggAt < joinAt,
+      s"expected aggregate ABOVE the join in the join-then-agg shape:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected a partial+final aggregate pair:\n$p")
+  }
+
   test("similarity pipeline stays inside whole-stage codegen AND compiles") {
     // Guards the r3 regression: VectorExpr codegen failed Janino, plan fell
     // back to interpreted per task (8× slower) while plan-string tests stayed
