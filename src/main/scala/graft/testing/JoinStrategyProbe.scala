@@ -35,13 +35,23 @@ object JoinStrategyProbe {
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
-    def q: DataFrame =
+    // r22: the SHJ arm forces the strategy with the SHUFFLE_HASH hint
+    // (build side = customer, the smaller input). The r21 arm only
+    // flipped preferSortMergeJoin + the AQE local-map threshold — and the
+    // final-plan check this probe now does (ADVICE r21) revealed neither
+    // ever produced a ShuffledHashJoin here (with broadcast disabled the
+    // static planner's canBuildLocalHashMap test uses the negative
+    // threshold, and AQE declined the runtime conversion), so the r21
+    // "A/B" timed SMJ against itself — the flip-flop WAS host noise.
+    def q(shjHint: Boolean): DataFrame = {
+      val cust = spark.read.parquet(s"$sfDir/customer.parquet")
       spark.read.parquet(s"$sfDir/orders.parquet")
-        .join(spark.read.parquet(s"$sfDir/customer.parquet"),
+        .join(if (shjHint) cust.hint("shuffle_hash") else cust,
           col("o_custkey") === col("c_custkey"), "inner")
         .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
           round(col("o_totalprice"), 2).as("o_totalprice"))
         .sort(col("o_orderkey"))
+    }
 
     def setSmj(prefer: Boolean): Unit = {
       spark.conf.set("spark.sql.join.preferSortMergeJoin", prefer.toString)
@@ -66,15 +76,16 @@ object JoinStrategyProbe {
           }
         }
       })
-    def time(): Double = {
+    def time(shjHint: Boolean): Double = {
       val t0 = System.nanoTime()
-      q.write.format("noop").mode("overwrite").save()
+      q(shjHint).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    def timedWithSpill(label: String, i: Int): (Double, Long, Long) = {
+    def timedWithSpill(label: String, i: Int,
+                       shjHint: Boolean): (Double, Long, Long) = {
       spark.sparkContext.setJobDescription(s"join-strategy $label pass $i")
       val (m0, d0) = (spillMem.get, spillDisk.get)
-      val dt = time()
+      val dt = time(shjHint)
       // listener events drain asynchronously (the bus-drain API is
       // private[spark]); poll until the counters settle
       var last = (spillMem.get, spillDisk.get)
@@ -93,24 +104,24 @@ object JoinStrategyProbe {
     // (isFinalPlan=false) shows the static SMJ shape, and with broadcast
     // disabled the static planner can never pick SHJ, so the old flag
     // could read false even when AQE converted the timed runs.
-    def finalPlanOf(): String = {
-      val probe = q
+    def finalPlanOf(shjHint: Boolean): String = {
+      val probe = q(shjHint)
       probe.write.format("noop").mode("overwrite").save()
       probe.queryExecution.executedPlan.toString
     }
-    setSmj(true); time(); setSmj(false); time() // warm both
+    setSmj(true); time(false); setSmj(false); time(true) // warm both
     val runs = (1 to passes).map { i =>
       setSmj(true)
-      val a = timedWithSpill("SMJ", i)
+      val a = timedWithSpill("SMJ", i, shjHint = false)
       setSmj(false)
-      val b = timedWithSpill("SHJ", i)
+      val b = timedWithSpill("SHJ", i, shjHint = true)
       (a, b)
     }
     val (smjR, shjR) = runs.unzip
     setSmj(false)
-    val gotShj = finalPlanOf().contains("ShuffledHashJoin")
+    val gotShj = finalPlanOf(shjHint = true).contains("ShuffledHashJoin")
     setSmj(true)
-    val smjInSmjMode = finalPlanOf().contains("SortMergeJoin")
+    val smjInSmjMode = finalPlanOf(shjHint = false).contains("SortMergeJoin")
     def mm(v: Seq[Double]) = { val s = v.sorted; (s.head, s(s.size / 2)) }
     val ((aMin, aMed), (bMin, bMed)) = (mm(smjR.map(_._1)), mm(shjR.map(_._1)))
     def spillStr(r: Seq[(Double, Long, Long)]) =
